@@ -228,8 +228,12 @@ def parse_page(
         r.empty_dup = empty_dup
         r.embed = embed
 
-        if sels is not None:
-            # two-level: Spark layer re-fetches these and runs pass 2
+        if sels is not None and not sel.startswith("json:"):
+            # two-level: Spark layer re-fetches these and runs pass 2.
+            # json-mode selectors also contain " | " but their url set at
+            # this point is always empty, so the reference's re-fetch
+            # (main.rs:325-338) is a no-op there — json imgs survive the
+            # chain into the sink (main.rs:367).
             r.second_level_sel = sels[1]
             r.first_level_urls = sorted(urls)
             imgs = {}

@@ -1,0 +1,116 @@
+"""Arrow-vectorized page extraction (SURVEY.md §2.3 → one UDF family).
+
+``extract_pages`` maps the fetched frontier↔pages join through the pure
+kernel (img_spark.functions.extract.parse_page) via ``mapInPandas`` —
+JVM→Python crosses once per Arrow batch, never per row (input_hint: no
+per-row Python). ``resolve_second_level`` handles the two-level
+selector re-fetch (main.rs:325-364) as a second join + grouped pass.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from img_spark.functions.extract import extract_second_level, parse_page
+
+EXTRACT_SCHEMA = (
+    "url string, status string, title string, dir_title string,"
+    " imgs array<string>, origins array<string>, next_url string,"
+    " albums array<string>, album_titles array<string>,"
+    " empty_dup int, embed int, albums_len int, imgs_len int, json_len int,"
+    " extracted_text string, second_level_sel string,"
+    " first_level_urls array<string>"
+)
+
+_IN_COLS = ["url", "html", "img_sel", "next_sel", "album_sel"]
+
+
+def extract_pages(df: DataFrame, album_policy: str = "all") -> DataFrame:
+    """df columns required: url, html (binary, null → fetch_failed),
+    img_sel, next_sel, album_sel. Extra columns are pruned (keeps the
+    html blob out of any downstream shuffle, SURVEY.md §7.8)."""
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for url, html, img_sel, next_sel, album_sel in zip(
+                pdf["url"], pdf["html"], pdf["img_sel"], pdf["next_sel"],
+                pdf["album_sel"],
+            ):
+                if html is None:
+                    out.append(
+                        (url, "fetch_failed", "", "", [], [], "", [], [],
+                         0, 0, 0, 0, 0, "", "", [])
+                    )
+                    continue
+                r = parse_page(
+                    bytes(html), url,
+                    img_sel if img_sel is not None else None,
+                    next_sel if next_sel is not None else None,
+                    album_sel if album_sel is not None else None,
+                    album_policy=album_policy,
+                )
+                out.append(
+                    (url, r.status, r.title, r.dir_title, r.imgs, r.origins,
+                     r.next_url, r.albums, r.album_titles, r.empty_dup,
+                     r.embed, r.albums_len, r.imgs_len, r.json_len, r.text,
+                     r.second_level_sel, r.first_level_urls)
+                )
+            yield pd.DataFrame(out, columns=[
+                "url", "status", "title", "dir_title", "imgs", "origins",
+                "next_url", "albums", "album_titles", "empty_dup", "embed",
+                "albums_len", "imgs_len", "json_len", "extracted_text",
+                "second_level_sel", "first_level_urls",
+            ])
+
+    return df.select(*_IN_COLS).mapInPandas(run, schema=EXTRACT_SCHEMA)
+
+
+def resolve_second_level(extracted: DataFrame, pages: DataFrame) -> DataFrame:
+    """Fill ``imgs`` for two-level pages: explode first-level URLs, join
+    the pages table (the sandbox "fetch"), run extraction pass 2 grouped
+    per origin page, and merge results back.
+
+    Scale notes: the explode→join shuffles only (page_url, url) string
+    pairs plus the second-level html blobs; the first-level pages
+    DataFrame is aggressively projected before the join so the origin
+    page's own html never re-shuffles.
+    """
+    two = extracted.filter(F.col("second_level_sel") != "").select(
+        "url", "second_level_sel", "first_level_urls"
+    )
+    exploded = two.select(
+        F.col("url").alias("page_url"),
+        "second_level_sel",
+        F.explode("first_level_urls").alias("fetch_url"),
+    )
+    fetched = exploded.join(
+        pages.select(F.col("url").alias("fetch_url"), "html"),
+        "fetch_url",
+        "left",
+    )
+
+    def run(key, pdf):
+        page_url, sel = key
+        bodies = [bytes(h) for h in pdf["html"] if h is not None]
+        imgs = extract_second_level(bodies, sel, page_url)
+        return pd.DataFrame({"url": [page_url], "second_imgs": [imgs]})
+
+    second = fetched.groupBy("page_url", "second_level_sel").applyInPandas(
+        run, schema="url string, second_imgs array<string>"
+    )
+    merged = extracted.join(second, "url", "left").withColumn(
+        "imgs",
+        F.when(
+            F.col("second_level_sel") != "",
+            F.coalesce(F.col("second_imgs"), F.array().cast("array<string>")),
+        ).otherwise(F.col("imgs")),
+    ).withColumn(
+        "origins",
+        F.when(
+            F.col("second_level_sel") != "",
+            F.transform(F.col("imgs"), lambda _: F.lit("html")),
+        ).otherwise(F.col("origins")),
+    )
+    return merged.drop("second_imgs")

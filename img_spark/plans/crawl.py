@@ -1,0 +1,413 @@
+"""Micro-batch crawl driver: frontier advancement with per-generation
+checkpoint lineage and resume (SURVEY.md §3.4, §7.7).
+
+Why not Structured Streaming proper: the frontier is both the source and
+the sink of the same loop (self-feedback), which readStream forbids. Each
+generation is instead a deterministic batch over append-only state with
+an atomic manifest commit — the same exactly-once/resume semantics,
+without fighting the framework.
+
+Per generation g:
+ 1. pending rows → per-host top-K dispatch (politeness window over DFS
+    ``path`` order — the one frontier-sized shuffle; same shape as a
+    batch crawler's generate step);
+ 2. "fetch" = broadcast(dispatch) equi-join against the pages table →
+    the 100-TB pages scan is ONE pass with no shuffle of the big side
+    (misses → status 'fetch_failed', mirroring main.rs:105-108); in a
+    live deployment this join is replaced by a pooled-HTTP mapInPandas;
+ 3. site-config attach = compiled coalesce/when projection (zero shuffle);
+ 4. extraction via Arrow mapInPandas (+ second-level join pass);
+ 5. discovered next/album URLs → robots check (broadcast) → partitioned
+    cuckoo-filter probe+insert (groupBy salt, one filter blob per salt,
+    persisted per generation = per-partition lineage);
+ 6. atomic manifest commit (frontier snapshot, seen blobs, extracted
+    delta, per-host + per-partition metrics); resume from any manifest.
+
+DFS ordering parity (SURVEY.md §7.5): every frontier row carries ``path``
+= parent path + 8-hex-digit child sequence (albums in document order,
+then the next-link). Lexicographic path order IS the reference's
+depth-first visit order; with host_budget=1 the per-host dispatch
+sequence replays the reference exactly (tests pin this).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import BooleanType, StructField, StructType
+
+from img_spark.operators.extract_udf import extract_pages, resolve_second_level
+from img_spark.operators.politeness import apply_robots, dispatch_top_k
+from img_spark.operators.seen import CuckooFilter
+from img_spark.operators.urlexprs import host_of
+from img_spark.sources.site_config import attach_site_config
+
+FRONTIER_DDL = (
+    "url string, url_canon string, host string, depth int, path string,"
+    " parent_url string, kind string, status string, generation int,"
+    " crawl_delay double"
+)
+
+SEP = " | "
+
+
+@dataclass
+class CrawlConfig:
+    checkpoint_dir: str
+    partitions: int = 32          # seen-set salt shards
+    host_budget: int = 1
+    batch_window_s: float = 60.0
+    album_policy: str = "all"
+    seen_mode: str = "cuckoo"     # 'cuckoo' | 'exact'
+    cuckoo_capacity: int = 1 << 16
+    max_generations: int = 10_000
+
+
+class Crawler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        config_rows: list,
+        robots: DataFrame,
+        cfg: CrawlConfig,
+    ):
+        self.spark = spark
+        self.pages = pages
+        self.config_rows = config_rows
+        self.robots = robots
+        self.cfg = cfg
+        self.generation = -1
+        self.seen_blobs: dict = {}  # salt -> blob path (latest version)
+        self.has_two_level = any(
+            isinstance(r[2], str) and SEP in r[2] and not r[2].startswith("json:")
+            for r in config_rows
+        )
+
+    # ---------------------------------------------------------------- paths
+    def _p(self, *parts) -> str:
+        return os.path.join(self.cfg.checkpoint_dir, *parts)
+
+    def _manifest_path(self, g: int) -> str:
+        return self._p(f"manifest-g{g}.json")
+
+    # ---------------------------------------------------------------- init
+    def init(self, seeds: list) -> None:
+        """Generation 0 state: robots-checked seeds, seen-set seeded."""
+        sdf = self.spark.createDataFrame(
+            [(u, i) for i, u in enumerate(seeds)], "url string, seq int"
+        )
+        cand = sdf.select(
+            F.col("url"),
+            F.col("url").alias("url_canon"),
+            host_of(F.col("url")).alias("host"),
+            F.lit(0).alias("depth"),
+            F.lpad(F.lower(F.hex(F.col("seq"))), 8, "0").alias("path"),
+            F.lit(None).cast("string").alias("parent_url"),
+            F.lit("seed").alias("kind"),
+            F.lit(0).alias("generation"),
+        )
+        bad = cand.filter(F.col("host").isNull()).withColumn(
+            "status", F.lit("rejected")
+        ).withColumn("crawl_delay", F.lit(0.0)).withColumn(
+            "allowed", F.lit(False)
+        )
+        ok = apply_robots(cand.filter(F.col("host").isNotNull()), self.robots)
+        new = self._seen_filter(ok.unionByName(bad, allowMissingColumns=True), 0)
+        frontier = new.withColumn(
+            "status",
+            F.when(F.col("status").isNotNull(), F.col("status"))
+            .when(~F.col("allowed"), F.lit("disallowed"))
+            .when(~F.col("is_new"), F.lit("duplicate"))
+            .otherwise(F.lit("pending")),
+        ).select(*_frontier_cols())
+        self._write_frontier(frontier, 0)
+        self._commit_manifest(0, {"seeds": len(seeds)})
+        self.generation = 0
+
+    # ---------------------------------------------------------------- step
+    def step(self) -> dict:
+        g = self.generation + 1
+        frontier = self.spark.read.parquet(self._p("frontier", f"g{self.generation}"))
+        pending = frontier.filter(F.col("status") == "pending")
+        marked = dispatch_top_k(
+            pending, self.cfg.host_budget, self.cfg.batch_window_s
+        )
+        dispatch = marked.filter(F.col("dispatch")).drop("dispatch")
+        held = marked.filter(~F.col("dispatch")).drop("dispatch")
+
+        # fetch: INNER join with the small dispatch batch broadcast —
+        # the pages table is scanned exactly once, with no shuffle of the
+        # big side (a left-outer join could NOT broadcast its outer side
+        # and would fall back to a full sort-merge shuffle of pages).
+        # Misses are recovered afterwards with a batch-sized anti-join.
+        fetched = self.pages.select("url", "html").join(
+            F.broadcast(dispatch.select("url", "host")), "url", "inner"
+        )
+        withcfg = attach_site_config(fetched, self.config_rows)
+
+        results = extract_pages(withcfg, album_policy=self.cfg.album_policy)
+        if self.has_two_level:
+            results = resolve_second_level(results, self.pages)
+        results = results.join(
+            F.broadcast(dispatch.select("url", "host", "depth", "path")),
+            "url", "left",
+        )
+        results.cache()
+        failed = dispatch.join(
+            F.broadcast(results.select("url")), "url", "left_anti"
+        )  # dispatched URLs absent from the pages table (main.rs:105-108)
+
+        # ---- extracted sink delta (explode imgs)
+        extracted = results.select(
+            F.col("url").alias("page_url"),
+            F.col("host"),
+            F.col("status"),
+            F.col("dir_title"),
+            F.col("title"),
+            F.lit(g).alias("generation"),
+            F.col("extracted_text"),
+            F.explode_outer(F.arrays_zip("imgs", "origins")).alias("z"),
+        ).select(
+            "page_url", "host", "status", "dir_title", "title", "generation",
+            "extracted_text",
+            F.col("z.imgs").alias("img_url"),
+            F.col("z.origins").alias("origin"),
+        )
+        extracted.write.mode("overwrite").parquet(self._p("extracted", f"g{g}"))
+
+        # ---- discovered candidates: albums (doc order) then next
+        albums = results.select(
+            F.col("url").alias("parent_url"),
+            F.col("depth").alias("pdepth"),
+            F.col("path").alias("ppath"),
+            F.posexplode("albums").alias("seq", "child_url"),
+        ).withColumn("kind", F.lit("album")).withColumn(
+            "depth", F.col("pdepth") + 1
+        )
+        nxt = results.filter(F.col("next_url") != "").select(
+            F.col("url").alias("parent_url"),
+            F.col("depth").alias("pdepth"),
+            F.col("path").alias("ppath"),
+            F.size("albums").alias("seq"),
+            F.col("next_url").alias("child_url"),
+        ).withColumn("kind", F.lit("next")).withColumn("depth", F.col("pdepth"))
+
+        cand = albums.unionByName(nxt).select(
+            F.col("child_url").alias("url"),
+            F.col("child_url").alias("url_canon"),
+            host_of(F.col("child_url")).alias("host"),
+            "depth",
+            F.concat(
+                F.col("ppath"), F.lpad(F.lower(F.hex(F.col("seq"))), 8, "0")
+            ).alias("path"),
+            "parent_url",
+            "kind",
+            F.lit(g).alias("generation"),
+        )
+        bad = cand.filter(F.col("host").isNull()).withColumn(
+            "status", F.lit("rejected")
+        ).withColumn("crawl_delay", F.lit(0.0)).withColumn(
+            "allowed", F.lit(False)
+        )
+        ok = apply_robots(cand.filter(F.col("host").isNotNull()), self.robots)
+        checked = self._seen_filter(
+            ok.unionByName(bad, allowMissingColumns=True), g
+        )
+        new_rows = checked.withColumn(
+            "status",
+            F.when(F.col("status").isNotNull(), F.col("status"))
+            .when(~F.col("allowed"), F.lit("disallowed"))
+            .when(~F.col("is_new"), F.lit("duplicate"))
+            .otherwise(F.lit("pending")),
+        ).select(*_frontier_cols())
+
+        # ---- new frontier snapshot
+        done = results.select(
+            "url",
+            F.col("url").alias("url_canon"),
+            "host", "depth", "path",
+            F.lit(None).cast("string").alias("parent_url"),
+            F.lit(None).cast("string").alias("kind"),
+            F.lit("fetched").alias("status"),
+            F.lit(g).alias("generation"),
+            F.lit(0.0).alias("crawl_delay"),
+        ).unionByName(
+            failed.select(
+                "url", "url_canon", "host", "depth", "path", "parent_url",
+                "kind",
+                F.lit("fetch_failed").alias("status"),
+                F.lit(g).alias("generation"),
+                "crawl_delay",
+            )
+        )
+        rest = frontier.filter(F.col("status") != "pending")
+        new_frontier = (
+            held.select(*_frontier_cols())
+            .unionByName(done.select(*_frontier_cols()))
+            .unionByName(new_rows)
+            .unionByName(rest.select(*_frontier_cols()))
+        )
+        self._write_frontier(new_frontier, g)
+
+        # ---- per-host metrics (lineage)
+        fail_counts = failed.groupBy("host").agg(
+            F.count("*").alias("fetch_failed")
+        )
+        metrics = results.groupBy("host").agg(
+            F.count("*").alias("dispatched"),
+            F.sum(F.size("imgs")).alias("imgs"),
+            F.sum(F.size("albums")).alias("albums_enqueued"),
+            F.sum(F.when(F.col("next_url") != "", 1).otherwise(0)).alias(
+                "next_found"
+            ),
+            F.sum("empty_dup").alias("empty_dup"),
+            F.sum("embed").alias("embed"),
+        ).join(fail_counts, "host", "outer").fillna(
+            0, ["dispatched", "fetch_failed"]
+        ).withColumn("generation", F.lit(g))
+        metrics.write.mode("overwrite").parquet(self._p("metrics", f"g{g}"))
+
+        stats = {
+            r["status"]: r["n"]
+            for r in self.spark.read.parquet(self._p("frontier", f"g{g}"))
+            .groupBy("status")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        results.unpersist()
+        self._commit_manifest(g, {"frontier_status": stats})
+        self.generation = g
+        return stats
+
+    # ---------------------------------------------------------------- run
+    def run(self, seeds=None, max_generations=None) -> dict:
+        if seeds is not None:
+            self.init(seeds)
+        limit = max_generations or self.cfg.max_generations
+        stats: dict = {}
+        for _ in range(limit):
+            stats = self.step()
+            if stats.get("pending", 0) == 0:
+                break
+        return stats
+
+    # ---------------------------------------------------------------- seen
+    def _seen_filter(self, cand: DataFrame, g: int) -> DataFrame:
+        """Adds ``is_new``. Only allowed, unstatused rows are probed
+        (rejected/disallowed rows never enter the seen set — the
+        reference never fetched them either). ``cand`` must carry
+        ``status`` (nullable) and ``allowed`` columns."""
+        cand = cand.withColumn(
+            "h64", F.xxhash64(F.col("url_canon"))
+        ).withColumn("salt", F.pmod(F.col("h64"), F.lit(self.cfg.partitions)))
+        probe_cond = F.col("allowed") & F.col("status").isNull()
+        probe = cand.filter(probe_cond)
+        skip = cand.filter(~probe_cond).withColumn("is_new", F.lit(False))
+
+        if self.cfg.seen_mode == "exact":
+            return self._seen_filter_exact(probe, skip)
+
+        blob_in = dict(self.seen_blobs)
+        out_dir = self._p("seen", f"g{g}")
+        capacity = self.cfg.cuckoo_capacity
+        # note: StructType.add mutates in place — never call it on a
+        # DataFrame's live .schema object
+        schema = StructType(
+            list(probe.schema.fields) + [StructField("is_new", BooleanType())]
+        )
+
+        def run_probe(key, pdf):
+            salt = int(key[0])
+            # retry-idempotent: load the PREVIOUS generation's blob, write
+            # a fresh versioned blob for this generation
+            f = CuckooFilter.load(blob_in.get(str(salt), ""), capacity)
+            # DFS-first occurrence wins among intra-batch duplicates
+            pdf = pdf.sort_values("path", kind="mergesort").reset_index(drop=True)
+            pdf["is_new"] = f.probe_and_insert(pdf["h64"].to_numpy())
+            f.save(os.path.join(out_dir, f"part-{salt}.bin"))
+            return pdf
+
+        probed = probe.groupBy("salt").applyInPandas(run_probe, schema=schema)
+        touched = [r["salt"] for r in probe.select("salt").distinct().collect()]
+        for s in touched:
+            self.seen_blobs[str(s)] = os.path.join(out_dir, f"part-{s}.bin")
+        return probed.unionByName(skip).drop("h64", "salt")
+
+    def _seen_filter_exact(self, probe: DataFrame, skip: DataFrame) -> DataFrame:
+        """Exact anti-join backstop (test-scale oracle for the cuckoo
+        path; membership equality between both modes is pinned by tests).
+        Collects the per-batch new-URL list to the driver BEFORE
+        appending to the seen table — a lazy re-read after append would
+        flip is_new."""
+        from pyspark.sql import Window
+
+        seen_path = self._p("seen_exact")
+        try:
+            seen = self.spark.read.parquet(seen_path).distinct()
+            new = probe.join(
+                seen, probe["url_canon"] == seen["seen_url"], "left_anti"
+            )
+        except Exception:
+            new = probe
+        new_list = [r["url_canon"] for r in new.select("url_canon").distinct().collect()]
+        if new_list:
+            self.spark.createDataFrame(
+                [(u,) for u in new_list], "seen_url string"
+            ).write.mode("append").parquet(seen_path)
+        w = Window.partitionBy("url_canon").orderBy("path")
+        out = probe.withColumn(
+            "is_new",
+            (F.col("url_canon").isin(new_list) if new_list else F.lit(False))
+            & (F.row_number().over(w) == 1),
+        )
+        return out.unionByName(skip).drop("h64", "salt")
+
+    # ---------------------------------------------------------------- io
+    def _write_frontier(self, df: DataFrame, g: int) -> None:
+        # snapshot partitioned by status so the next generation's
+        # pending-scan prunes fetched/duplicate rows at the source
+        df.write.mode("overwrite").partitionBy("status").parquet(
+            self._p("frontier", f"g{g}")
+        )
+
+    def _commit_manifest(self, g: int, extra: dict) -> None:
+        m = {
+            "generation": g,
+            "frontier": self._p("frontier", f"g{g}"),
+            "seen_blobs": dict(self.seen_blobs),
+            "seen_mode": self.cfg.seen_mode,
+            "ts": time.time(),
+            **extra,
+        }
+        tmp = self._manifest_path(g) + ".tmp"
+        os.makedirs(self.cfg.checkpoint_dir, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._manifest_path(g))  # atomic commit
+
+    def resume(self) -> int:
+        """Load the latest committed manifest; returns its generation."""
+        gens = []
+        for fn in os.listdir(self.cfg.checkpoint_dir):
+            if fn.startswith("manifest-g") and fn.endswith(".json"):
+                gens.append(int(fn[len("manifest-g"):-len(".json")]))
+        if not gens:
+            raise FileNotFoundError("no manifest to resume from")
+        g = max(gens)
+        with open(self._manifest_path(g)) as f:
+            m = json.load(f)
+        self.generation = g
+        self.seen_blobs = m["seen_blobs"]
+        return g
+
+
+def _frontier_cols():
+    return [
+        "url", "url_canon", "host", "depth", "path", "parent_url", "kind",
+        "status", "generation", "crawl_delay",
+    ]

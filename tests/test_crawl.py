@@ -1,0 +1,200 @@
+"""End-to-end crawl over the fixture web (FIXTURES.md §3): visit-order
+parity, URL-seen membership, byte-identical text invariant, robots,
+cuckoo-vs-exact equality, and checkpoint resume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from img_spark.plans.crawl import CrawlConfig, Crawler
+from img_spark.operators.politeness import robots_df
+from img_spark.sources.site_config import rows_from_config
+from img_spark.sources.synthweb import (
+    FIXTURE_CONFIG,
+    FIXTURE_ROBOTS,
+    FIXTURE_SEEDS,
+    fixture_pages_df,
+    fixture_web,
+)
+
+# reference DFS order per host (SURVEY.md §7.5), budget=1
+SITE_A_ORDER = [
+    "https://site-a.test/",
+    "https://site-a.test/a1/1",
+    "https://site-a.test/a1/2",
+    "https://site-a.test/a1/3",
+    "https://site-a.test/a2/1",
+    "https://site-a.test/a2/2",
+    "https://site-a.test/a2/3",
+]
+
+
+def make_crawler(spark, tmpdir, **kw):
+    pages = fixture_pages_df(spark).cache()
+    cfg = CrawlConfig(checkpoint_dir=str(tmpdir), partitions=8, **kw)
+    return Crawler(
+        spark,
+        pages,
+        rows_from_config(FIXTURE_CONFIG),
+        robots_df(spark, FIXTURE_ROBOTS),
+        cfg,
+    )
+
+
+def fetched_in_order(spark, ckpt, gmax):
+    rows = []
+    for g in range(1, gmax + 1):
+        df = spark.read.parquet(f"{ckpt}/extracted/g{g}")
+        rows.extend(
+            (g, r["page_url"]) for r in df.select("page_url").distinct().collect()
+        )
+    return rows
+
+
+@pytest.fixture(scope="module")
+def crawl(spark, tmp_path_factory):
+    ckpt = tmp_path_factory.mktemp("ckpt_cuckoo")
+    c = make_crawler(spark, ckpt)
+    c.run(seeds=FIXTURE_SEEDS)
+    return c
+
+
+def test_terminates_and_visits_expected_set(spark, crawl):
+    frontier = spark.read.parquet(
+        f"{crawl.cfg.checkpoint_dir}/frontier/g{crawl.generation}"
+    )
+    fetched = {
+        r["url"]
+        for r in frontier.filter(F.col("status") == "fetched").collect()
+    }
+    expect = set(SITE_A_ORDER) | {
+        "https://site-b.test/gallery",
+        "https://site-c.test/g/1",
+        "https://site-c.test/g/2",
+        "https://site-c.test/g/3",
+        "https://site-d.test/idx",
+    }
+    assert fetched == expect
+    # robots-disallowed URL never fetched, recorded as disallowed
+    dis = {
+        r["url"]
+        for r in frontier.filter(F.col("status") == "disallowed").collect()
+    }
+    assert dis == {"https://site-a.test/private/x/1"}
+
+
+def test_visit_order_parity(spark, crawl):
+    """Per-host fetch sequence equals the reference's DFS order."""
+    seq = fetched_in_order(spark, crawl.cfg.checkpoint_dir, crawl.generation)
+    site_a = [u for _, u in sorted(seq) if u.startswith("https://site-a")]
+    assert site_a == SITE_A_ORDER
+    site_c = [u for _, u in sorted(seq) if u.startswith("https://site-c")]
+    assert site_c == [f"https://site-c.test/g/{p}" for p in (1, 2, 3)]
+
+
+def test_text_invariant_byte_identical(spark, crawl):
+    """input_hint invariant: extracted text == pages.text, byte for byte."""
+    pages = fixture_pages_df(spark)
+    ckpt = crawl.cfg.checkpoint_dir
+    for g in range(1, crawl.generation + 1):
+        ext = (
+            spark.read.parquet(f"{ckpt}/extracted/g{g}")
+            .filter(F.col("status") != "fetch_failed")
+            .select("page_url", "extracted_text")
+            .distinct()
+        )
+        j = ext.join(pages, ext["page_url"] == pages["url"]).select(
+            "page_url", "extracted_text", "text"
+        )
+        bad = j.filter(F.col("extracted_text") != F.col("text")).collect()
+        assert not bad, bad
+
+
+def test_discovered_image_sets(spark, crawl):
+    ckpt = crawl.cfg.checkpoint_dir
+    by_page = {}
+    for g in range(1, crawl.generation + 1):
+        for r in spark.read.parquet(f"{ckpt}/extracted/g{g}").collect():
+            if r["img_url"] is not None:
+                by_page.setdefault(r["page_url"], set()).add(r["img_url"])
+    assert by_page["https://site-b.test/gallery"] == {
+        "https://site-b.test/imgs/1.jpg",
+        "https://site-b.test/imgs/lazy.jpg",
+        "https://cdn-b.test/deep.png",
+        "https://site-b.test/css/hero.jpg",
+    }
+    assert by_page["https://site-c.test/g/1"] == {
+        "https://cdn-c.test/g1/a.jpg",
+        "https://cdn-c.test/g1/b.jpg",
+    }
+    assert by_page["https://site-d.test/idx"] == {
+        "https://site-d.test/full/1.jpg | Pretty.jpg",
+        "https://site-d.test/full/2.jpg",
+    }
+    assert by_page["https://site-a.test/a1/1"] == {
+        "https://site-a.test/static/a1/p1/i1.jpg",
+        "https://site-a.test/static/a1/p1/i2.jpg",
+        "https://cdn-a.test/a1/p1/big.jpg",
+    }
+    # index pages discover albums, not images
+    assert "https://site-a.test/" not in by_page
+
+
+def test_counters(spark, crawl):
+    ckpt = crawl.cfg.checkpoint_dir
+    m = None
+    for g in range(1, crawl.generation + 1):
+        df = spark.read.parquet(f"{ckpt}/metrics/g{g}")
+        m = df if m is None else m.unionByName(df)
+    agg = {
+        r["host"]: r
+        for r in m.groupBy("host")
+        .agg(
+            F.sum("dispatched").alias("d"),
+            F.sum("empty_dup").alias("dup"),
+            F.sum("embed").alias("emb"),
+        )
+        .collect()
+    }
+    assert agg["site-b.test"]["emb"] == 1
+    # each site-a gallery page has 1 duplicate img (4th img repeats i1)
+    assert agg["site-a.test"]["dup"] == 6
+    assert agg["site-a.test"]["d"] == 7
+
+
+def test_exact_mode_membership_equality(spark, crawl, tmp_path_factory):
+    """Cuckoo path and exact anti-join backstop agree on the URL-seen
+    membership and the visit order (SURVEY.md §2.4 D6)."""
+    ckpt2 = tmp_path_factory.mktemp("ckpt_exact")
+    c2 = make_crawler(spark, ckpt2, seen_mode="exact")
+    c2.run(seeds=FIXTURE_SEEDS)
+    assert c2.generation == crawl.generation
+    for g in (crawl.generation,):
+        f1 = spark.read.parquet(
+            f"{crawl.cfg.checkpoint_dir}/frontier/g{crawl.generation}"
+        )
+        f2 = spark.read.parquet(f"{ckpt2}/frontier/g{c2.generation}")
+        s1 = {(r["url"], r["status"]) for r in f1.collect()}
+        s2 = {(r["url"], r["status"]) for r in f2.collect()}
+        assert s1 == s2
+
+
+def test_resume_from_checkpoint(spark, crawl, tmp_path_factory):
+    """Kill after generation 2, resume, final state identical."""
+    ckpt3 = tmp_path_factory.mktemp("ckpt_resume")
+    c3 = make_crawler(spark, ckpt3)
+    c3.init(FIXTURE_SEEDS)
+    c3.step()
+    c3.step()
+    # fresh crawler object = process restart
+    c4 = make_crawler(spark, ckpt3)
+    g = c4.resume()
+    assert g == 2
+    c4.run()
+    assert c4.generation == crawl.generation
+    f1 = spark.read.parquet(
+        f"{crawl.cfg.checkpoint_dir}/frontier/g{crawl.generation}"
+    )
+    f4 = spark.read.parquet(f"{ckpt3}/frontier/g{c4.generation}")
+    assert {(r["url"], r["status"]) for r in f1.collect()} == {
+        (r["url"], r["status"]) for r in f4.collect()
+    }
