@@ -1,0 +1,265 @@
+"""Deduplication operators for web-text training pipelines: exact,
+n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale shapes:
+- exact: one hash-groupBy (map-side combinable) — the cheapest pass.
+- n-gram Jaccard: exact pairwise via gram-explode + self-join; used as
+  the VERIFY stage after LSH candidate generation (never run raw at
+  10^10 scale — the LSH bucket join bounds the candidate set).
+- MinHash+LSH: signatures are pure column expressions over the distinct
+  gram-hash array (shingle → minhash → band → bucket-join); only bucket
+  collisions shuffle.
+- SimHash: 32-bit signature in one expression; near-dups via banded
+  chunk equality (hamming ≤ 32-bits/band_count guarantee).
+- embedding cosine: see similarity.py.
+
+Hashes are md5-derived (h32) so DuckDB oracles can reproduce signatures
+bit-for-bit; xxhash64 would be Spark-only.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .textquality import fingerprint, h32, tokens
+
+# MinHash parameters — shared verbatim with SQL oracles.
+MINHASH_P = 4_294_967_311  # prime > 2^32
+MINHASH_K = 32
+LSH_BANDS = 8  # 8 bands × 4 rows
+
+
+def _perm_params(k: int = MINHASH_K):
+    """Deterministic (a, b) pairs derived from md5 — no RNG state."""
+    out = []
+    for i in range(k):
+        a = int(hashlib.md5(f"minhash-a-{i}".encode()).hexdigest()[:8], 16) | 1
+        b = int(hashlib.md5(f"minhash-b-{i}".encode()).hexdigest()[:8], 16)
+        out.append((a % 100_000 + 1, b % MINHASH_P))
+    return out
+
+
+PERMS = _perm_params()
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram strings; short docs collapse to one gram."""
+    toks = tokens(text)
+    grams = F.when(
+        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    return F.array_distinct(grams)
+
+
+def gram_hashes(text: Column, n: int = 3) -> Column:
+    return F.transform(word_ngrams(text, n), h32)
+
+
+# ---------------------------------------------------------------- exact
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint: every doc gets its
+    group representative (min id) and an is_dup flag."""
+    w = Window.partitionBy("fp")
+    return df.select(
+        F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp")
+    ).select(
+        "doc_id",
+        "fp",
+        F.min("doc_id").over(w).alias("rep_id"),
+    ).withColumn("is_dup", F.col("doc_id") != F.col("rep_id"))
+
+
+# ---------------------------------------------------------------- jaccard
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (doc_a < doc_b).
+
+    The gram-explode self-join is quadratic in bucket size — at scale
+    this runs ONLY over LSH candidates (minhash_lsh_candidates), here
+    also standalone as the small-scale oracle-checkable operator.
+    """
+    g = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(gram_hashes(F.col(text_col), n)).alias("gram"),
+    )
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    a = g.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = g.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- minhash
+def minhash_signature(text: Column, k: int = MINHASH_K) -> Column:
+    """Array of k minhash values over the distinct gram-hash set, as one
+    column expression: sig_i = min over grams of (a_i*h + b_i) mod P."""
+    hs = gram_hashes(text)
+    sigs = [
+        F.array_min(
+            F.transform(hs, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P))
+        )
+        for a, b in PERMS[:k]
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = LSH_BANDS,
+    k: int = MINHASH_K,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+    shingle → minhash → band → bucket-join; only bucket keys shuffle."""
+    r = k // bands
+    sig = df.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature(F.col(text_col), k).alias("sig"),
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(",", *[
+                            F.col("sig")[b * r + j].cast("string")
+                            for j in range(r)
+                        ])
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bucket")
+    x = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    y = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    return (
+        x.join(y, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact-Jaccard verify."""
+    cand = minhash_lsh_candidates(df, id_col, text_col)
+    exact = jaccard_pairs(df, threshold=0.0, id_col=id_col, text_col=text_col)
+    return (
+        cand.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- simhash
+def simhash32(text: Column) -> Column:
+    """32-bit SimHash over word h32 hashes, as one expression: per-bit
+    weight = Σ(bit? +1 : -1); signature bit j set iff weight > 0."""
+    toks = F.array_distinct(tokens(text))
+    hs = F.transform(toks, h32)
+    # bit positions unrolled as literals (shiftright needs an int shift)
+    acc = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("long"), 32),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for j in range(32)
+            ]),
+            lambda x, y: x + y,
+        ),
+    )
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(32)])
+    return F.aggregate(
+        F.zip_with(
+            acc,
+            powers,
+            lambda w, p: F.when(w > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidates: equal 8-bit SimHash chunk in any of 4 bands
+    (guarantees recall for hamming distance < bands), then exact hamming."""
+    sig = df.select(
+        F.col(id_col).alias("doc_id"), simhash32(F.col(text_col)).alias("sh")
+    )
+    width = 32 // bands
+    banded = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("sh"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("chunk"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bc"),
+    ).select("doc_id", "sh", "bc.band", "bc.chunk")
+    x = banded.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"),
+                      "band", "chunk")
+    y = banded.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"),
+                      "band", "chunk")
+    pairs = (
+        x.join(y, ["band", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sha", "shb")
+        .distinct()
+    )
+    return pairs.withColumn(
+        "hamming", F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    )

@@ -1,0 +1,162 @@
+"""Similarity search over an embedding column (array<float>).
+
+- cosine_topk: brute-force baseline — broadcast the (small) query set,
+  one pass over the corpus, per-query window top-k. Exact; portable to a
+  DuckDB oracle.
+- lsh_topk: the scale path — random-hyperplane (SimHash-for-vectors)
+  bucketing; only same-bucket pairs are scored. Hyperplanes are
+  md5-derived literals, so results are deterministic and reproducible.
+
+All vector math is JVM-side (zip_with / aggregate) — no Python UDF.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbours per query (excluding self-matches by id).
+    Ties break on ascending corpus id — deterministic."""
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id")).select(
+        "query_id",
+        "corpus_id",
+        F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------- LSH
+def _planes(n_planes: int, dim: int):
+    """Deterministic pseudo-random hyperplanes in [-1, 1]."""
+    out = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"plane-{p}-{i}".encode()).hexdigest()[:8], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        out.append(row)
+    return out
+
+
+def lsh_bucket(vec: Column, planes: list) -> Column:
+    """Sign-bit bucket id: bit p = (vec · plane_p) > 0."""
+    bits = [
+        F.when(
+            dot(vec, F.array(*[F.lit(v) for v in plane])) > 0,
+            F.shiftleft(F.lit(1).cast("long"), p),
+        ).otherwise(F.lit(0).cast("long"))
+        for p, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only same-bucket corpus rows. At 10^10
+    scale the bucket column is the shuffle key (2^n_planes buckets);
+    the corpus side can be pre-bucketed and reused across query batches."""
+    planes = _planes(n_planes, dim)
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+    scored = c.join(F.broadcast(q), "bucket").filter(
+        F.col("corpus_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "corpus_id",
+        F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "sim", "rank")
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing."""
+    planes = _planes(n_planes, dim)
+    e = embeddings.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    a = e.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = e.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,99 @@
+"""Text-analysis operators for a training-data pipeline over the
+``documents`` table: language ID, quality signals, token counting,
+fingerprinting.
+
+All of these are pure column expressions (whole-stage codegen, no Python
+in the hot path) and are deliberately formulated so a DuckDB oracle can
+reproduce them term-for-term (__spark_entry__.py pairs each with SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Small fixed stopword lists (shared verbatim with the SQL oracles).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht", "mit", "den"],
+    "fr": ["le", "la", "les", "et", "des", "un", "une", "est", "pas"],
+    "es": ["el", "la", "los", "y", "de", "que", "un", "una", "es", "no"],
+}
+
+CJK_RE = "[\\u4e00-\\u9fff]"
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), "\\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (BPE-ish subword estimate is
+    ``ceil(chars/4)``; see ``token_estimate``)."""
+    return F.size(tokens(text))
+
+
+def token_estimate_bpe(text: Column) -> Column:
+    """Cheap BPE-budget estimate: ~4 chars per subword token."""
+    return F.ceil(F.length(F.trim(text)) / F.lit(4.0)).cast("long")
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*words)))
+
+
+def lang_id(text: Column) -> Column:
+    """n-gram-free heuristic language ID: CJK codepoints → zh, else the
+    stopword-hit argmax with the deterministic tie order en>de>fr>es."""
+    en, de, fr, es = (stopword_hits(text, l) for l in ("en", "de", "fr", "es"))
+    return (
+        F.when(text.rlike(CJK_RE), F.lit("zh"))
+        .when((en >= de) & (en >= fr) & (en >= es), F.lit("en"))
+        .when((de >= fr) & (de >= es), F.lit("de"))
+        .when(fr >= es, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+
+
+def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style quality gates as portable integer/boolean signals
+    (ints and bools hash robustly in the cross-engine value check;
+    ratios are rounded to 6 dp)."""
+    t = F.col(text_col)
+    n_tokens = token_count(t)
+    n_chars = F.length(t)
+    no_ws = F.length(F.regexp_replace(t, "\\s+", ""))
+    punct = F.length(t) - F.length(F.regexp_replace(t, "[.,!?;:]", ""))
+    stop = stopword_hits(t, "en")
+    mean_wl = F.round(no_ws / n_tokens, 6)
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        mean_wl.alias("mean_word_len"),
+        punct.alias("punct_chars"),
+        F.round(punct / n_chars, 6).alias("punct_ratio"),
+        stop.alias("stopword_hits"),
+        (
+            (n_tokens >= 10)
+            & (n_tokens <= 100000)
+            & (mean_wl >= 2.0)
+            & (mean_wl <= 12.0)
+        ).alias("keep"),
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (md5 is byte-stable across engines, unlike xxhash64)."""
+    return F.md5(normalize_text(text))
+
+
+def h32(s: Column) -> Column:
+    """Portable 32-bit hash: first 8 hex digits of md5, as bigint.
+    DuckDB twin: ``('0x' || substr(md5(x),1,8))::bigint``."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")

@@ -1,0 +1,220 @@
+"""Training-data pipeline operators vs independent pure-Python oracles,
+over the driver-provided sf0.001 documents/embeddings tables."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from img_spark.operators import dedup, similarity
+from img_spark.operators.multimodal import (
+    decode_media,
+    extract_features,
+    sample_frames,
+    synth_media_df,
+)
+from img_spark.operators.textquality import (
+    STOPWORDS,
+    fingerprint,
+    h32,
+    lang_id,
+    quality_signals,
+    token_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def local_docs(docs):
+    return [(r["doc_id"], r["text"]) for r in docs.collect()]
+
+
+def py_h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def py_grams(text: str, n=3):
+    toks = text.strip().lower().split()
+    if len(toks) < n:
+        return {py_h32(" ".join(toks))}
+    return {py_h32(" ".join(toks[i:i + n])) for i in range(len(toks) - n + 1)}
+
+
+def test_h32_portable(spark):
+    got = spark.range(1).select(h32(F.lit("abc")).alias("h")).first()["h"]
+    import duckdb
+
+    want = duckdb.sql("select ('0x'||substr(md5('abc'),1,8))::bigint").fetchone()[0]
+    assert got == want == py_h32("abc")
+
+
+def test_token_count(docs, local_docs):
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()
+    }
+    import re
+
+    for did, text in local_docs:
+        assert got[did] == len(re.split(r"\s+", text.strip().lower()))
+
+
+def test_exact_dedup(docs, local_docs):
+    import re
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.strip().lower())
+
+    fp2ids = {}
+    for did, text in local_docs:
+        fp2ids.setdefault(norm(text), []).append(did)
+    expected_dups = {
+        did
+        for ids in fp2ids.values()
+        for did in ids
+        if len(ids) > 1 and did != min(ids)
+    }
+    got = {
+        r["doc_id"]
+        for r in dedup.exact_dedup(docs).filter(F.col("is_dup")).collect()
+    }
+    assert got == expected_dups
+
+
+def test_jaccard_pairs_exact_oracle(docs, local_docs):
+    grams = {did: py_grams(t) for did, t in local_docs}
+    expect = {}
+    ids = sorted(grams)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(grams[a] & grams[b])
+            if not inter:
+                continue
+            j = inter / (len(grams[a]) + len(grams[b]) - inter)
+            if j >= 0.5:
+                expect[(a, b)] = round(j, 6)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert got == expect
+
+
+def test_minhash_lsh_recall(docs, local_docs):
+    """LSH candidates must cover all true near-dups at 0.8 similarity
+    (8 bands × 4 rows → ~99.9% recall at j=0.8), and the verified
+    pipeline must return exactly the true pairs above threshold."""
+    grams = {did: py_grams(t) for did, t in local_docs}
+    ids = sorted(grams)
+    true_pairs = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(grams[a] & grams[b])
+            union = len(grams[a]) + len(grams[b]) - inter
+            if union and inter / union >= 0.8:
+                true_pairs.add((a, b))
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_candidates(docs).collect()
+    }
+    assert true_pairs <= cand
+    verified = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_dedup(docs, threshold=0.8).collect()
+    }
+    assert verified == true_pairs
+
+
+def test_simhash_python_parity(docs, local_docs):
+    def py_simhash(text):
+        toks = sorted(set(text.strip().lower().split()), key=text.strip().lower().split().index) if False else list(dict.fromkeys(text.strip().lower().split()))
+        acc = [0] * 32
+        for w in toks:
+            h = py_h32(w)
+            for j in range(32):
+                acc[j] += 1 if (h >> j) & 1 else -1
+        return sum(1 << j for j in range(32) if acc[j] > 0)
+
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select(
+            "doc_id", dedup.simhash32(F.col("text")).alias("sh")
+        ).collect()
+    }
+    for did, text in local_docs[:50]:
+        assert got[did] == py_simhash(text), did
+
+
+def test_lang_id(docs):
+    """The synthetic docs carry a lang column; the heuristic should get
+    the CJK rows right and be deterministic everywhere."""
+    out = docs.select("doc_id", "lang", lang_id(F.col("text")).alias("pred"))
+    # deterministic: same result on re-run
+    a = {r["doc_id"]: r["pred"] for r in out.collect()}
+    b = {r["doc_id"]: r["pred"] for r in out.collect()}
+    assert a == b
+
+
+def test_quality_signals(docs, local_docs):
+    got = {r["doc_id"]: r for r in quality_signals(docs).collect()}
+    for did, text in local_docs[:30]:
+        toks = text.strip().lower().split()
+        assert got[did]["n_tokens"] == len(toks)
+        assert got[did]["n_chars"] == len(text)
+        punct = sum(text.count(c) for c in ".,!?;:")
+        assert got[did]["punct_chars"] == punct
+
+
+def test_cosine_topk_vs_numpy(spark):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = similarity.cosine_topk(emb, queries, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["corpus_id"], r["sim"]))
+    for q in range(5):
+        sims = []
+        for cid, v in vecs.items():
+            if cid == q:
+                continue
+            s = float(vecs[q] @ v / (np.linalg.norm(vecs[q]) * np.linalg.norm(v)))
+            sims.append((round(s, 6), -cid))
+        sims.sort(reverse=True)
+        want = [(-c, s) for s, c in sims[:3]]
+        have = [(c, s) for _, c, s in sorted(by_q[q])]
+        assert have == want, q
+
+
+def test_lsh_topk_shape(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = similarity.lsh_topk(emb, queries, k=3).collect()
+    assert all(r["rank"] <= 3 for r in out)
+    assert {r["query_id"] for r in out} <= {0, 1, 2}
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media_df(spark, 32).cache()
+    dec = decode_media(media).collect()
+    assert len(dec) == 32 and all(r["decode_ok"] for r in dec)
+    assert all(r["n_frames"] >= 1 for r in dec)
+    feats = extract_features(media).collect()
+    assert len(feats) == 32 and all(len(r["features"]) == 16 for r in feats)
+    # determinism across runs
+    feats2 = extract_features(media).collect()
+    assert {r["media_id"]: list(r["features"]) for r in feats} == {
+        r["media_id"]: list(r["features"]) for r in feats2
+    }
+    frames = sample_frames(media).collect()
+    assert frames and all(r["ts_ms"] % 1000 == 0 for r in frames)
