@@ -1,0 +1,226 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (what the driver runs per round): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "urls_per_sec": ...}
+
+--scaling mode: runs the SAME fetch+parse job at local[8] and local[32]
+on identical input and writes throughput + scaling efficiency to
+BENCH/BASELINE.md (the sandbox substitute for the N→4N-executor
+criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# parse-throughput corpus (deterministic; ~19k pages, ~15 imgs/page)
+GEN_PARAMS = dict(hosts=64, albums=24, pages_per_album=12, skew=4,
+                  imgs_base=12, imgs_var=7, text_repeat=6)
+
+
+def _session(cpus: int):
+    from img_spark.plans.session import get_spark
+
+    return get_spark(
+        app=f"img-spark-bench-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+
+
+def _force(df):
+    """Force full computation of every column."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.count("*").alias("n"),
+        # bit_xor: overflow-free checksum (ANSI mode rejects sum overflow)
+        F.expr("bit_xor(xxhash64(struct(*)))").alias("chk"),
+    ).collect()[0]["n"]
+
+
+def _ensure_corpus(spark) -> str:
+    """Materialize the parse corpus once (generation excluded from the
+    measured fetch+parse phase)."""
+    from img_spark.sources.synthweb import bench_pages_df, bench_layout
+
+    total, _ = bench_layout(
+        GEN_PARAMS["hosts"], GEN_PARAMS["albums"],
+        GEN_PARAMS["pages_per_album"], GEN_PARAMS["skew"],
+    )
+    path = os.path.join(tempfile.gettempdir(), f"imgspark_bench_corpus_{total}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        bench_pages_df(spark, **GEN_PARAMS).write.mode("overwrite").parquet(path)
+    return path
+
+
+def parse_throughput(spark, corpus_path: str):
+    """The headline metric: URLs fetched+parsed per second — pages scan →
+    site-config attach → Arrow extraction UDF → counters."""
+    from pyspark.sql import functions as F
+
+    from img_spark.operators.extract_udf import extract_pages
+    from img_spark.sources.site_config import rows_from_config
+    from img_spark.sources.synthweb import bench_config
+    from img_spark.sources.site_config import attach_site_config
+    from img_spark.operators.urlexprs import host_of
+
+    pages = spark.read.parquet(corpus_path)
+    cfg = rows_from_config(bench_config(GEN_PARAMS["hosts"]))
+    t0 = time.time()
+    df = pages.withColumn("host", host_of(F.col("url")))
+    df = attach_site_config(df, cfg)
+    out = extract_pages(df)
+    agg = out.select(
+        F.count("*").alias("pages"),
+        F.sum(F.size("imgs")).alias("imgs"),
+        F.sum("empty_dup").alias("dups"),
+    ).collect()[0]
+    dt = time.time() - t0
+    return agg["pages"], agg["imgs"], dt
+
+
+def crawl_generations(spark, n_hosts=16, albums=8, ppa=6):
+    """Multi-generation frontier loop timing (politeness + seen-set +
+    checkpointing included)."""
+    from img_spark.plans.crawl import CrawlConfig, Crawler
+    from img_spark.operators.politeness import robots_df
+    from img_spark.sources.site_config import rows_from_config
+    from img_spark.sources.synthweb import (
+        bench_config, bench_pages_df, bench_seeds,
+    )
+
+    pages = bench_pages_df(
+        spark, hosts=n_hosts, albums=albums, pages_per_album=ppa, skew=2
+    ).cache()
+    pages.count()
+    ckpt = tempfile.mkdtemp(prefix="imgspark_benchcrawl_")
+    c = Crawler(
+        spark,
+        pages,
+        rows_from_config(bench_config(n_hosts)),
+        robots_df(spark, [(f"site{h}.bench", "/", True, 0.0)
+                          for h in range(n_hosts)]),
+        CrawlConfig(checkpoint_dir=ckpt, partitions=CPUS, host_budget=1000),
+    )
+    t0 = time.time()
+    c.run(seeds=bench_seeds(n_hosts), max_generations=ppa + 3)
+    dt = time.time() - t0
+    frontier = spark.read.parquet(f"{ckpt}/frontier/g{c.generation}")
+    from pyspark.sql import functions as F
+
+    fetched = frontier.filter(F.col("status") == "fetched").count()
+    pages.unpersist()
+    return fetched, c.generation, dt
+
+
+def dataops_queries(spark):
+    from img_spark.plans import queries as Q
+
+    names = [
+        "extract_images", "token_count", "lang_id", "quality_signals",
+        "doc_fingerprint", "dedup_exact", "dedup_jaccard_pairs",
+        "dedup_minhash_lsh", "simhash", "simhash_near_dups",
+        "ann_cosine_topk", "ann_lsh_topk", "embedding_near_dups",
+    ]
+    all_q = Q.all_queries()
+    times = {}
+    for name in names:
+        t0 = time.time()
+        _force(all_q[name](spark, SF_DIR))
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def main():
+    scaling = "--scaling" in sys.argv
+    if scaling:
+        run_scaling()
+        return
+    spark = _session(CPUS)
+    corpus = _ensure_corpus(spark)
+    queries = {}
+
+    t_all = time.time()
+    pages_n, imgs_n, dt = parse_throughput(spark, corpus)
+    queries["fetch_parse"] = round(dt, 3)
+    urls_per_sec = round(pages_n / dt, 1)
+
+    fetched, gens, dt_crawl = crawl_generations(spark)
+    queries["crawl_loop"] = round(dt_crawl, 3)
+
+    queries.update(dataops_queries(spark))
+    total = round(time.time() - t_all, 3)
+
+    print(json.dumps({
+        "metric": "urls_fetched_parsed_per_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "urls_per_sec": urls_per_sec,
+        "parsed_pages": int(pages_n),
+        "extracted_imgs": int(imgs_n),
+        "crawl": {"fetched": int(fetched), "generations": int(gens),
+                  "pages_per_sec": round(fetched / dt_crawl, 1)},
+    }))
+
+
+def run_scaling():
+    """Two-parallelism evidence for the N→4N scaling criterion."""
+    results = {}
+    for cpus in (8, 32):
+        spark = _session(cpus)
+        corpus = _ensure_corpus(spark)
+        # warm-up pass (JIT, page cache), then measured pass
+        parse_throughput(spark, corpus)
+        pages_n, imgs_n, dt = parse_throughput(spark, corpus)
+        results[cpus] = {"pages": int(pages_n), "sec": round(dt, 2),
+                         "urls_per_sec": round(pages_n / dt, 1)}
+        spark.stop()
+    eff = round(
+        (results[32]["urls_per_sec"] / results[8]["urls_per_sec"]) / 4.0, 3
+    )
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH/BASELINE — scaling evidence (sandbox protocol, BASELINE.md)
+
+Same job (pages scan → site-config attach → Arrow extraction UDF →
+counters) on the SAME input ({results[8]['pages']} synthesized pages,
+deterministic seed) at two parallelism levels:
+
+| level | wall sec | urls/sec |
+|---|---|---|
+| local[8]  (N)  | {results[8]['sec']} | {results[8]['urls_per_sec']} |
+| local[32] (4N) | {results[32]['sec']} | {results[32]['urls_per_sec']} |
+
+**Scaling efficiency = (urls/sec@32 ÷ urls/sec@8) ÷ 4 = {eff}**
+(pass criterion ≥ 0.8)
+
+Input is host-salted at generation time (host 0 carries a bounded skewed
+share; AQE skew-join enabled as defense in depth). The extraction UDF
+dominates wall time, so the measurement reflects parallel compute, not
+scheduler overhead.
+""")
+    print(json.dumps({"metric": "scaling_efficiency", "value": eff,
+                      "unit": "ratio", "levels": results}))
+
+
+if __name__ == "__main__":
+    main()

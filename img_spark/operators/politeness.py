@@ -25,12 +25,18 @@ def robots_df(spark, rows) -> DataFrame:
     return spark.createDataFrame(rows, ROBOTS_DDL)
 
 
-def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+def apply_robots(
+    candidates: DataFrame,
+    robots: DataFrame,
+    key_cols: tuple = ("url",),
+) -> DataFrame:
     """Adds ``allowed`` (boolean, default True when no rule matches) and
     ``crawl_delay`` columns. Longest matching path_prefix wins.
 
-    ``candidates`` must carry ``url`` (unique within the batch) and
-    ``host``; the url path is derived JVM-side.
+    ``candidates`` must carry ``host`` and ``url``; ``key_cols`` must
+    uniquely identify a candidate ROW (pass e.g. ("url", "path") when
+    the same url can be discovered by several parents — otherwise the
+    first-match window would nondeterministically collapse them).
     """
     pos = F.instr(F.col("url"), "://")
     rest = F.when(pos > 0, F.substring(F.col("url"), pos + 3, F.lit(1 << 30))).otherwise(
@@ -46,7 +52,7 @@ def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
         F.col("path_prefix").isNotNull()
         & F.col("__path").startswith(F.col("path_prefix")),
     )
-    w = Window.partitionBy("url").orderBy(
+    w = Window.partitionBy(*key_cols).orderBy(
         F.when(F.col("__match"), F.length("path_prefix")).otherwise(-1).desc()
     )
     return (

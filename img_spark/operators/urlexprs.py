@@ -70,4 +70,10 @@ def filename_expr(url: Column) -> Column:
     ).otherwise(name1)
     no_query = F.substring_index(name2, "?", 1)
     has_ext = no_query.contains(".")
-    return F.when(has_slash & has_ext, no_query)
+    # extension-less two-level pairs name the file from the right part
+    # of the FIRST " | " (main.rs:601-609)
+    sep = F.instr(url, " | ")
+    right = F.substring(url, sep + 3, F.lit(1 << 30))
+    return F.when(has_slash & has_ext, no_query).when(
+        has_slash & (sep > 0), right
+    )

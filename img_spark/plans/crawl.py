@@ -116,7 +116,8 @@ class Crawler:
         ).withColumn("crawl_delay", F.lit(0.0)).withColumn(
             "allowed", F.lit(False)
         )
-        ok = apply_robots(cand.filter(F.col("host").isNotNull()), self.robots)
+        ok = apply_robots(cand.filter(F.col("host").isNotNull()), self.robots,
+                          key_cols=("url", "path"))
         new = self._seen_filter(ok.unionByName(bad, allowMissingColumns=True), 0)
         frontier = new.withColumn(
             "status",
@@ -180,6 +181,13 @@ class Crawler:
         )
         extracted.write.mode("overwrite").parquet(self._p("extracted", f"g{g}"))
 
+        # ---- downloads sink delta (S4: dir/filename/referer/enc_url)
+        from img_spark.operators.sink import downloads_table
+
+        downloads_table(
+            self.spark.read.parquet(self._p("extracted", f"g{g}"))
+        ).write.mode("overwrite").parquet(self._p("downloads", f"g{g}"))
+
         # ---- discovered candidates: albums (doc order) then next
         albums = results.select(
             F.col("url").alias("parent_url"),
@@ -214,7 +222,8 @@ class Crawler:
         ).withColumn("crawl_delay", F.lit(0.0)).withColumn(
             "allowed", F.lit(False)
         )
-        ok = apply_robots(cand.filter(F.col("host").isNotNull()), self.robots)
+        ok = apply_robots(cand.filter(F.col("host").isNotNull()), self.robots,
+                          key_cols=("url", "path"))
         checked = self._seen_filter(
             ok.unionByName(bad, allowMissingColumns=True), g
         )

@@ -39,7 +39,9 @@ def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/orders.parquet")
 
 
-DID = F.col("doc_id").cast("string")
+def _did():
+    # lazy: building a Column requires an active SparkContext
+    return F.col("doc_id").cast("string")
 
 
 # =====================================================================
@@ -51,14 +53,14 @@ def q_host_extract(spark, sf_dir):
     mod7 = (F.col("doc_id") % 7).cast("string")
     url = (
         F.when(F.col("doc_id") % 5 == 0,
-               F.concat(F.lit("https://site"), mod7, F.lit(".test/gal/"), DID))
+               F.concat(F.lit("https://site"), mod7, F.lit(".test/gal/"), _did()))
         .when(F.col("doc_id") % 5 == 1,
               F.concat(F.lit("http://site"), mod7, F.lit(".test")))
         .when(F.col("doc_id") % 5 == 2,
               F.concat(F.lit("site"), mod7, F.lit(".test/x")))
         .when(F.col("doc_id") % 5 == 3,
               F.concat(F.lit("ftp://site"), mod7, F.lit(".test/x")))
-        .otherwise(F.concat(F.lit("https://nodot"), DID, F.lit("/x")))
+        .otherwise(F.concat(F.lit("https://nodot"), _did(), F.lit("/x")))
     )
     return _docs(spark, sf_dir).select(
         "doc_id", url.alias("url"), host_of(url).alias("host")
@@ -137,15 +139,17 @@ def q_filename(spark, sf_dir):
     """F10 sink filename derivation (main.rs:583-614)."""
     url = (
         F.when(F.col("doc_id") % 6 == 0,
-               F.concat(F.lit("https://h.test/p/img"), DID, F.lit(".jpg")))
+               F.concat(F.lit("https://h.test/p/img"), _did(), F.lit(".jpg")))
         .when(F.col("doc_id") % 6 == 1,
-              F.concat(F.lit("https://h.test/a/-_-pic"), DID, F.lit(".png?x=1")))
+              F.concat(F.lit("https://h.test/a/-_-pic"), _did(), F.lit(".png?x=1")))
         .when(F.col("doc_id") % 6 == 2,
-              F.concat(F.lit("https://h.test/b/r?url=deep/d"), DID, F.lit(".webp")))
+              F.concat(F.lit("https://h.test/b/r?url=deep/d"), _did(), F.lit(".webp")))
         .when(F.col("doc_id") % 6 == 3, F.lit("https://h.test/c/noext"))
         .when(F.col("doc_id") % 6 == 4,
-              F.concat(F.lit("https://h.test/d/q"), DID, F.lit(".jpeg?a=1&b=2")))
-        .otherwise(F.lit("no-slash-url"))
+              F.concat(F.lit("https://h.test/d/q"), _did(), F.lit(".jpeg?a=1&b=2")))
+        .otherwise(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("no-slash-url"))
+            .otherwise(F.lit("https://h.test/e/noext2 | pretty.png")))
     )
     return _docs(spark, sf_dir).select(
         "doc_id", url.alias("url"), filename_expr(url).alias("filename")
@@ -161,20 +165,28 @@ WITH u AS (
       WHEN 2 THEN 'https://h.test/b/r?url=deep/d' || doc_id::varchar || '.webp'
       WHEN 3 THEN 'https://h.test/c/noext'
       WHEN 4 THEN 'https://h.test/d/q' || doc_id::varchar || '.jpeg?a=1&b=2'
-      ELSE 'no-slash-url' END AS url
+      ELSE (CASE WHEN doc_id % 2 = 0 THEN 'no-slash-url'
+                 ELSE 'https://h.test/e/noext2 | pretty.png' END) END AS url
   FROM documents),
-n AS (
+u2 AS (
   SELECT doc_id, url,
-    strpos(url,'/')>0 AS has_slash,
-    regexp_replace(regexp_extract(url,'[^/]*$'), '^[-_]+','') AS name1
+    CASE WHEN strpos(url,' | ')>0 THEN substr(url,1,strpos(url,' | ')-1) ELSE url END AS dl,
+    CASE WHEN strpos(url,' | ')>0 THEN substr(url,strpos(url,' | ')+3) ELSE NULL END AS titlepart
   FROM u),
+n AS (
+  SELECT doc_id, url, titlepart,
+    strpos(dl,'/')>0 AS has_slash,
+    regexp_replace(regexp_extract(dl,'[^/]*$'), '^[-_]+','') AS name1
+  FROM u2),
 n2 AS (
-  SELECT doc_id, url, has_slash,
+  SELECT doc_id, url, titlepart, has_slash,
     CASE WHEN strpos(name1,'?url=')>0 THEN substr(name1, strpos(name1,'?url=')+5) ELSE name1 END AS name2
   FROM n),
-n3 AS (SELECT doc_id, url, has_slash, split_part(name2,'?',1) AS no_query FROM n2)
+n3 AS (SELECT doc_id, url, titlepart, has_slash, split_part(name2,'?',1) AS no_query FROM n2)
 SELECT doc_id, url,
-  CASE WHEN has_slash AND strpos(no_query,'.')>0 THEN no_query ELSE NULL END AS filename
+  CASE WHEN has_slash AND strpos(no_query,'.')>0 THEN no_query
+       WHEN has_slash AND titlepart IS NOT NULL THEN titlepart
+       ELSE NULL END AS filename
 FROM n3
 """
 
@@ -241,8 +253,8 @@ def q_robots_allow(spark, sf_dir):
     hostn = (F.col("doc_id") % 10).cast("string")
     host = F.concat(F.lit("h"), hostn, F.lit(".test"))
     path = (
-        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/pub/"), DID))
-        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("/private/"), DID))
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/pub/"), _did()))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("/private/"), _did()))
         .when(F.col("doc_id") % 4 == 2, F.lit("/private/pub/x"))
         .otherwise(F.lit("/"))
     )
@@ -251,16 +263,17 @@ def q_robots_allow(spark, sf_dir):
         host.alias("host"),
         F.concat(F.lit("https://"), host, path).alias("url"),
     )
-    out = apply_robots(cand, robots_df(spark, ROBOTS_RULES))
+    out = apply_robots(cand, robots_df(spark, ROBOTS_RULES),
+                       key_cols=("doc_id",))
     return out.select("doc_id", "url", "allowed",
                       F.round("crawl_delay", 6).alias("crawl_delay"))
 
 
 SQL_ROBOTS_ALLOW = """
 WITH rules(host, path_prefix, allow, crawl_delay) AS (VALUES
-  ('h0.test','/private',FALSE,0.0), ('h0.test','/',TRUE,0.0),
-  ('h1.test','/',FALSE,0.0), ('h2.test','/private/pub',TRUE,0.0),
-  ('h2.test','/private',FALSE,2.5)),
+  ('h0.test','/private',FALSE,0.0::double), ('h0.test','/',TRUE,0.0::double),
+  ('h1.test','/',FALSE,0.0::double), ('h2.test','/private/pub',TRUE,0.0::double),
+  ('h2.test','/private',FALSE,2.5::double)),
 c AS (
   SELECT doc_id, 'h' || (doc_id % 10)::varchar || '.test' AS host,
     CASE doc_id % 4 WHEN 0 THEN '/pub/' || doc_id::varchar
@@ -343,14 +356,14 @@ _CLEAN = "[^a-z0-9 ]"
 def _doc_pages(spark, sf_dir, with_next=False):
     d = _docs(spark, sf_dir)
     mod10 = (F.col("doc_id") % 10).cast("string")
-    page_url = F.concat(F.lit("https://ex"), mod10, F.lit(".test/d/"), DID)
+    page_url = F.concat(F.lit("https://ex"), mod10, F.lit(".test/d/"), _did())
     clean = F.regexp_replace(F.lower(F.col("text")), _CLEAN, "")
     body = F.concat(
         F.lit('<div class="photo">'),
-        F.lit('<img src="/i/'), DID, F.lit('a.jpg">'),
-        F.lit('<img src="i'), DID, F.lit('b.png">'),
-        F.lit('<img src="https://cdn.test/c'), DID, F.lit('.webp">'),
-        F.lit('<img src="/i/'), DID, F.lit('a.jpg">'),
+        F.lit('<img src="/i/'), _did(), F.lit('a.jpg">'),
+        F.lit('<img src="i'), _did(), F.lit('b.png">'),
+        F.lit('<img src="https://cdn.test/c'), _did(), F.lit('.webp">'),
+        F.lit('<img src="/i/'), _did(), F.lit('a.jpg">'),
         F.lit("</div>"),
     )
     nxt = (
@@ -364,7 +377,7 @@ def _doc_pages(spark, sf_dir, with_next=False):
         else F.lit("")
     )
     html = F.concat(
-        F.lit("<html><head><title>Doc "), DID, F.lit(" - Photo Gallery"),
+        F.lit("<html><head><title>Doc "), _did(), F.lit(" - Photo Gallery"),
         F.lit("</title></head><body>"), body, nxt,
         F.lit("<p>"), clean, F.lit("</p></body></html>"),
     )
@@ -437,12 +450,12 @@ def q_title_clean(spark, sf_dir):
     d = _docs(spark, sf_dir)
     mod = (F.col("doc_id") % 100).cast("string")
     html = F.concat(
-        F.lit("<html><head><title>t"), DID, F.lit("|Gallery Number "), mod,
-        F.lit('</title></head><body><img src="/x'), DID,
+        F.lit("<html><head><title>t"), _did(), F.lit("|Gallery Number "), mod,
+        F.lit('</title></head><body><img src="/x'), _did(),
         F.lit('.jpg"></body></html>'),
     )
     pages = d.select(
-        F.concat(F.lit("https://t.test/"), DID).alias("url"),
+        F.concat(F.lit("https://t.test/"), _did()).alias("url"),
         F.encode(html, "utf-8").alias("html"),
         F.lit(None).cast("string").alias("img_sel"),
         F.lit(None).cast("string").alias("next_sel"),
@@ -457,4 +470,493 @@ SELECT 'https://t.test/' || doc_id::varchar AS page_url,
   'Gallery Number ' || (doc_id % 100)::varchar AS title,
   'Gallery Number ' || (doc_id % 100)::varchar AS dir_title
 FROM documents
+"""
+
+
+# =====================================================================
+# Training-data pipeline operators (documents/embeddings tables)
+# =====================================================================
+
+def q_token_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id, len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+def _sql_lang_id():
+    def hits(lang):
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return (
+            f"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+            f" t -> list_contains([{words}], t)))"
+        )
+
+    return f"""
+WITH s AS (
+  SELECT doc_id, text,
+    {hits('en')} AS en, {hits('de')} AS de, {hits('fr')} AS fr, {hits('es')} AS es
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+       WHEN de >= fr AND de >= es THEN 'de'
+       WHEN fr >= es THEN 'fr'
+       ELSE 'es' END AS lang_pred
+FROM s
+"""
+
+
+def q_quality(spark, sf_dir):
+    return quality_signals(_docs(spark, sf_dir))
+
+
+def _sql_quality():
+    words = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens,
+    length(regexp_replace(text, '\\s+', '', 'g')) AS no_ws,
+    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
+    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+        t -> list_contains([{words}], t))) AS stop_hits
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens,
+  round(no_ws / n_tokens, 6) AS mean_word_len,
+  punct AS punct_chars,
+  round(punct / n_chars, 6) AS punct_ratio,
+  stop_hits AS stopword_hits,
+  (n_tokens >= 10 AND n_tokens <= 100000
+   AND round(no_ws / n_tokens, 6) >= 2.0
+   AND round(no_ws / n_tokens, 6) <= 12.0) AS keep
+FROM s
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir)).select(
+        "doc_id", "fp", "rep_id", "is_dup"
+    )
+
+
+SQL_DEDUP_EXACT = r"""
+WITH f AS (
+  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents)
+SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS rep_id,
+  doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
+FROM f
+"""
+
+
+# shared gram-hash CTE (mirrors dedup.gram_hashes: word 3-grams,
+# distinct, h32 = first-8-hex of md5 as bigint)
+_SQL_GRAMS_CTE = r"""
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+g0 AS (
+  SELECT doc_id,
+    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_transform(generate_series(1, len(t)-2),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    END AS grams
+  FROM toks),
+gh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(grams,
+        g -> ('0x' || substr(md5(g),1,8))::bigint)) AS ghs
+  FROM g0),
+ge AS (SELECT doc_id, unnest(ghs) AS gh FROM gh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ge GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM ge a JOIN ge b ON a.gh = b.gh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jac AS (
+  SELECT doc_a, doc_b, i AS inter, sa.n AS na, sb.n AS nb,
+         round(i / (sa.n + sb.n - i), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b)
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+SQL_JACCARD_PAIRS = (
+    "WITH " + _SQL_GRAMS_CTE
+    + "\nSELECT doc_a, doc_b, inter, na, nb, jaccard FROM jac WHERE jaccard >= 0.5"
+)
+
+
+def q_minhash_pairs(spark, sf_dir):
+    return dedup.minhash_dedup(_docs(spark, sf_dir), threshold=0.8)
+
+
+def _sql_minhash_pairs():
+    sig_terms = ", ".join(
+        f"list_min(list_transform(ghs, h -> (h * {a} + {b}) % {dedup.MINHASH_P}))"
+        for a, b in dedup.PERMS
+    )
+    r = dedup.MINHASH_K // dedup.LSH_BANDS
+    band_rows = []
+    for band in range(dedup.LSH_BANDS):
+        cols = " || ',' || ".join(
+            f"sig[{band * r + j + 1}]::varchar" for j in range(r)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {band} AS band, md5({cols}) AS bucket FROM sig"
+        )
+    banded = " UNION ALL ".join(band_rows)
+    return (
+        "WITH " + _SQL_GRAMS_CTE + f""",
+sig AS (SELECT doc_id, [{sig_terms}] AS sig FROM gh),
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+SELECT c.doc_a, c.doc_b, j.jaccard
+FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+WHERE j.jaccard >= 0.8
+"""
+    )
+
+
+def q_simhash(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", dedup.simhash32(F.col("text")).alias("sh")
+    )
+
+
+def _sql_simhash():
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs,"
+        f" h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0"
+        f" THEN {1 << j}::bigint ELSE 0::bigint END)"
+        for j in range(32)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+  FROM documents),
+hs AS (
+  SELECT doc_id,
+    list_transform(t, w -> ('0x' || substr(md5(w),1,8))::bigint) AS hs
+  FROM toks)
+SELECT doc_id, ({terms}) AS sh FROM hs
+"""
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    return dedup.simhash_near_dups(_docs(spark, sf_dir)).select(
+        "doc_a", "doc_b", "hamming"
+    )
+
+
+def _sql_simhash_near_dups():
+    inner = _sql_simhash().strip()
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, sh, {b} AS band, (sh >> {b * 8}) & 255 AS chunk FROM s"
+        for b in range(4)
+    )
+    return f"""
+WITH s AS ({inner}),
+banded AS ({bands}),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.sh AS sha, y.sh AS shb
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+SELECT doc_a, doc_b, bit_count(xor(sha, shb)) AS hamming FROM pairs
+"""
+
+
+def q_ann_cosine(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+SQL_ANN_COSINE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+  FROM embeddings),
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+    round(
+      list_sum(list_transform(generate_series(1, len(q.v)),
+                              i -> q.v[i] * c.v[i]))
+      / (sqrt(list_sum(list_transform(q.v, x -> x*x)))
+         * sqrt(list_sum(list_transform(c.v, x -> x*x)))), 6) AS sim
+  FROM e q, e c
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, corpus_id) AS rank
+  FROM p)
+SELECT query_id, corpus_id, sim, rank FROM r WHERE rank <= 3
+"""
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """LSH-bucketed cosine near-dups (rows-only check: the hyperplane
+    literals are engine-internal; recall is pinned by pytest)."""
+    return similarity.embedding_near_dups(
+        _emb(spark, sf_dir), threshold=0.9
+    )
+
+
+def q_lsh_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+# =====================================================================
+# Crawl end-to-end fixture (golden-oracle)
+# =====================================================================
+
+def q_crawl_fixture(spark, sf_dir):
+    """Full micro-batch crawl of the fixture web: (url, status,
+    generation-of-fetch) for every frontier row — checked against the
+    hand-derived reference DFS golden (SURVEY.md §7.5)."""
+    import tempfile
+
+    from img_spark.plans.crawl import CrawlConfig, Crawler
+    from img_spark.operators.politeness import robots_df as _rdf
+    from img_spark.sources.site_config import rows_from_config
+    from img_spark.sources.synthweb import (
+        FIXTURE_CONFIG, FIXTURE_ROBOTS, FIXTURE_SEEDS, fixture_pages_df,
+    )
+
+    ckpt = tempfile.mkdtemp(prefix="imgspark_crawlq_")
+    c = Crawler(
+        spark,
+        fixture_pages_df(spark),
+        rows_from_config(FIXTURE_CONFIG),
+        _rdf(spark, FIXTURE_ROBOTS),
+        CrawlConfig(checkpoint_dir=ckpt, partitions=8),
+    )
+    c.run(seeds=FIXTURE_SEEDS)
+    frontier = spark.read.parquet(f"{ckpt}/frontier/g{c.generation}")
+    return frontier.filter(
+        F.col("status").isin("fetched", "disallowed", "fetch_failed")
+    ).select("url", "status", F.col("generation").cast("int").alias("fetch_gen"))
+
+
+# hand-derived golden: DFS order per host, budget=1 (FIXTURES.md §3)
+SQL_CRAWL_FIXTURE = """
+SELECT * FROM (VALUES
+  ('https://site-a.test/',            'fetched',    1),
+  ('https://site-b.test/gallery',     'fetched',    1),
+  ('https://site-c.test/g/1',         'fetched',    1),
+  ('https://site-d.test/idx',         'fetched',    1),
+  ('https://site-a.test/private/x/1', 'disallowed', 1),
+  ('https://site-a.test/a1/1',        'fetched',    2),
+  ('https://site-c.test/g/2',         'fetched',    2),
+  ('https://site-a.test/a1/2',        'fetched',    3),
+  ('https://site-c.test/g/3',         'fetched',    3),
+  ('https://site-a.test/a1/3',        'fetched',    4),
+  ('https://site-a.test/a2/1',        'fetched',    5),
+  ('https://site-a.test/a2/2',        'fetched',    6),
+  ('https://site-a.test/a2/3',        'fetched',    7)
+) AS t(url, status, fetch_gen)
+"""
+
+
+# =====================================================================
+# Registry
+# =====================================================================
+
+def all_queries():
+    return {
+        "host_extract": q_host_extract,
+        "canonicalize": q_canonicalize,
+        "filename_derive": q_filename,
+        "site_config_lookup": q_site_lookup,
+        "robots_allow": q_robots_allow,
+        "politeness_topk": q_politeness_topk,
+        "seen_antijoin": q_seen_antijoin,
+        "extract_images": q_extract_images,
+        "extract_text": q_extract_text,
+        "next_link": q_next_link,
+        "title_clean": q_title_clean,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality_signals": q_quality,
+        "doc_fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard_pairs": q_jaccard_pairs,
+        "dedup_minhash_lsh": q_minhash_pairs,
+        "simhash": q_simhash,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ann_cosine_topk": q_ann_cosine,
+        "ann_lsh_topk": q_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "crawl_fixture": q_crawl_fixture,
+        "downloads_sink": q_downloads,
+        "content_type_name": q_content_type_name,
+    }
+
+
+def all_oracles():
+    return {
+        "host_extract": SQL_HOST_EXTRACT,
+        "canonicalize": SQL_CANONICALIZE,
+        "filename_derive": SQL_FILENAME,
+        "site_config_lookup": _sql_site_lookup(),
+        "robots_allow": SQL_ROBOTS_ALLOW,
+        "politeness_topk": SQL_POLITENESS_TOPK,
+        "seen_antijoin": SQL_SEEN_ANTIJOIN,
+        "extract_images": SQL_EXTRACT_IMAGES,
+        "extract_text": SQL_EXTRACT_TEXT,
+        "next_link": SQL_NEXT_LINK,
+        "title_clean": SQL_TITLE_CLEAN,
+        "token_count": SQL_TOKEN_COUNT,
+        "lang_id": _sql_lang_id(),
+        "quality_signals": _sql_quality(),
+        "doc_fingerprint": SQL_FINGERPRINT,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_jaccard_pairs": SQL_JACCARD_PAIRS,
+        "dedup_minhash_lsh": _sql_minhash_pairs(),
+        "simhash": _sql_simhash(),
+        "simhash_near_dups": _sql_simhash_near_dups(),
+        "ann_cosine_topk": SQL_ANN_COSINE,
+        "crawl_fixture": SQL_CRAWL_FIXTURE,
+        "downloads_sink": SQL_DOWNLOADS,
+        "content_type_name": SQL_CONTENT_TYPE_NAME,
+        # ann_lsh_topk / embedding_near_dups: engine-internal hyperplane
+        # literals → rows-only check; recall pinned in tests/test_dataops.py
+    }
+
+
+def q_downloads(spark, sf_dir):
+    """S4 sink derivation: dir (F12), filename (F10), referer over the
+    extracted images of the synthesized pages (enc_url exercised in
+    tests; excluded here because DuckDB lacks the custom encode set)."""
+    from img_spark.operators.urlexprs import filename_expr
+
+    pages = _doc_pages(spark, sf_dir)
+    out = extract_pages(pages)
+    rows = out.select(
+        F.col("url").alias("page_url"),
+        F.col("dir_title"),
+        F.explode("imgs").alias("img_url"),
+    )
+    return rows.select(
+        "page_url",
+        "img_url",
+        F.translate(F.col("dir_title"), "/", ":").alias("dir"),
+        filename_expr(F.col("img_url")).alias("filename"),
+    )
+
+
+# titles are 'Doc N - Photo Gallery' → longest segment 'Photo Gallery'
+SQL_DOWNLOADS = """
+WITH d AS (
+  SELECT doc_id,
+    'https://ex' || (doc_id % 10)::varchar || '.test/d/' || doc_id::varchar AS page_url
+  FROM documents),
+imgs AS (
+  SELECT page_url, doc_id,
+    'https://ex' || (doc_id % 10)::varchar || '.test/i/' || doc_id::varchar || 'a.jpg' AS img_url,
+    doc_id::varchar || 'a.jpg' AS filename FROM d
+  UNION ALL
+  SELECT page_url, doc_id,
+    'https://ex' || (doc_id % 10)::varchar || '.test/d/i' || doc_id::varchar || 'b.png',
+    'i' || doc_id::varchar || 'b.png' FROM d
+  UNION ALL
+  SELECT page_url, doc_id, 'https://cdn.test/c' || doc_id::varchar || '.webp',
+    'c' || doc_id::varchar || '.webp' FROM d)
+SELECT page_url, img_url, 'Photo Gallery' AS dir, filename FROM imgs
+"""
+
+
+def q_content_type_name(spark, sf_dir):
+    """S6 content-type → filename extension mapping (main.rs:716-734)
+    as a portable expression."""
+    name = F.concat(F.lit("pic"), _did())
+    ctype = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("image/jpeg"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("image/svg+xml"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("image/png;charset=x"))
+        .otherwise(F.lit("text/html"))
+    )
+    pos_plus = F.instr(F.substring_index(ctype, "image/", -1), "+")
+    pos_semi = F.instr(F.substring_index(ctype, "image/", -1), ";")
+    pos_comma = F.instr(F.substring_index(ctype, "image/", -1), ",")
+    ctx = F.substring_index(ctype, "image/", -1)
+    # probe order '+' then ';' then ',' (main.rs:718-721)
+    cut = (
+        F.when(pos_plus > 0, pos_plus - 1)
+        .when(pos_semi > 0, pos_semi - 1)
+        .when(pos_comma > 0, pos_comma - 1)
+        .otherwise(F.length(ctx))
+    )
+    ext = F.substring(ctx, F.lit(1), cut)
+    fname = F.when(
+        ctype.contains("image/") & (ext != ""),
+        F.when(
+            ~name.endswith(F.concat(F.lit("."), ext)),
+            F.concat(name, F.lit("."), ext),
+        ).otherwise(name),
+    ).otherwise(F.concat(name, F.lit(".ext!")))
+    return _docs(spark, sf_dir).select(
+        "doc_id", ctype.alias("content_type"), fname.alias("filename")
+    )
+
+
+SQL_CONTENT_TYPE_NAME = """
+WITH c AS (
+  SELECT doc_id, 'pic' || doc_id::varchar AS name,
+    CASE doc_id % 4 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/svg+xml'
+      WHEN 2 THEN 'image/png;charset=x' ELSE 'text/html' END AS content_type
+  FROM documents),
+x AS (
+  SELECT doc_id, name, content_type,
+    CASE WHEN strpos(content_type,'image/')>0
+         THEN substr(content_type, strpos(content_type,'image/')+6) END AS ctx
+  FROM c),
+e AS (
+  SELECT doc_id, name, content_type, ctx,
+    CASE WHEN ctx IS NULL THEN NULL
+         WHEN strpos(ctx,'+')>0 THEN substr(ctx,1,strpos(ctx,'+')-1)
+         WHEN strpos(ctx,';')>0 THEN substr(ctx,1,strpos(ctx,';')-1)
+         WHEN strpos(ctx,',')>0 THEN substr(ctx,1,strpos(ctx,',')-1)
+         ELSE ctx END AS ext
+  FROM x)
+SELECT doc_id, content_type,
+  CASE WHEN ext IS NOT NULL AND ext <> ''
+       THEN (CASE WHEN NOT ends_with(name, '.' || ext)
+                  THEN name || '.' || ext ELSE name END)
+       ELSE name || '.ext!' END AS filename
+FROM e
 """

@@ -276,7 +276,8 @@ def bench_seeds(hosts: int):
     return [f"http://site{h}.bench/" for h in range(hosts)]
 
 
-def _bench_page(idx: int, hosts: int, albums: int, ppa: int, skew: int):
+def _bench_page(idx: int, hosts: int, albums: int, ppa: int, skew: int,
+                imgs_base: int = 3, imgs_var: int = 5, text_repeat: int = 1):
     """Pure function id → page row (host 0 carries the skewed share)."""
     h0_rows = 1 + albums * skew * ppa
     if idx < h0_rows:
@@ -298,7 +299,7 @@ def _bench_page(idx: int, hosts: int, albums: int, ppa: int, skew: int):
         return (f"http://{hostname}/", EPOCH + dt.timedelta(seconds=idx),
                 html.encode(), text, "en")
     a, p = (rel - 1) // ppa, (rel - 1) % ppa + 1
-    n_imgs = 3 + zlib.crc32(f"{h}/{a}/{p}".encode()) % 5
+    n_imgs = imgs_base + zlib.crc32(f"{h}/{a}/{p}".encode()) % imgs_var
     b = Html().page(f"Gallery {a} Page {p} - {hostname}")
     b.raw('<div class="photo">')
     for j in range(n_imgs):
@@ -306,9 +307,14 @@ def _bench_page(idx: int, hosts: int, albums: int, ppa: int, skew: int):
             b.raw(f'<img src="/static/a{a}/p{p}/i{j}.jpg">')
         else:
             b.raw(f'<img src="http://cdn{h}.bench/a{a}/p{p}/i{j}.jpg">')
-    b.raw("</div><p>")
-    b.text(f"Photo set {a}.{p} on {hostname} with {n_imgs} photos. ")
-    b.raw("</p>")
+    b.raw("</div>")
+    for rep in range(text_repeat):
+        b.raw("<p>")
+        b.text(
+            f"Photo set {a}.{p} on {hostname} with {n_imgs} photos, "
+            f"paragraph {rep} of descriptive filler text for weight. "
+        )
+        b.raw("</p>")
     # last page emits NO anchors (see fixture comment: single prev href
     # would be check_next case (c) and loop the crawl back)
     b.raw('<div class="pg">')
@@ -329,7 +335,8 @@ def _bench_page(idx: int, hosts: int, albums: int, ppa: int, skew: int):
             html.encode(), text, "en")
 
 
-def bench_pages_df(spark, hosts=8, albums=4, pages_per_album=6, skew=10):
+def bench_pages_df(spark, hosts=8, albums=4, pages_per_album=6, skew=10,
+                   imgs_base=3, imgs_var=5, text_repeat=1):
     """Distributed generation: spark.range → mapInPandas, one deterministic
     page per id. No driver-side materialization."""
     import pandas as pd
@@ -339,7 +346,8 @@ def bench_pages_df(spark, hosts=8, albums=4, pages_per_album=6, skew=10):
     def gen(batches):
         for pdf in batches:
             rows = [
-                _bench_page(int(i), hosts, albums, pages_per_album, skew)
+                _bench_page(int(i), hosts, albums, pages_per_album, skew,
+                            imgs_base, imgs_var, text_repeat)
                 for i in pdf["id"]
             ]
             yield pd.DataFrame(
