@@ -1,0 +1,126 @@
+"""Property-based tests (SURVEY.md §5.2.6) and the config sanity check
+(port of the reference's img::sanity_check_json, main.rs:1186-1240)."""
+
+import json
+
+from hypothesis import given, settings, strategies as st
+
+from img_spark.functions.textops import (
+    canonicalize,
+    check_host,
+    percent_encode,
+    url_redirect_and_query_cleanup,
+)
+from img_spark.operators.seen import CuckooFilter
+
+URL_CHARS = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789./-_?&=%:#", max_size=60
+)
+
+
+@given(URL_CHARS, URL_CHARS)
+@settings(max_examples=300, deadline=None)
+def test_canonicalize_idempotent_on_absolute(url, addr):
+    """canonicalize output that starts with a scheme is a fixed point."""
+    out = canonicalize(url, addr)
+    if out.startswith("http"):
+        assert canonicalize(out, addr) == out
+
+
+@given(URL_CHARS)
+@settings(max_examples=300, deadline=None)
+def test_cleanup_idempotent(url):
+    """query cleanup is idempotent when the input has no percent-escapes
+    (decode happens once; already-decoded urls are fixed points)."""
+    if "%" in url:
+        return
+    once = url_redirect_and_query_cleanup(url)
+    assert url_redirect_and_query_cleanup(once) == once
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_percent_encode_charset(s):
+    """encoded output only ever contains unreserved+safe chars and
+    round-trips through percent-decoding."""
+    from urllib.parse import unquote
+
+    enc = percent_encode(s)
+    for c in enc:
+        assert c.isalnum() or c in ":/.-_?=%"
+    assert unquote(enc, errors="strict") == s
+
+
+@given(URL_CHARS)
+@settings(max_examples=200, deadline=None)
+def test_check_host_contains_dot(addr):
+    h = check_host(addr)
+    if h is not None:
+        assert "." in h and "/" not in h
+
+
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_cuckoo_membership(hashes):
+    """every inserted hash is reported seen afterwards (no false
+    negatives — the cuckoo guarantee the crawl relies on), and
+    probe_and_insert marks first occurrences new exactly once."""
+    f = CuckooFilter(capacity=4096)
+    flags = f.probe_and_insert(hashes)
+    seen = set()
+    for h, is_new in zip(hashes, flags):
+        if h in seen:
+            assert not is_new
+        seen.add(h)
+        assert f.contains_hash(h)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=300),
+       st.integers(min_value=1, max_value=32))
+@settings(max_examples=50, deadline=None)
+def test_salting_preserves_membership(hashes, partitions):
+    """sharding by salt never loses membership: the union of per-salt
+    filters answers exactly like processing sequentially."""
+    shards = {}
+    for h in hashes:
+        salt = h % partitions
+        shards.setdefault(salt, CuckooFilter(capacity=2048)).insert_hash(h)
+    for h in hashes:
+        assert shards[h % partitions].contains_hash(h)
+
+
+def test_cuckoo_serialization_roundtrip():
+    f = CuckooFilter(capacity=1024)
+    for h in range(500):
+        f.insert_hash(h * 2654435761)
+    g = CuckooFilter.from_bytes(f.to_bytes())
+    for h in range(500):
+        assert g.contains_hash(h * 2654435761)
+    assert g.count == f.count
+
+
+def test_webjson_sanity():
+    """Port of img::sanity_check_json (main.rs:1186-1240): the reference
+    config must parse, and our loader must explode every domain; report
+    duplicate domains and duplicate Img selectors (informational in the
+    reference — asserted as structural sanity here)."""
+    from img_spark.sources.site_config import load_site_config_rows
+
+    rows = load_site_config_rows("/root/reference/src/web.json")
+    cfg = json.load(open("/root/reference/src/web.json"))
+    n_domains = sum(
+        len([d for d in e["Site"].split(",") if d.strip()])
+        for e in cfg
+        if isinstance(e.get("Site"), str)
+    )
+    assert len(rows) == n_domains
+    sites = [r[1] for r in rows]
+    dup_sites = {s for s in sites if sites.count(s) > 1}
+    # the shipped config has no duplicate domains
+    assert not dup_sites
+    # all selectors non-empty where present
+    for _, site, img, nxt, alb in rows:
+        assert site
+        for sel in (img, nxt, alb):
+            assert sel is None or sel.strip() == sel and sel != ""
