@@ -30,6 +30,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # parse-throughput corpus (deterministic; ~19k pages, ~15 imgs/page)
 GEN_PARAMS = dict(hosts=64, albums=24, pages_per_album=12, skew=4,
                   imgs_base=12, imgs_var=7, text_repeat=6)
+# scaling evidence needs UDF work >> fixed overhead (≥30 s at local[8],
+# BASELINE.md protocol) → ~155k pages
+SCALING_PARAMS = dict(hosts=64, albums=384, pages_per_album=12, skew=4,
+                      imgs_base=12, imgs_var=7, text_repeat=6)
 
 
 def _session(cpus: int):
@@ -53,23 +57,33 @@ def _force(df):
     ).collect()[0]["n"]
 
 
-def _ensure_corpus(spark) -> str:
+def _ensure_corpus(spark, params=None) -> str:
     """Materialize the parse corpus once (generation excluded from the
     measured fetch+parse phase)."""
     from img_spark.sources.synthweb import bench_pages_df, bench_layout
 
+    params = params or GEN_PARAMS
     total, _ = bench_layout(
-        GEN_PARAMS["hosts"], GEN_PARAMS["albums"],
-        GEN_PARAMS["pages_per_album"], GEN_PARAMS["skew"],
+        params["hosts"], params["albums"],
+        params["pages_per_album"], params["skew"],
     )
-    path = os.path.join(tempfile.gettempdir(), f"imgspark_bench_corpus_{total}")
+    # many small files: parquet row groups are the parallelism floor of
+    # the read — an 8-file corpus caps the extraction at 8 scan tasks
+    # regardless of cores (the round-1 scaling bug)
+    n_files = 256
+    path = os.path.join(
+        tempfile.gettempdir(), f"imgspark_bench_corpus_{total}_p{n_files}"
+    )
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        bench_pages_df(spark, **GEN_PARAMS).write.mode("overwrite").parquet(path)
+        bench_pages_df(spark, **params, partitions=n_files).write.mode(
+            "overwrite"
+        ).parquet(path)
     return path
 
 
-def parse_throughput(spark, corpus_path: str):
+def parse_throughput(spark, corpus_path: str, limit: int | None = None,
+                     n_hosts: int | None = None):
     """The headline metric: URLs fetched+parsed per second — pages scan →
     site-config attach → Arrow extraction UDF → counters."""
     from pyspark.sql import functions as F
@@ -81,7 +95,9 @@ def parse_throughput(spark, corpus_path: str):
     from img_spark.operators.urlexprs import host_of
 
     pages = spark.read.parquet(corpus_path)
-    cfg = rows_from_config(bench_config(GEN_PARAMS["hosts"]))
+    if limit:
+        pages = pages.limit(limit)
+    cfg = rows_from_config(bench_config(n_hosts or GEN_PARAMS["hosts"]))
     t0 = time.time()
     df = pages.withColumn("host", host_of(F.col("url")))
     df = attach_site_config(df, cfg)
@@ -187,10 +203,16 @@ def run_scaling():
     results = {}
     for cpus in (8, 32):
         spark = _session(cpus)
-        corpus = _ensure_corpus(spark)
-        # warm-up pass (JIT, page cache), then measured pass
-        parse_throughput(spark, corpus)
-        pages_n, imgs_n, dt = parse_throughput(spark, corpus)
+        corpus = _ensure_corpus(spark, SCALING_PARAMS)
+        # warm-up on a slice (JIT, codegen, python workers), then measure
+        parse_throughput(spark, corpus, limit=4000,
+                         n_hosts=SCALING_PARAMS["hosts"])
+        pages_n, imgs_n, dt = parse_throughput(
+            spark, corpus, n_hosts=SCALING_PARAMS["hosts"])
+        pages_n2, _, dt2 = parse_throughput(
+            spark, corpus, n_hosts=SCALING_PARAMS["hosts"])
+        if dt2 < dt:
+            pages_n, dt = pages_n2, dt2
         results[cpus] = {"pages": int(pages_n), "sec": round(dt, 2),
                          "urls_per_sec": round(pages_n / dt, 1)}
         spark.stop()

@@ -65,7 +65,10 @@ def extract_text(html: str) -> str:
     """Deterministic text extraction for the ``text``-column invariant:
     all text-node data in document order, excluding <script>/<style>
     subtrees, concatenated as-is (no added separators)."""
-    doc = Document(html)
+    return extract_text_from(Document(html))
+
+
+def extract_text_from(doc: Document) -> str:
     parts: list = []
     _walk_text(doc.root, parts)
     return "".join(parts)
@@ -94,22 +97,24 @@ def parse_page(
         r.status = "bad_host"
         return r
     html = lossy_decode(html_bytes)
-    r.text = extract_text(html)
+    page = Document(html)  # parse ONCE; text + extraction share the tree
+    r.text = extract_text_from(page)
 
     # E3: raw-CSS scan only when the site has no Img selector (main.rs:117-121)
     css_img = css_image(html, addr) if img_sel is None else set()
 
     sels = tuple(img_sel.split(SEP, 1)) if (img_sel and SEP in img_sel) else None
     sel = sels[0] if sels else img_sel
-    page = Document(html)
 
     json_img: set = set()
     html_img: list = []
     if sel is not None and sel.startswith("json:"):
         # E2 (main.rs:130-161): pure string splitting, NOT a JSON parser
         kind = _trim_start(sel, "json:").strip()
+        # the reference unwrap-panics on a json selector without a
+        # " | NAME" pair (main.rs:132); engine: no extraction
         name = sels[1].strip() if sels else ""
-        for s in page.select("script"):
+        for s in page.select("script") if name else []:
             t = s.text()
             if t is None:
                 continue

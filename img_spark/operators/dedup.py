@@ -180,11 +180,25 @@ def minhash_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact-Jaccard verify."""
+    """Full near-dup pipeline: LSH candidates → exact-Jaccard verify.
+
+    The verify stage computes Jaccard ONLY for candidate pairs, via
+    array_intersect on the per-doc gram-hash arrays — never the full
+    gram-explode self-join (which blows up quadratically on common
+    shingles and is exactly what LSH exists to avoid at scale)."""
     cand = minhash_lsh_candidates(df, id_col, text_col)
-    exact = jaccard_pairs(df, threshold=0.0, id_col=id_col, text_col=text_col)
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        gram_hashes(F.col(text_col)).alias("ghs"),
+    )
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("ghs").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("ghs").alias("gb"))
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    union = F.size("ga") + F.size("gb") - inter
     return (
-        cand.join(exact, ["doc_a", "doc_b"])
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -127,6 +127,7 @@ class Crawler:
             .otherwise(F.lit("pending")),
         ).select(*_frontier_cols())
         self._write_frontier(frontier, 0)
+        self._refresh_seen_blobs(0)
         self._commit_manifest(0, {"seeds": len(seeds)})
         self.generation = 0
 
@@ -262,6 +263,7 @@ class Crawler:
             .unionByName(rest.select(*_frontier_cols()))
         )
         self._write_frontier(new_frontier, g)
+        self._refresh_seen_blobs(g)
 
         # ---- per-host metrics (lineage)
         fail_counts = failed.groupBy("host").agg(
@@ -342,10 +344,22 @@ class Crawler:
             return pdf
 
         probed = probe.groupBy("salt").applyInPandas(run_probe, schema=schema)
-        touched = [r["salt"] for r in probe.select("salt").distinct().collect()]
-        for s in touched:
-            self.seen_blobs[str(s)] = os.path.join(out_dir, f"part-{s}.bin")
+        # seen_blobs is refreshed AFTER the action that runs the probe
+        # (see _refresh_seen_blobs) — no extra Spark job here
         return probed.unionByName(skip).drop("h64", "salt")
+
+    def _refresh_seen_blobs(self, g: int) -> None:
+        """Record the filter blobs the probe UDF wrote for generation g
+        (the write happened inside the frontier-snapshot action)."""
+        if self.cfg.seen_mode != "cuckoo":
+            return
+        out_dir = self._p("seen", f"g{g}")
+        if not os.path.isdir(out_dir):
+            return
+        for fn in os.listdir(out_dir):
+            if fn.startswith("part-") and fn.endswith(".bin"):
+                salt = fn[len("part-"):-len(".bin")]
+                self.seen_blobs[salt] = os.path.join(out_dir, fn)
 
     def _seen_filter_exact(self, probe: DataFrame, skip: DataFrame) -> DataFrame:
         """Exact anti-join backstop (test-scale oracle for the cuckoo

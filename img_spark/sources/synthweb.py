@@ -336,7 +336,7 @@ def _bench_page(idx: int, hosts: int, albums: int, ppa: int, skew: int,
 
 
 def bench_pages_df(spark, hosts=8, albums=4, pages_per_album=6, skew=10,
-                   imgs_base=3, imgs_var=5, text_repeat=1):
+                   imgs_base=3, imgs_var=5, text_repeat=1, partitions=None):
     """Distributed generation: spark.range → mapInPandas, one deterministic
     page per id. No driver-side materialization."""
     import pandas as pd
@@ -354,7 +354,9 @@ def bench_pages_df(spark, hosts=8, albums=4, pages_per_album=6, skew=10,
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )
 
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_parts = partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     return (
         spark.range(0, total, 1, n_parts)
         .mapInPandas(gen, schema=PAGES_DDL)
