@@ -145,3 +145,51 @@ def synth_media_df(spark: SparkSession, n: int = 64) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "kind", "data", "meta"])
 
     return spark.range(0, n, 1, 4).mapInPandas(gen, schema=MEDIA_DDL)
+
+
+RESIZED_DDL = "media_id long, width int, height int, data binary, resize_ok boolean"
+
+
+def resize_image(df: DataFrame, max_side: int = 256,
+                 deterministic_fake: bool = True) -> DataFrame:
+    """Aspect-preserving resize. With PIL present it resizes for real;
+    fake mode preserves the plumbing (dimension math is real, the pixel
+    payload is a seeded stand-in)."""
+    pil = _try_import_pil()
+
+    def run(batches):
+        import io
+
+        for pdf in batches:
+            rows = []
+            for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
+                data = bytes(data)
+                if kind != "image":
+                    continue
+                if pil is not None:
+                    try:
+                        im = pil.open(io.BytesIO(data))
+                        im.thumbnail((max_side, max_side))
+                        buf = io.BytesIO()
+                        im.save(buf, format=im.format or "PNG")
+                        rows.append((mid, im.width, im.height,
+                                     buf.getvalue(), True))
+                        continue
+                    except Exception:
+                        rows.append((mid, 0, 0, b"", False))
+                        continue
+                if not deterministic_fake:
+                    raise NotImplementedError("no image codec available")
+                w, h, _ = _fake_dims(data)
+                scale = min(1.0, max_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                fake = hashlib.md5(data + b"resized").digest() * 8
+                rows.append((mid, nw, nh, fake, True))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "data",
+                               "resize_ok"],
+            )
+
+    return df.select("media_id", "kind", "data").mapInPandas(
+        run, schema=RESIZED_DDL
+    )

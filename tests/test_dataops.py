@@ -218,3 +218,13 @@ def test_multimodal_plumbing(spark):
     }
     frames = sample_frames(media).collect()
     assert frames and all(r["ts_ms"] % 1000 == 0 for r in frames)
+
+
+def test_resize_plumbing(spark):
+    from img_spark.operators.multimodal import resize_image, synth_media_df
+
+    media = synth_media_df(spark, 30)
+    out = resize_image(media, max_side=128).collect()
+    assert out and all(r["resize_ok"] for r in out)
+    assert all(max(r["width"], r["height"]) <= 128 for r in out)
+    assert all(r["width"] >= 1 and r["height"] >= 1 for r in out)
