@@ -185,9 +185,9 @@ class Crawler:
         # ---- downloads sink delta (S4: dir/filename/referer/enc_url)
         from img_spark.operators.sink import downloads_table
 
-        downloads_table(
-            self.spark.read.parquet(self._p("extracted", f"g{g}"))
-        ).write.mode("overwrite").parquet(self._p("downloads", f"g{g}"))
+        downloads_table(extracted).write.mode("overwrite").parquet(
+            self._p("downloads", f"g{g}")
+        )
 
         # ---- discovered candidates: albums (doc order) then next
         albums = results.select(
@@ -283,17 +283,30 @@ class Crawler:
         ).withColumn("generation", F.lit(g))
         metrics.write.mode("overwrite").parquet(self._p("metrics", f"g{g}"))
 
-        stats = {
-            r["status"]: r["n"]
-            for r in self.spark.read.parquet(self._p("frontier", f"g{g}"))
-            .groupBy("status")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
+        stats = self._frontier_status_counts(g)
         results.unpersist()
         self._commit_manifest(g, {"frontier_status": stats})
         self.generation = g
         return stats
+
+    def _frontier_status_counts(self, g: int) -> dict:
+        """Status histogram straight from the parquet footers of the
+        status-partitioned snapshot — zero Spark jobs."""
+        import pyarrow.parquet as pq
+
+        base = self._p("frontier", f"g{g}")
+        out: dict = {}
+        for entry in os.listdir(base):
+            if not entry.startswith("status="):
+                continue
+            status = entry[len("status="):]
+            n = 0
+            d = os.path.join(base, entry)
+            for fn in os.listdir(d):
+                if fn.endswith(".parquet"):
+                    n += pq.ParquetFile(os.path.join(d, fn)).metadata.num_rows
+            out[status] = n
+        return out
 
     # ---------------------------------------------------------------- run
     def run(self, seeds=None, max_generations=None) -> dict:

@@ -10,7 +10,9 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
-SF = "/root/testdata/sf0.001"
+import os
+
+SF = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
