@@ -141,8 +141,23 @@ def crawl_generations(spark, n_hosts=16, albums=8, ppa=6):
     from pyspark.sql import functions as F
 
     fetched = frontier.filter(F.col("status") == "fetched").count()
+    # skew evidence (BASELINE.md secondary report): the seen-set salt
+    # partitioning must stay balanced despite the skewed host layout
+    sizes = sorted(
+        r["n"]
+        for r in frontier.groupBy(
+            F.pmod(F.xxhash64("url_canon"), F.lit(CPUS)).alias("salt")
+        ).agg(F.count("*").alias("n")).collect()
+    )
+    med = sizes[len(sizes) // 2] if sizes else 0
+    skew = {
+        "salt_partitions": len(sizes),
+        "median_rows": med,
+        "max_rows": sizes[-1] if sizes else 0,
+        "max_over_median": round(sizes[-1] / med, 2) if med else None,
+    }
     pages.unpersist()
-    return fetched, c.generation, dt
+    return fetched, c.generation, dt, skew
 
 
 def dataops_queries(spark):
@@ -177,7 +192,7 @@ def main():
     queries["fetch_parse"] = round(dt, 3)
     urls_per_sec = round(pages_n / dt, 1)
 
-    fetched, gens, dt_crawl = crawl_generations(spark)
+    fetched, gens, dt_crawl, skew = crawl_generations(spark)
     queries["crawl_loop"] = round(dt_crawl, 3)
 
     queries.update(dataops_queries(spark))
@@ -195,6 +210,7 @@ def main():
         "extracted_imgs": int(imgs_n),
         "crawl": {"fetched": int(fetched), "generations": int(gens),
                   "pages_per_sec": round(fetched / dt_crawl, 1)},
+        "seen_partition_skew": skew,
     }))
 
 

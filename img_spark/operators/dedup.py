@@ -120,17 +120,23 @@ def jaccard_pairs(
 
 
 # ---------------------------------------------------------------- minhash
-def minhash_signature(text: Column, k: int = MINHASH_K) -> Column:
-    """Array of k minhash values over the distinct gram-hash set, as one
-    column expression: sig_i = min over grams of (a_i*h + b_i) mod P."""
-    hs = gram_hashes(text)
-    sigs = [
+def minhash_signature_from(ghs: Column, k: int = MINHASH_K) -> Column:
+    """Array of k minhash values over a MATERIALIZED gram-hash array
+    column: sig_i = min over grams of (a_i*h + b_i) mod P. ``ghs`` must
+    be an attribute reference, NOT the gram-hashing expression itself —
+    inlining it would recompute the md5 shingling k times per row."""
+    return F.array(*[
         F.array_min(
-            F.transform(hs, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P))
+            F.transform(ghs, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P))
         )
         for a, b in PERMS[:k]
-    ]
-    return F.array(*sigs)
+    ])
+
+
+def minhash_signature(text: Column, k: int = MINHASH_K) -> Column:
+    """Single-expression form (k× shingling cost — prefer the two-step
+    minhash_signature_from in pipelines)."""
+    return minhash_signature_from(gram_hashes(text), k)
 
 
 def minhash_lsh_candidates(
@@ -145,7 +151,10 @@ def minhash_lsh_candidates(
     r = k // bands
     sig = df.select(
         F.col(id_col).alias("doc_id"),
-        minhash_signature(F.col(text_col), k).alias("sig"),
+        gram_hashes(F.col(text_col)).alias("ghs"),
+    ).select(
+        "doc_id",
+        minhash_signature_from(F.col("ghs"), k).alias("sig"),
     )
     banded = sig.select(
         "doc_id",
@@ -195,9 +204,11 @@ def minhash_dedup(
     gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("ghs").alias("gb"))
     inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
     union = F.size("ga") + F.size("gb") - inter
+    # grams is corpus-sized (small next to the candidate-pair set):
+    # broadcast both sides so the pair table never shuffles its arrays
     return (
-        cand.join(ga, "doc_a")
-        .join(gb, "doc_b")
+        cand.join(F.broadcast(ga), "doc_a")
+        .join(F.broadcast(gb), "doc_b")
         .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
