@@ -188,6 +188,9 @@ def main():
     queries = {}
 
     t_all = time.time()
+    # warm-up slice: exclude JVM/codegen/python-worker cold start from
+    # the steady-state throughput metric
+    parse_throughput(spark, corpus, limit=2000)
     pages_n, imgs_n, dt = parse_throughput(spark, corpus)
     queries["fetch_parse"] = round(dt, 3)
     urls_per_sec = round(pages_n / dt, 1)

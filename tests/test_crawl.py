@@ -198,3 +198,33 @@ def test_resume_from_checkpoint(spark, crawl, tmp_path_factory):
     assert {(r["url"], r["status"]) for r in f1.collect()} == {
         (r["url"], r["status"]) for r in f4.collect()
     }
+
+
+def test_pages_table_adapter(spark, tmp_path):
+    """sources/tables.read_pages: parquet fallback path + schema check."""
+    import pytest as _pytest
+
+    from img_spark.sources.tables import read_pages
+
+    p = str(tmp_path / "pages_pq")
+    fixture_pages_df(spark).write.parquet(p)
+    df = read_pages(spark, p)
+    assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert df.count() > 0
+    bad = str(tmp_path / "bad_pq")
+    spark.range(3).write.parquet(bad)
+    with _pytest.raises(ValueError):
+        read_pages(spark, bad)
+
+
+def test_streaming_metrics(spark, crawl):
+    """Structured Streaming over the extracted sink deltas: per-host
+    rolling counts drained with availableNow."""
+    from img_spark.streaming.metrics_stream import run_available_now
+
+    name = run_available_now(spark, crawl.cfg.checkpoint_dir, "t_metrics")
+    rows = {r["host"]: r for r in spark.sql(f"select * from {name}").collect()}
+    assert rows["site-a.test"]["pages"] == 7
+    assert rows["site-a.test"]["imgs"] == 18  # 6 gallery pages x 3 imgs
+    assert rows["site-c.test"]["imgs"] == 4
+    assert rows["site-a.test"]["last_generation"] == 7
