@@ -40,7 +40,9 @@ class Text(Node):
 
 
 class Element(Node):
-    __slots__ = ("_tag", "attrs", "_children", "_parent", "doc_order")
+    __slots__ = (
+        "_tag", "attrs", "_children", "_parent", "doc_order", "_elements"
+    )
 
     def __init__(self, tag: str, attrs, parent, doc_order: int):
         self._tag = tag
@@ -48,6 +50,7 @@ class Element(Node):
         self._children = []  # Node list (elements + text, document order)
         self._parent = parent
         self.doc_order = doc_order
+        self._elements = None  # cached pre-order descendant list
 
     # ----- crabquery-parity API -------------------------------------
     def tag(self):
@@ -78,11 +81,22 @@ class Element(Node):
     # ----- engine-side helpers ---------------------------------------
     def iter_elements(self):
         """Pre-order DFS over descendant elements (self excluded)."""
+        return iter(self.elements_list())
+
+    def elements_list(self):
+        """Cached pre-order descendant element list (trees are immutable
+        after parsing; multiple selects per page reuse one traversal)."""
+        cached = self._elements
+        if cached is not None:
+            return cached
+        out = []
         stack = list(reversed(self.children()))
         while stack:
             el = stack.pop()
-            yield el
+            out.append(el)
             stack.extend(reversed(el.children()))
+        self._elements = out
+        return out
 
     def __repr__(self):  # pragma: no cover - debug aid
         return f"<Element {self._tag} {self.attrs}>"
@@ -98,16 +112,26 @@ def _collect_text(el: Element, parts: list):
 
 class Document:
     """Parsed page; ``select`` returns matches in document order
-    (crabquery ``Document::select`` parity)."""
+    (crabquery ``Document::select`` parity).
+
+    Two tree builders produce identical trees (pinned by
+    tests/test_fastdom.py): a regex-scanner (default, ~4× faster — this
+    parse dominates the 100-TB extraction hot path) and the stdlib
+    html.parser reference (``IMG_SPARK_HTML_PARSER=stdlib``)."""
 
     def __init__(self, html: str):
-        builder = _TreeBuilder()
-        try:
-            builder.feed(html)
-            builder.close()
-        except Exception:
-            pass  # keep whatever tree was built (lenient, like html5ever)
-        self.root = builder.root
+        import os
+
+        if os.environ.get("IMG_SPARK_HTML_PARSER") == "stdlib":
+            builder = _TreeBuilder()
+            try:
+                builder.feed(html)
+                builder.close()
+            except Exception:
+                pass  # keep whatever tree was built (lenient)
+            self.root = builder.root
+        else:
+            self.root = _fast_parse(html)
 
     def select(self, selector: str):
         from .selector import select_in
@@ -157,3 +181,240 @@ class _TreeBuilder(HTMLParser):
     def handle_data(self, data):
         if data:
             self._stack[-1]._children.append(Text(data))
+
+
+# ---------------------------------------------------------------------------
+# Fast regex tree builder (behavior-equivalent to _TreeBuilder; the
+# equivalence is asserted over fixtures, bench pages and adversarial
+# snippets in tests/test_fastdom.py)
+# ---------------------------------------------------------------------------
+
+import re as _re
+from html import unescape as _unescape
+from html.parser import attrfind_tolerant as _attrfind
+
+_MASTER = _re.compile(
+    r"""
+      <!--.*?(?:--\s*>|$)         # comment (html.parser closer: --\s*>)
+    | <!\[CDATA\[.*?(?:\]\s*\]\s*>|$)  # marked section (dropped when closed)
+    | <![^>]*>?                   # doctype / declaration
+    | <\?[^>]*>?                  # processing instruction
+    | </([a-zA-Z][^\t\n\r\f />]*+)[^>]*>  # end tag, junk tolerated (group 1)
+    | </[^>]*>                    # bogus end tag → dropped (html.parser)
+    | <([a-zA-Z][^\t\n\r\f />]*+)          # CLEAN start tag (group 2): quotes
+      ((?:[^<>"'=/]|/(?!>)|=\s*"[^"<]*"|=\s*'[^'<]*'|=[^>\s"']*)*+)  # (g3)
+      (/?)>                       # self-closing flag (group 4) — anything
+                                  # messier falls through to _parse_start
+    | <(?=[a-zA-Z])               # irregular start tag → _parse_start
+    | ([^<]+)                     # text run           (group 5)
+    | <                           # lone '<' → data (html.parser behavior)
+    """,
+    _re.DOTALL | _re.VERBOSE,
+)
+
+_RAWTEXT = ("script", "style")  # html.parser CDATA_CONTENT_ELEMENTS
+_ASCII_LETTERS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+)
+
+from html.parser import (  # noqa: E402  (html.parser's own tokenizer regexes)
+    locatestarttagend_tolerant as _locate,
+    tagfind_tolerant as _tagfind,
+)
+
+
+def _parse_attrs(blob: str) -> dict:
+    if not blob:
+        return {}
+    attrs: dict = {}
+    # html.parser's tolerant attr regex needs a preceding ['"\s/] char,
+    # so scan " "+blob exactly like parse_starttag effectively does
+    for m in _attrfind.finditer(" " + blob + " "):
+        name, rest, value = m.group(1, 2, 3)
+        if not name:
+            continue
+        if not rest:
+            value = ""
+        elif value[:1] == "'" == value[-1:] or value[:1] == '"' == value[-1:]:
+            value = value[1:-1]
+        if value and "&" in value:
+            value = _unescape(value)
+        key = name.lower()
+        if key not in attrs:
+            attrs[key] = value if value is not None else ""
+    return attrs
+
+
+_COMMENT_END = _re.compile(r"--\s*>$")
+_CDATA_END = _re.compile(r"\]\s*\]\s*>$")
+
+
+def _is_terminated(g0: str) -> bool:
+    if g0.startswith("<!--"):
+        m = _COMMENT_END.search(g0)
+        return m is not None and m.start() >= 4
+    if g0.startswith("<![CDATA["):
+        return _CDATA_END.search(g0) is not None
+    # declaration / PI: complete iff the '>' was consumed
+    return g0.endswith(">")
+
+
+def _whole_start_tag(html: str, i: int) -> int:
+    """Verbatim port of HTMLParser.check_for_whole_start_tag (at EOF the
+    buffer-boundary returns behave like end-of-input)."""
+    m = _locate.match(html, i)
+    j = m.end()
+    nxt = html[j:j + 1]
+    if nxt == ">":
+        return j + 1
+    if nxt == "/":
+        if html.startswith("/>", j):
+            return j + 2
+        return -1  # '/' at end of input
+    if nxt == "":
+        return -1
+    if nxt in "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ":
+        return -1
+    return j if j > i else i + 1
+
+
+def _parse_start(html: str, i: int):
+    """Verbatim port of HTMLParser.parse_starttag → returns
+    (endpos, tag, attrs, startend, as_text). endpos -1 means incomplete
+    (caller flushes the remainder as data, like close())."""
+    endpos = _whole_start_tag(html, i)
+    if endpos < 0:
+        return -1, None, None, False, None
+    m = _tagfind.match(html, i + 1)
+    tag = m.group(1).lower()
+    k = m.end()
+    attrs: dict = {}
+    while k < endpos:
+        am = _attrfind.match(html, k)
+        if not am:
+            break
+        name, rest, value = am.group(1, 2, 3)
+        if not rest:
+            value = ""
+        elif value[:1] == "'" == value[-1:] or value[:1] == '"' == value[-1:]:
+            value = value[1:-1]
+        if value and "&" in value:
+            value = _unescape(value)
+        key = name.lower()
+        if key not in attrs:
+            attrs[key] = value
+        k = am.end()
+    end = html[k:endpos].strip()
+    if end not in (">", "/>"):
+        # junk tag: html.parser emits the raw span as data (no unescape)
+        return endpos, None, None, False, html[i:endpos]
+    return endpos, tag, attrs, end.endswith("/>"), None
+
+
+def _fast_parse(html: str) -> Element:
+    root = Element("#document", {}, None, 0)
+    stack = [root]
+    n = 0
+    pos = 0
+    L = len(html)
+    finditer = _MASTER.finditer
+    append_child = None
+    while pos < L:
+        matched = False
+        for m in finditer(html, pos):
+            matched = True
+            pos = m.end()
+            tag = m.group(2)
+            if tag is None:
+                text = m.group(5)
+                if text is not None:
+                    if "&" in text:
+                        text = _unescape(text)  # may strip invalid refs
+                    if text:
+                        stack[-1]._children.append(Text(text))
+                    continue
+            else:
+                # clean start tag (hot path)
+                n += 1
+                tag = tag.lower()
+                el = Element(tag, _parse_attrs(m.group(3)), stack[-1], n)
+                stack[-1]._children.append(el)
+                if m.group(4) or tag in VOID_ELEMENTS:
+                    continue
+                if tag in _RAWTEXT:
+                    pos = _consume_rawtext(html, pos, tag, el, L)
+                    break  # restart finditer at new pos
+                stack.append(el)
+                continue
+            end_name = m.group(1)
+            if end_name is not None:
+                want = end_name.lower()
+                if want in VOID_ELEMENTS:
+                    continue
+                for i in range(len(stack) - 1, 0, -1):
+                    if stack[i]._tag == want:
+                        del stack[i:]
+                        break
+                continue
+            g0 = m.group(0)
+            if g0 == "<":
+                i = m.start()
+                if pos < L and html[pos] in _ASCII_LETTERS:
+                    # irregular start tag: verbatim html.parser port
+                    endpos, tag, attrs, startend, as_text = _parse_start(
+                        html, i
+                    )
+                    if endpos < 0:
+                        # incomplete at EOF: flushed as data, charref-
+                        # converted (HTMLParser.goahead end-path)
+                        tail = html[i:]
+                        if "&" in tail:
+                            tail = _unescape(tail)
+                        if tail:
+                            stack[-1]._children.append(Text(tail))
+                        pos = L
+                        break
+                    pos = endpos
+                    if as_text is not None:
+                        stack[-1]._children.append(Text(as_text))
+                        break  # restart finditer at endpos
+                    n += 1
+                    el = Element(tag, attrs, stack[-1], n)
+                    stack[-1]._children.append(el)
+                    if not (startend or tag in VOID_ELEMENTS):
+                        if tag in _RAWTEXT:
+                            pos = _consume_rawtext(html, pos, tag, el, L)
+                        else:
+                            stack.append(el)
+                    break  # restart finditer at endpos
+                # '<' not opening a tag: html.parser emits it as data
+                stack[-1]._children.append(Text("<"))
+                continue
+            # comments/doctype/PI/marked sections: dropped when properly
+            # terminated; html.parser flushes UNTERMINATED ones (buffered
+            # to EOF) as data at close(), charref-converted
+            if not _is_terminated(g0):
+                if "&" in g0:
+                    g0 = _unescape(g0)
+                if g0:
+                    stack[-1]._children.append(Text(g0))
+                continue
+        else:
+            break
+        if not matched:
+            break
+    return root
+
+
+def _consume_rawtext(html: str, pos: int, tag: str, el: Element, L: int) -> int:
+    """script/style content: raw to the matching close tag, NO charref
+    conversion; html.parser DROPS content without a complete close tag
+    (buffered, discarded at close())."""
+    close = _re.compile(r"</\s*%s" % tag, _re.IGNORECASE)
+    cm = close.search(html, pos)
+    gt = html.find(">", cm.end()) if cm else -1
+    if cm and gt != -1:
+        if cm.start() > pos:
+            el._children.append(Text(html[pos:cm.start()]))
+        return gt + 1
+    return L

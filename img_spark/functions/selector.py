@@ -13,6 +13,7 @@ Matching returns document order, like crabquery's ``select``
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 from .dom import Element
 
@@ -61,6 +62,7 @@ class Compound:
         return True
 
 
+@lru_cache(maxsize=512)
 def parse_selector(sel: str):
     """Parse into [(combinator, Compound)]; combinator of the first
     compound is ' ' (unused), others ' ' (descendant) or '>' (child)."""
@@ -99,7 +101,7 @@ def parse_selector(sel: str):
                 comp.attrs.append((m.group("aname"), v))
         parts.append((comb, comp))
         comb = " "
-    return parts
+    return tuple(parts)
 
 
 def _matches_chain(el: Element, parts, idx: int) -> bool:
@@ -126,7 +128,8 @@ def select_in(scope: Element, selector: str):
         return []
     last = parts[-1][1]
     out = []
-    for el in scope.iter_elements():
-        if last.matches(el) and _matches_chain(el, parts, len(parts) - 1):
+    single = len(parts) == 1
+    for el in scope.elements_list():
+        if last.matches(el) and (single or _matches_chain(el, parts, len(parts) - 1)):
             out.append(el)
     return out
