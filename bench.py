@@ -184,14 +184,18 @@ def main():
         run_scaling()
         return
     spark = _session(CPUS)
-    corpus = _ensure_corpus(spark)
+    # headline throughput runs on the large corpus: on the small one the
+    # fixed per-job overhead (~2 s) dominates and understates urls/sec
+    corpus = _ensure_corpus(spark, SCALING_PARAMS)
     queries = {}
 
     t_all = time.time()
     # warm-up slice: exclude JVM/codegen/python-worker cold start from
     # the steady-state throughput metric
-    parse_throughput(spark, corpus, limit=2000)
-    pages_n, imgs_n, dt = parse_throughput(spark, corpus)
+    parse_throughput(spark, corpus, limit=4000,
+                     n_hosts=SCALING_PARAMS["hosts"])
+    pages_n, imgs_n, dt = parse_throughput(
+        spark, corpus, n_hosts=SCALING_PARAMS["hosts"])
     queries["fetch_parse"] = round(dt, 3)
     urls_per_sec = round(pages_n / dt, 1)
 

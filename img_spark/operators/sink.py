@@ -35,31 +35,39 @@ def content_type_name_udf(names: pd.Series, ctypes: pd.Series) -> pd.Series:
     )
 
 
-def downloads_table(extracted: DataFrame) -> DataFrame:
-    """From the extracted sink delta (page_url, host, dir_title, img_url)
-    to download rows. Embeds (`data:image/`) are skipped — default build
-    counts them (main.rs:566-577). Two-level ``"url | title"`` pairs:
-    the left part downloads, the right part names the file
-    (main.rs:580-609).
-    """
-    rows = extracted.filter(
-        F.col("img_url").isNotNull()
-        & ~F.col("img_url").startswith("data:image/")
+def with_download_columns(extracted: DataFrame) -> DataFrame:
+    """Adds the download-sink columns (S4) to extracted rows in place:
+    download_url, dir (F12), filename (F10), needs_ext_detection (S6),
+    referer (main.rs:641), enc_url (F11). Embeds (`data:image/`) carry
+    nulls — the default build counts them, never saves (main.rs:566-577).
+    Two-level ``"url | title"`` pairs: left part downloads, right part
+    names the file (main.rs:580-609)."""
+    dl = F.col("img_url").isNotNull() & ~F.col("img_url").startswith(
+        "data:image/"
     )
     u = F.when(
         F.col("img_url").contains(" | "),
         F.substring_index(F.col("img_url"), " | ", 1),
     ).otherwise(F.col("img_url"))
     fname = filename_expr(F.col("img_url"))
-    return rows.select(
-        F.col("page_url"),
-        F.col("img_url"),
-        u.alias("download_url"),
-        F.translate(F.col("dir_title"), "/", ":").alias("dir"),
-        fname.alias("filename"),
-        fname.isNull().alias("needs_ext_detection"),
-        F.concat(F.lit("https://"), F.col("host")).alias("referer"),
-        percent_encode_udf(u).alias("enc_url"),
+    return (
+        extracted.withColumn("download_url", F.when(dl, u))
+        .withColumn("dir", F.when(dl, F.translate(F.col("dir_title"), "/", ":")))
+        .withColumn("filename", F.when(dl, fname))
+        .withColumn("needs_ext_detection", dl & fname.isNull())
+        .withColumn(
+            "referer", F.when(dl, F.concat(F.lit("https://"), F.col("host")))
+        )
+        .withColumn("enc_url", F.when(dl, percent_encode_udf(u)))
+    )
+
+
+def downloads_table(extracted: DataFrame) -> DataFrame:
+    """Standalone downloads projection (see with_download_columns)."""
+    out = with_download_columns(extracted)
+    return out.filter(F.col("download_url").isNotNull()).select(
+        "page_url", "img_url", "download_url", "dir", "filename",
+        "needs_ext_detection", "referer", "enc_url",
     )
 
 

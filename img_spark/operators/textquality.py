@@ -37,6 +37,17 @@ def token_estimate_bpe(text: Column) -> Column:
     return F.ceil(F.length(F.trim(text)) / F.lit(4.0)).cast("long")
 
 
+# GPT2-style pre-tokenizer shape, restricted to constructs RE2 (DuckDB)
+# and Java regex agree on — no lookahead, explicit classes.
+BPE_SPLIT_RE = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def token_count_bpe_regex(text: Column) -> Column:
+    """Pre-tokenizer token count via regexp_extract_all — the BPE-ish
+    budget estimator for training-data pipelines."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), 0))
+
+
 def stopword_hits(text: Column, lang: str) -> Column:
     words = STOPWORDS[lang]
     return F.size(F.filter(tokens(text), lambda t: t.isin(*words)))

@@ -180,14 +180,13 @@ class Crawler:
             F.col("z.imgs").alias("img_url"),
             F.col("z.origins").alias("origin"),
         )
+        # downloads sink columns (S4) ride along in the same delta —
+        # one write per generation instead of two; the downloads "table"
+        # is the non-null-filename projection of extracted
+        from img_spark.operators.sink import with_download_columns
+
+        extracted = with_download_columns(extracted)
         extracted.write.mode("overwrite").parquet(self._p("extracted", f"g{g}"))
-
-        # ---- downloads sink delta (S4: dir/filename/referer/enc_url)
-        from img_spark.operators.sink import downloads_table
-
-        downloads_table(extracted).write.mode("overwrite").parquet(
-            self._p("downloads", f"g{g}")
-        )
 
         # ---- discovered candidates: albums (doc order) then next
         albums = results.select(

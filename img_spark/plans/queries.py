@@ -824,6 +824,7 @@ def all_queries():
         "crawl_fixture": q_crawl_fixture,
         "downloads_sink": q_downloads,
         "content_type_name": q_content_type_name,
+        "token_count_bpe": q_token_count_bpe,
     }
 
 
@@ -853,6 +854,7 @@ def all_oracles():
         "crawl_fixture": SQL_CRAWL_FIXTURE,
         "downloads_sink": SQL_DOWNLOADS,
         "content_type_name": SQL_CONTENT_TYPE_NAME,
+        "token_count_bpe": SQL_TOKEN_COUNT_BPE,
         # ann_lsh_topk / embedding_near_dups: engine-internal hyperplane
         # literals → rows-only check; recall pinned in tests/test_dataops.py
     }
@@ -959,4 +961,21 @@ SELECT doc_id, content_type,
                   THEN name || '.' || ext ELSE name END)
        ELSE name || '.ext!' END AS filename
 FROM e
+"""
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-ish pre-tokenizer token count (training-budget estimator)."""
+    from img_spark.operators.textquality import token_count_bpe_regex
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", token_count_bpe_regex(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
+SQL_TOKEN_COUNT_BPE = r"""
+SELECT doc_id,
+  len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+'))
+    AS n_bpe_tokens
+FROM documents
 """
