@@ -111,7 +111,7 @@ def parse_throughput(spark, corpus_path: str, limit: int | None = None,
     return agg["pages"], agg["imgs"], dt
 
 
-def crawl_generations(spark, n_hosts=16, albums=8, ppa=6):
+def crawl_generations(spark, n_hosts=64, albums=16, ppa=6):
     """Multi-generation frontier loop timing (politeness + seen-set +
     checkpointing included)."""
     from img_spark.plans.crawl import CrawlConfig, Crawler

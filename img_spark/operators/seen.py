@@ -65,6 +65,35 @@ class CuckooFilter:
 
     def insert_hash(self, h: int) -> None:
         fp, i1, i2 = self._derive(h)
+        # deterministic eviction chain (no RNG → resumable/replayable)
+        self._place(fp, i1, i2)
+
+    def probe_and_insert(self, hashes) -> np.ndarray:
+        """For each 64-bit hash: True if NEW (inserted now), False if seen.
+        Duplicate hashes within the batch: first occurrence wins.
+
+        The (fp, i1, i2) derivation is vectorized over the batch; the
+        insert walk stays sequential (intra-batch duplicates must observe
+        earlier inserts)."""
+        hs = np.asarray(hashes, dtype=np.uint64)
+        out = np.zeros(len(hs), dtype=bool)
+        if not len(hs):
+            return out
+        fps = ((hs >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fps[fps == 0] = 1
+        i1s = (hs & self._mask).astype(np.int64)
+        i2s = ((i1s.astype(np.uint64)
+                ^ (fps.astype(np.uint64) * _MULT)) & self._mask).astype(np.int64)
+        table = self.table
+        for k in range(len(hs)):
+            fp, i1, i2 = fps[k], int(i1s[k]), int(i2s[k])
+            if (table[i1] == fp).any() or (table[i2] == fp).any():
+                continue
+            self._place(fp, i1, i2)
+            out[k] = True
+        return out
+
+    def _place(self, fp, i1: int, i2: int) -> None:
         for i in (i1, i2):
             row = self.table[i]
             empty = np.flatnonzero(row == 0)
@@ -72,7 +101,6 @@ class CuckooFilter:
                 row[empty[0]] = fp
                 self.count += 1
                 return
-        # deterministic eviction chain (no RNG → resumable/replayable)
         cur, i = fp, i1
         for kick in range(_MAX_KICKS):
             slot = kick & 3
@@ -88,17 +116,6 @@ class CuckooFilter:
             f"cuckoo filter full ({self.count}/{self.nbuckets * 4}); "
             "size the per-partition capacity for the expected frontier"
         )
-
-    def probe_and_insert(self, hashes) -> np.ndarray:
-        """For each 64-bit hash: True if NEW (inserted now), False if seen.
-        Duplicate hashes within the batch: first occurrence wins."""
-        out = np.zeros(len(hashes), dtype=bool)
-        for k, h in enumerate(hashes):
-            h = int(h)
-            if not self.contains_hash(h):
-                self.insert_hash(h)
-                out[k] = True
-        return out
 
     # -- persistence --------------------------------------------------
     def to_bytes(self) -> bytes:

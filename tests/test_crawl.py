@@ -228,3 +228,20 @@ def test_streaming_metrics(spark, crawl):
     assert rows["site-a.test"]["imgs"] == 18  # 6 gallery pages x 3 imgs
     assert rows["site-c.test"]["imgs"] == 4
     assert rows["site-a.test"]["last_generation"] == 7
+
+
+def test_partition_count_invariance(spark, crawl, tmp_path_factory):
+    """The crawl outcome is independent of the seen-set shard count:
+    partitions=2 must reproduce the partitions=8 run exactly."""
+    ckpt5 = tmp_path_factory.mktemp("ckpt_p2")
+    c5 = make_crawler(spark, ckpt5)
+    c5.cfg.partitions = 2
+    c5.run(seeds=FIXTURE_SEEDS)
+    assert c5.generation == crawl.generation
+    f1 = spark.read.parquet(
+        f"{crawl.cfg.checkpoint_dir}/frontier/g{crawl.generation}"
+    )
+    f5 = spark.read.parquet(f"{ckpt5}/frontier/g{c5.generation}")
+    assert {(r["url"], r["status"], r["generation"]) for r in f1.collect()} == {
+        (r["url"], r["status"], r["generation"]) for r in f5.collect()
+    }
