@@ -825,6 +825,7 @@ def all_queries():
         "downloads_sink": q_downloads,
         "content_type_name": q_content_type_name,
         "token_count_bpe": q_token_count_bpe,
+        "extract_css_style": q_css_style_extract,
     }
 
 
@@ -855,6 +856,7 @@ def all_oracles():
         "downloads_sink": SQL_DOWNLOADS,
         "content_type_name": SQL_CONTENT_TYPE_NAME,
         "token_count_bpe": SQL_TOKEN_COUNT_BPE,
+        "extract_css_style": SQL_CSS_STYLE_EXTRACT,
         # ann_lsh_topk / embedding_near_dups: engine-internal hyperplane
         # literals → rows-only check; recall pinned in tests/test_dataops.py
     }
@@ -978,4 +980,62 @@ SELECT doc_id,
   len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+'))
     AS n_bpe_tokens
 FROM documents
+"""
+
+
+def q_css_style_extract(spark, sf_dir):
+    """E3 (raw-CSS url(/image-set( scan, config-less pages) and E7
+    (style-attribute url() with entity quotes) through the full
+    extraction UDF; also exercises P6 font rejects and E4 cleanup."""
+    d = _docs(spark, sf_dir)
+    css_url = F.concat(F.lit("https://css"), (F.col("doc_id") % 10).cast("string"),
+                       F.lit(".test/p/"), _did())
+    css_html = F.concat(
+        F.lit("<html><head><title>CSS Page "), _did(),
+        F.lit('</title></head><body><style>.a{background:url("/bg/'), _did(),
+        F.lit('.png")} .b{background:image-set(url(/hi/'), _did(),
+        F.lit(".webp) 2x)} .f{src:url(/f/"), _did(),
+        F.lit(".woff2)}</style><p>x</p></body></html>"),
+    )
+    sty_url = F.concat(F.lit("https://sty"), (F.col("doc_id") % 10).cast("string"),
+                       F.lit(".test/p/"), _did())
+    sty_html = F.concat(
+        F.lit("<html><head><title>Style Page "), _did(),
+        F.lit('</title></head><body><div class="bg" style="background:url(&#39;/s/'),
+        _did(),
+        F.lit('.jpg&#39;) no-repeat"></div></body></html>'),
+    )
+    css_pages = d.select(
+        css_url.alias("url"), F.encode(css_html, "utf-8").alias("html"),
+        F.lit(None).cast("string").alias("img_sel"),
+        F.lit(None).cast("string").alias("next_sel"),
+        F.lit(None).cast("string").alias("album_sel"),
+    )
+    sty_pages = d.select(
+        sty_url.alias("url"), F.encode(sty_html, "utf-8").alias("html"),
+        F.lit("div.bg[style]").alias("img_sel"),
+        F.lit(None).cast("string").alias("next_sel"),
+        F.lit(None).cast("string").alias("album_sel"),
+    )
+    out = extract_pages(css_pages.unionByName(sty_pages))
+    return out.select(
+        F.col("url").alias("page_url"),
+        F.explode("imgs").alias("img_url"),
+        F.col("origins")[0].alias("origin"),
+    )
+
+
+SQL_CSS_STYLE_EXTRACT = """
+WITH d AS (SELECT doc_id, (doc_id % 10)::varchar AS k, doc_id::varchar AS i
+           FROM documents)
+SELECT page_url, img_url, origin FROM (
+  SELECT 'https://css' || k || '.test/p/' || i AS page_url,
+         'https://css' || k || '.test/bg/' || i || '.png' AS img_url,
+         'css' AS origin FROM d
+  UNION ALL
+  SELECT 'https://css' || k || '.test/p/' || i,
+         'https://css' || k || '.test/hi/' || i || '.webp', 'css' FROM d
+  UNION ALL
+  SELECT 'https://sty' || k || '.test/p/' || i,
+         'https://sty' || k || '.test/s/' || i || '.jpg', 'html' FROM d)
 """

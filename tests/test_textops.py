@@ -249,3 +249,14 @@ def test_rust_max_by_key_last_tie():
 
 def test_lossy_decode():
     assert lossy_decode(b"ok\xff\xfeok") == "ok��ok"
+
+
+def test_svg_sniff_expression_logic():
+    # S7 (main.rs:753-762): pure-python mirror of the expression logic
+    from img_spark.functions.textops import lossy_decode
+
+    def sniff(prefix: bytes):
+        return "svg" if "<svg" in lossy_decode(prefix)[:16] else None
+
+    assert sniff(b"<svg xmlns='x'>") == "svg"
+    assert sniff(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8) is None
