@@ -245,3 +245,29 @@ def test_partition_count_invariance(spark, crawl, tmp_path_factory):
     assert {(r["url"], r["status"], r["generation"]) for r in f1.collect()} == {
         (r["url"], r["status"], r["generation"]) for r in f5.collect()
     }
+
+
+def test_stateful_host_rate(spark, crawl):
+    """applyInPandasWithState over the extracted stream: managed per-host
+    state accumulates across micro-batches (update mode may emit one row
+    per batch per host — the final row per host carries the totals)."""
+    from pyspark.sql import functions as F2
+
+    from img_spark.streaming.stateful import run_available_now as run_state
+
+    name = run_state(spark, crawl.cfg.checkpoint_dir, "t_state")
+    final = {
+        r["host"]: r
+        for r in spark.sql(f"select * from {name}")
+        .groupBy("host")
+        .agg(
+            F2.max("total_pages").alias("p"),
+            F2.max("total_imgs").alias("i"),
+            F2.max("last_generation").alias("g"),
+        )
+        .collect()
+    }
+    assert final["site-a.test"]["p"] == 7
+    assert final["site-a.test"]["i"] == 18
+    assert final["site-a.test"]["g"] == 7
+    assert final["site-d.test"]["i"] == 2
