@@ -826,6 +826,7 @@ def all_queries():
         "content_type_name": q_content_type_name,
         "token_count_bpe": q_token_count_bpe,
         "extract_css_style": q_css_style_extract,
+        "extract_json": q_json_extract,
     }
 
 
@@ -857,6 +858,7 @@ def all_oracles():
         "content_type_name": SQL_CONTENT_TYPE_NAME,
         "token_count_bpe": SQL_TOKEN_COUNT_BPE,
         "extract_css_style": SQL_CSS_STYLE_EXTRACT,
+        "extract_json": SQL_JSON_EXTRACT,
         # ann_lsh_topk / embedding_near_dups: engine-internal hyperplane
         # literals → rows-only check; recall pinned in tests/test_dataops.py
     }
@@ -1038,4 +1040,57 @@ SELECT page_url, img_url, origin FROM (
   UNION ALL
   SELECT 'https://sty' || k || '.test/p/' || i,
          'https://sty' || k || '.test/s/' || i || '.jpg', 'html' FROM d)
+"""
+
+
+def q_json_extract(spark, sf_dir):
+    """E2 json-mode extraction (string-splitting, NOT a JSON parser),
+    metaKeywords title (E8 json path) and C3 <script> numeric pagination
+    through the full UDF."""
+    d = _docs(spark, sf_dir)
+    k = (F.col("doc_id") % 10).cast("string")
+    pnum = ((F.col("doc_id") % 5) + 1).cast("string")
+    page_url = F.concat(F.lit("https://js"), k, F.lit(".test/g/"), pnum)
+    html = F.concat(
+        F.lit("<html><head><title>ignored</title></head><body><script>"),
+        F.lit('var g = {photourl:"https:\\u002F\\u002Fcdn.test\\u002Fa'),
+        _did(),
+        F.lit('.jpg"};var h = {photourl:"https:\\u002F\\u002Fcdn.test\\u002Fb'),
+        _did(),
+        F.lit('.jpg"};</script><script>var metaKeywords = "x,Json Gallery '),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(' Long,y";</script></body></html>'),
+    )
+    pages = d.select(
+        page_url.alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+        F.lit("json: key | photourl").alias("img_sel"),
+        F.lit("<script>").alias("next_sel"),
+        F.lit(None).cast("string").alias("album_sel"),
+    )
+    out = extract_pages(pages)
+    return out.select(
+        F.col("url").alias("page_url"),
+        F.explode("imgs").alias("img_url"),
+        "title",
+        "next_url",
+    )
+
+
+SQL_JSON_EXTRACT = """
+WITH d AS (
+  SELECT doc_id,
+    'https://js' || (doc_id % 10)::varchar || '.test/g/' AS base,
+    ((doc_id % 5) + 1) AS p
+  FROM documents),
+pages AS (
+  SELECT doc_id, base || p::varchar AS page_url,
+    'Json Gallery ' || (doc_id % 50)::varchar || ' Long' AS title,
+    base || (p + 1)::varchar AS next_url
+  FROM d)
+SELECT page_url, 'https://cdn.test/a' || doc_id::varchar || '.jpg' AS img_url,
+       title, next_url FROM pages
+UNION ALL
+SELECT page_url, 'https://cdn.test/b' || doc_id::varchar || '.jpg',
+       title, next_url FROM pages
 """
