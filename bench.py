@@ -260,7 +260,7 @@ def run_scaling():
 
 Same job (pages scan → site-config attach → Arrow extraction UDF →
 counters) on the SAME input ({results[8]['pages']} synthesized pages,
-deterministic seed=42 generator) at three parallelism levels:
+deterministic crc32-derived generator) at three parallelism levels:
 
 | level | wall sec | urls/sec |
 |---|---|---|

@@ -252,10 +252,11 @@ def content_type_to_name(name: str, content_type: str) -> str:
         else:
             end = len(ctx)
         ext = ctx[:end]
-        if ext and not name.endswith(f".{ext}"):
+        # an EMPTY ext still yields "name." (main.rs:723-727: name_ext is
+        # non-empty, so the ".ext!" fallback at main.rs:730-733 never runs)
+        if not name.endswith(f".{ext}"):
             return f"{name}.{ext}"
-        if ext:
-            return name
+        return name
     return f"{name}.ext!"
 
 

@@ -59,7 +59,10 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
 
 
 def gram_hashes(text: Column, n: int = 3) -> Column:
-    return F.transform(word_ngrams(text, n), h32)
+    # distinct applied to the HASHES (not just the gram strings) so an
+    # intra-document h32 collision cannot skew na/nb/jaccard — and so the
+    # DuckDB oracle (list_distinct over hashes) matches term-for-term
+    return F.array_distinct(F.transform(word_ngrams(text, n), h32))
 
 
 # ---------------------------------------------------------------- exact
@@ -200,15 +203,18 @@ def minhash_dedup(
         F.col(id_col).alias("doc_id"),
         gram_hashes(F.col(text_col)).alias("ghs"),
     )
+    # grams is CORPUS-sized — never broadcast it (a broadcast of per-doc
+    # gram arrays cannot fit at 100 TB). Shuffle-join the candidate-pair
+    # table against grams on doc id instead: each join shuffles the pair
+    # table + one pass of id-keyed gram arrays, both linear; AQE still
+    # downgrades to a broadcast at test scale when grams is tiny.
     ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("ghs").alias("ga"))
     gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("ghs").alias("gb"))
     inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
     union = F.size("ga") + F.size("gb") - inter
-    # grams is corpus-sized (small next to the candidate-pair set):
-    # broadcast both sides so the pair table never shuffles its arrays
     return (
-        cand.join(F.broadcast(ga), "doc_a")
-        .join(F.broadcast(gb), "doc_b")
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
         .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

@@ -76,14 +76,19 @@ def dispatch_top_k(
     batch_window_s: float = 60.0,
 ) -> DataFrame:
     """Adds ``dispatch`` boolean: the per-host top-K by DFS path order.
-    A row-level ``crawl_delay`` (from robots) caps the host budget at
-    ``batch_window_s / delay``; rows beyond the budget stay pending and
-    keep their path priority (carry-over, SURVEY.md §4.3)."""
+    A row-level ``crawl_delay`` (from robots) CAPS the host budget at
+    ``batch_window_s / delay`` (floored at 1) — a robots throttle can
+    only lower the dispatch rate, never raise it above ``host_budget``;
+    rows beyond the budget stay pending and keep their path priority
+    (carry-over, SURVEY.md §4.3)."""
     budget = F.when(
         F.col("crawl_delay") > 0,
-        F.greatest(
-            F.lit(1),
-            F.floor(F.lit(batch_window_s) / F.col("crawl_delay")).cast("int"),
+        F.least(
+            F.lit(host_budget),
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(batch_window_s) / F.col("crawl_delay")).cast("int"),
+            ),
         ),
     ).otherwise(F.lit(host_budget))
     w = Window.partitionBy("host").orderBy("path", "url")

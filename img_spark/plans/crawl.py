@@ -390,6 +390,14 @@ class Crawler:
         except Exception:
             new = probe
         new_list = [r["url_canon"] for r in new.select("url_canon").distinct().collect()]
+        # hard cap: exact mode is the TEST-SCALE oracle backstop; a real
+        # crawl must run seen_mode='cuckoo' (no driver-side collect)
+        if len(new_list) > 1_000_000:
+            raise RuntimeError(
+                f"seen_mode='exact' collected {len(new_list)} URLs to the "
+                "driver — this mode is a test-scale oracle; use "
+                "seen_mode='cuckoo' for production crawls"
+            )
         if new_list:
             self.spark.createDataFrame(
                 [(u,) for u in new_list], "seen_url string"

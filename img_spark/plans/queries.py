@@ -297,7 +297,7 @@ def q_politeness_topk(spark, sf_dir):
         F.concat(F.lit("u"), F.col("o_orderkey").cast("string")).alias("url"),
         F.concat(F.lit("h"), (F.col("o_custkey") % 25).cast("string")).alias("host"),
         F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("path"),
-        F.when(F.col("o_custkey") % 3 == 0, F.lit(5.0)).otherwise(F.lit(0.0)).alias(
+        F.when(F.col("o_custkey") % 3 == 0, F.lit(40.0)).otherwise(F.lit(0.0)).alias(
             "crawl_delay"
         ),
     )
@@ -311,14 +311,15 @@ WITH pend AS (
   SELECT 'u' || o_orderkey::varchar AS url,
          'h' || (o_custkey % 25)::varchar AS host,
          lpad(o_orderkey::varchar, 10, '0') AS path,
-         CASE WHEN o_custkey % 3 = 0 THEN 5.0 ELSE 0.0 END AS crawl_delay
+         CASE WHEN o_custkey % 3 = 0 THEN 40.0 ELSE 0.0 END AS crawl_delay
   FROM orders),
 r AS (
   SELECT *, row_number() OVER (PARTITION BY host ORDER BY path, url) AS rn
   FROM pend)
 SELECT url, host,
   rn <= (CASE WHEN crawl_delay > 0
-              THEN greatest(1, floor(60.0/crawl_delay)::int) ELSE 2 END) AS dispatch
+              THEN least(2, greatest(1, floor(60.0/crawl_delay)::int))
+              ELSE 2 END) AS dispatch
 FROM r
 """
 
@@ -911,9 +912,10 @@ def q_content_type_name(spark, sf_dir):
     as a portable expression."""
     name = F.concat(F.lit("pic"), _did())
     ctype = (
-        F.when(F.col("doc_id") % 4 == 0, F.lit("image/jpeg"))
-        .when(F.col("doc_id") % 4 == 1, F.lit("image/svg+xml"))
-        .when(F.col("doc_id") % 4 == 2, F.lit("image/png;charset=x"))
+        F.when(F.col("doc_id") % 5 == 0, F.lit("image/jpeg"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("image/svg+xml"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("image/png;charset=x"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("image/+xml"))  # empty ext
         .otherwise(F.lit("text/html"))
     )
     pos_plus = F.instr(F.substring_index(ctype, "image/", -1), "+")
@@ -928,8 +930,9 @@ def q_content_type_name(spark, sf_dir):
         .otherwise(F.length(ctx))
     )
     ext = F.substring(ctx, F.lit(1), cut)
+    # empty ext still yields "name." (main.rs:723-727) — no ".ext!" fallback
     fname = F.when(
-        ctype.contains("image/") & (ext != ""),
+        ctype.contains("image/"),
         F.when(
             ~name.endswith(F.concat(F.lit("."), ext)),
             F.concat(name, F.lit("."), ext),
@@ -943,8 +946,9 @@ def q_content_type_name(spark, sf_dir):
 SQL_CONTENT_TYPE_NAME = """
 WITH c AS (
   SELECT doc_id, 'pic' || doc_id::varchar AS name,
-    CASE doc_id % 4 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/svg+xml'
-      WHEN 2 THEN 'image/png;charset=x' ELSE 'text/html' END AS content_type
+    CASE doc_id % 5 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/svg+xml'
+      WHEN 2 THEN 'image/png;charset=x' WHEN 3 THEN 'image/+xml'
+      ELSE 'text/html' END AS content_type
   FROM documents),
 x AS (
   SELECT doc_id, name, content_type,
@@ -960,7 +964,7 @@ e AS (
          ELSE ctx END AS ext
   FROM x)
 SELECT doc_id, content_type,
-  CASE WHEN ext IS NOT NULL AND ext <> ''
+  CASE WHEN ext IS NOT NULL
        THEN (CASE WHEN NOT ends_with(name, '.' || ext)
                   THEN name || '.' || ext ELSE name END)
        ELSE name || '.ext!' END AS filename

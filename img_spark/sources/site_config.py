@@ -85,7 +85,11 @@ def attach_site_config(frontier: DataFrame, config_rows: list) -> DataFrame:
     broadcast nested-loop join would only win if the config had far more
     domains than codegen tolerates (~thousands).
     """
-    host = F.rtrim(F.col("host"))
+    # Rust host.trim_end() strips all trailing whitespace (main.rs:74);
+    # F.rtrim strips spaces only, so a trailing tab/newline would miss.
+    # \s+ here is ASCII whitespace — covers every char a URL host can
+    # realistically carry.
+    host = F.regexp_replace(F.col("host"), "\\s+$", "")
     cfg_type = "struct<img_sel:string,next_sel:string,album_sel:string>"
     sel_struct = F.lit(None).cast(cfg_type)
     # fold right-to-left so the lowest config_order is the outermost WHEN

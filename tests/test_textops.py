@@ -176,6 +176,11 @@ def test_content_type_to_name():
     assert content_type_to_name("pic", "image/svg+xml") == "pic.svg"
     assert content_type_to_name("pic.png", "image/png") == "pic.png"
     assert content_type_to_name("pic", "text/html") == "pic.ext!"
+    # empty parsed ext: reference yields "name." (name_ext non-empty at
+    # main.rs:723-727, so the ".ext!" fallback never runs)
+    assert content_type_to_name("pic", "image/+xml") == "pic."
+    assert content_type_to_name("pic", "image/;charset=x") == "pic."
+    assert content_type_to_name("pic.", "image/;charset=x") == "pic."
 
 
 def test_dir_name():
