@@ -114,7 +114,7 @@ def parse_throughput(spark, corpus_path: str, limit: int | None = None,
 def crawl_generations(spark, n_hosts=64, albums=16, ppa=6):
     """Multi-generation frontier loop timing (politeness + seen-set +
     checkpointing included)."""
-    from img_spark.plans.crawl import CrawlConfig, Crawler
+    from img_spark.plans.crawl import CrawlConfig, Crawler, read_frontier
     from img_spark.operators.politeness import robots_df
     from img_spark.sources.site_config import rows_from_config
     from img_spark.sources.synthweb import (
@@ -137,7 +137,7 @@ def crawl_generations(spark, n_hosts=64, albums=16, ppa=6):
     t0 = time.time()
     c.run(seeds=bench_seeds(n_hosts), max_generations=ppa + 3)
     dt = time.time() - t0
-    frontier = spark.read.parquet(f"{ckpt}/frontier/g{c.generation}")
+    frontier = read_frontier(spark, ckpt, c.generation)
     from pyspark.sql import functions as F
 
     fetched = frontier.filter(F.col("status") == "fetched").count()

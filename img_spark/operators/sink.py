@@ -79,3 +79,42 @@ def svg_sniff(html_prefix: F.Column) -> F.Column:
         F.substring(html_prefix.cast("string"), 1, 16).contains("<svg"),
         F.lit("svg"),
     )
+
+
+# S7 full table (the reference's optional `infer`-crate path,
+# main.rs:739-766, feature "infer"): magic-number → extension for the
+# image formats the crawler actually downloads. Pure JVM expression
+# over the first 16 bytes — byte-compare via hex so no charset issues.
+_MAGIC_PREFIXES = [
+    ("FFD8FF", "jpg"),
+    ("89504E470D0A1A0A", "png"),
+    ("474946383761", "gif"),   # GIF87a
+    ("474946383961", "gif"),   # GIF89a
+    ("424D", "bmp"),
+    ("49492A00", "tif"),
+    ("4D4D002A", "tif"),
+    ("00000100", "ico"),
+]
+
+
+def magic_extension(bin_col: F.Column) -> F.Column:
+    """S7 magic-number type inference (main.rs:739-766): map the first
+    16 bytes of a downloaded blob to a file extension; unknown binaries
+    fall back to the in-code '<svg' text sniff, then '' (the reference
+    renames to an empty extension, main.rs:755-760)."""
+    hx = F.hex(F.substring(bin_col, 1, 16))
+    out = F.coalesce(svg_sniff(bin_col), F.lit(""))
+    # fold right-to-left; containers (RIFF/ftyp) probed before the
+    # plain prefixes would shadow them, so add them last (outermost)
+    for prefix, ext in reversed(_MAGIC_PREFIXES):
+        out = F.when(hx.startswith(prefix), F.lit(ext)).otherwise(out)
+    riff_webp = hx.startswith("52494646") & (
+        F.substring(hx, 17, 8) == "57454250"  # "WEBP" at byte 8
+    )
+    # "ftypavif" at byte 4 (ISO-BMFF brand)
+    avif = F.substring(hx, 9, 16) == "6674797061766966"
+    return (
+        F.when(riff_webp, F.lit("webp"))
+        .when(avif, F.lit("avif"))
+        .otherwise(out)
+    )

@@ -7,6 +7,20 @@ generation is instead a deterministic batch over append-only state with
 an atomic manifest commit — the same exactly-once/resume semantics,
 without fighting the framework.
 
+Frontier storage is LOG-STRUCTURED (the scale-critical design): each
+generation writes ONE status-partitioned directory ``frontier/g{g}``
+holding only that generation's live state — the rewritten pending set
+(``status=pending``, shrinks as the crawl drains) plus the terminal
+deltas of this generation (fetched / fetch_failed / duplicate /
+disallowed / rejected subdirs, append-only history). Terminal rows are
+never rewritten: per-generation I/O is O(pending + delta), not O(total
+frontier) — at 10^10 URLs a full-history snapshot rewrite would be
+O(F·G) total I/O and dominate the crawl. The loop reads ONLY the
+``status=pending`` subdir of the previous generation (path-level
+partition pruning); ``read_frontier`` reconstructs the full historical
+view (tests / analytics only). Status counts come from parquet footers
+(zero Spark jobs) and accumulate in the manifest.
+
 Per generation g:
  1. pending rows → per-host top-K dispatch (politeness window over DFS
     ``path`` order — the one frontier-sized shuffle; same shape as a
@@ -20,8 +34,9 @@ Per generation g:
  5. discovered next/album URLs → robots check (broadcast) → partitioned
     cuckoo-filter probe+insert (groupBy salt, one filter blob per salt,
     persisted per generation = per-partition lineage);
- 6. atomic manifest commit (frontier snapshot, seen blobs, extracted
-    delta, per-host + per-partition metrics); resume from any manifest.
+ 6. atomic manifest commit (pending snapshot, terminal-status delta,
+    seen blobs, extracted delta, per-host metrics, cumulative status
+    totals); resume from any manifest.
 
 DFS ordering parity (SURVEY.md §7.5): every frontier row carries ``path``
 = parent path + 8-hex-digit child sequence (albums in document order,
@@ -51,8 +66,49 @@ FRONTIER_DDL = (
     " parent_url string, kind string, status string, generation int,"
     " crawl_delay double"
 )
+# physical schema inside a status=... partition dir (status is the
+# partition column, not in the files)
+_DDL_NO_STATUS = (
+    "url string, url_canon string, host string, depth int, path string,"
+    " parent_url string, kind string, generation int, crawl_delay double"
+)
 
 SEP = " | "
+
+
+def read_pending(spark: SparkSession, checkpoint_dir: str, generation: int) -> DataFrame:
+    """The live pending set at a generation: just the ``status=pending``
+    subdir of that generation's state directory (path-level pruning —
+    the terminal history is never opened)."""
+    p = os.path.join(
+        checkpoint_dir, "frontier", f"g{generation}", "status=pending"
+    )
+    if not os.path.isdir(p):  # crawl drained: no pending partition
+        return spark.createDataFrame([], FRONTIER_DDL)
+    return (
+        spark.read.schema(_DDL_NO_STATUS)
+        .parquet(p)
+        .withColumn("status", F.lit("pending"))
+        .select(*_frontier_cols())
+    )
+
+
+def read_frontier(spark: SparkSession, checkpoint_dir: str, generation: int) -> DataFrame:
+    """Reconstruct the FULL frontier view at a generation: the current
+    pending snapshot plus every generation's terminal-status delta. For
+    tests and offline analytics — the crawl loop itself never reads
+    history."""
+    out = read_pending(spark, checkpoint_dir, generation)
+    for g in range(generation + 1):
+        p = os.path.join(checkpoint_dir, "frontier", f"g{g}")
+        if os.path.isdir(p):
+            out = out.unionByName(
+                spark.read.schema(FRONTIER_DDL)
+                .parquet(p)
+                .filter(F.col("status") != "pending")
+                .select(*_frontier_cols())
+            )
+    return out
 
 
 @dataclass
@@ -83,6 +139,9 @@ class Crawler:
         self.cfg = cfg
         self.generation = -1
         self.seen_blobs: dict = {}  # salt -> blob path (latest version)
+        # cumulative terminal-status counts (committed state only — a
+        # retried generation recomputes from here, never double-counts)
+        self.status_totals: dict = {}
         self.has_two_level = any(
             isinstance(r[2], str) and SEP in r[2] and not r[2].startswith("json:")
             for r in config_rows
@@ -126,16 +185,20 @@ class Crawler:
             .when(~F.col("is_new"), F.lit("duplicate"))
             .otherwise(F.lit("pending")),
         ).select(*_frontier_cols())
-        self._write_frontier(frontier, 0)
+        self._write_state(frontier, 0)
         self._refresh_seen_blobs(0)
-        self._commit_manifest(0, {"seeds": len(seeds)})
+        stats = self._commit_generation(0, {"seeds": len(seeds)})
         self.generation = 0
+        return stats
 
     # ---------------------------------------------------------------- step
     def step(self) -> dict:
         g = self.generation + 1
-        frontier = self.spark.read.parquet(self._p("frontier", f"g{self.generation}"))
-        pending = frontier.filter(F.col("status") == "pending")
+        # only the status=pending subdir of the previous generation is
+        # opened — the terminal-status history is never touched
+        pending = read_pending(
+            self.spark, self.cfg.checkpoint_dir, self.generation
+        )
         marked = dispatch_top_k(
             pending, self.cfg.host_budget, self.cfg.batch_window_s
         )
@@ -186,7 +249,9 @@ class Crawler:
         from img_spark.operators.sink import with_download_columns
 
         extracted = with_download_columns(extracted)
+        t0 = time.time()
         extracted.write.mode("overwrite").parquet(self._p("extracted", f"g{g}"))
+        t_extract = time.time() - t0
 
         # ---- discovered candidates: albums (doc order) then next
         albums = results.select(
@@ -235,7 +300,7 @@ class Crawler:
             .otherwise(F.lit("pending")),
         ).select(*_frontier_cols())
 
-        # ---- new frontier snapshot
+        # ---- pending snapshot (rewritten, shrinks) + terminal delta (append)
         done = results.select(
             "url",
             F.col("url").alias("url_canon"),
@@ -254,14 +319,18 @@ class Crawler:
                 "crawl_delay",
             )
         )
-        rest = frontier.filter(F.col("status") != "pending")
-        new_frontier = (
+        # ONE status-partitioned write per generation: rewritten pending
+        # (held + newly discovered) + this generation's terminal delta
+        # (done already unions the fetch_failed rows). History ('rest')
+        # is NOT rewritten — it lives in earlier generations' dirs.
+        state = (
             held.select(*_frontier_cols())
             .unionByName(done.select(*_frontier_cols()))
             .unionByName(new_rows)
-            .unionByName(rest.select(*_frontier_cols()))
         )
-        self._write_frontier(new_frontier, g)
+        t0 = time.time()
+        self._write_state(state, g)
+        t_state = time.time() - t0
         self._refresh_seen_blobs(g)
 
         # ---- per-host metrics (lineage)
@@ -280,21 +349,48 @@ class Crawler:
         ).join(fail_counts, "host", "outer").fillna(
             0, ["dispatched", "fetch_failed"]
         ).withColumn("generation", F.lit(g))
+        t0 = time.time()
         metrics.write.mode("overwrite").parquet(self._p("metrics", f"g{g}"))
+        t_metrics = time.time() - t0
 
-        stats = self._frontier_status_counts(g)
         results.unpersist()
-        self._commit_manifest(g, {"frontier_status": stats})
+        # per-phase wall times ride in the manifest (S8 lineage + the
+        # feedback loop for tuning per-generation overhead)
+        self.last_step_times = {
+            "extract": round(t_extract, 3),
+            "state": round(t_state, 3),
+            "metrics": round(t_metrics, 3),
+        }
+        stats = self._commit_generation(g, {"step_times": self.last_step_times})
         self.generation = g
         return stats
 
-    def _frontier_status_counts(self, g: int) -> dict:
-        """Status histogram straight from the parquet footers of the
-        status-partitioned snapshot — zero Spark jobs."""
+    def _commit_generation(self, g: int, extra: dict) -> dict:
+        """Fold this generation's terminal delta into the cumulative
+        status totals (parquet footers — zero Spark jobs), commit the
+        manifest atomically, THEN publish the totals. A retried
+        generation recomputes from the last committed totals."""
+        counts = self._state_counts(g)
+        pending = counts.pop("pending", 0)
+        totals = dict(self.status_totals)
+        for status, n in counts.items():
+            totals[status] = totals.get(status, 0) + n
+        stats = dict(totals)
+        if pending:
+            stats["pending"] = pending
+        self._commit_manifest(g, {"frontier_status": stats, **extra})
+        self.status_totals = totals
+        return stats
+
+    def _state_counts(self, g: int) -> dict:
+        """Per-status row counts of one generation's state dir (pending
+        snapshot + terminal delta), straight from parquet footers."""
         import pyarrow.parquet as pq
 
         base = self._p("frontier", f"g{g}")
         out: dict = {}
+        if not os.path.isdir(base):
+            return out
         for entry in os.listdir(base):
             if not entry.startswith("status="):
                 continue
@@ -411,9 +507,11 @@ class Crawler:
         return out.unionByName(skip).drop("h64", "salt")
 
     # ---------------------------------------------------------------- io
-    def _write_frontier(self, df: DataFrame, g: int) -> None:
-        # snapshot partitioned by status so the next generation's
-        # pending-scan prunes fetched/duplicate rows at the source
+    def _write_state(self, df: DataFrame, g: int) -> None:
+        """One status-partitioned write per generation: the rewritten
+        pending set + this generation's terminal delta. 'overwrite'
+        keeps a retried generation idempotent; history lives in earlier
+        generations' dirs and is never rewritten."""
         df.write.mode("overwrite").partitionBy("status").parquet(
             self._p("frontier", f"g{g}")
         )
@@ -446,7 +544,17 @@ class Crawler:
             m = json.load(f)
         self.generation = g
         self.seen_blobs = m["seen_blobs"]
+        self.status_totals = {
+            k: v
+            for k, v in m.get("frontier_status", {}).items()
+            if k != "pending"
+        }
         return g
+
+    def frontier_df(self) -> DataFrame:
+        """Full frontier view at the current generation (see
+        ``read_frontier``)."""
+        return read_frontier(self.spark, self.cfg.checkpoint_dir, self.generation)
 
 
 def _frontier_cols():

@@ -729,16 +729,88 @@ SELECT query_id, corpus_id, sim, rank FROM r WHERE rank <= 3
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    """LSH-bucketed cosine near-dups (rows-only check: the hyperplane
-    literals are engine-internal; recall is pinned by pytest)."""
-    return similarity.embedding_near_dups(
-        _emb(spark, sf_dir), threshold=0.9
+    """LSH-bucketed cosine near-dup pairs. The corpus is the embeddings
+    table plus planted exact duplicates (every 20th vector re-appears as
+    vec_id+1000000) so the check always exercises non-empty output; the
+    oracle reproduces the hyperplane bucketing bit-for-bit from the same
+    md5-derived plane literals."""
+    emb = _emb(spark, sf_dir)
+    dup = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
     )
+    corpus = emb.select("vec_id", "embedding").unionByName(dup)
+    return similarity.embedding_near_dups(corpus, threshold=0.9)
 
 
 def q_lsh_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+# ---- LSH oracle plumbing: the hyperplanes are md5-derived literals
+# (similarity._planes), so DuckDB can recompute the SAME buckets. The
+# sign test needs BIT-EXACT dot products → the SQL spells the fold out
+# as a left-associated chain, matching F.aggregate's accumulation order
+# (float→double cast on both sides, IEEE-identical thereafter).
+
+def _sql_dot_chain(vcol: str, plane: list) -> str:
+    terms = " + ".join(
+        f"{vcol}[{i + 1}]*({w!r})" for i, w in enumerate(plane)
+    )
+    return f"(0.0 + {terms})"
+
+
+def _sql_bucket_expr(vcol: str, n_planes: int = 8, dim: int = 64) -> str:
+    planes = similarity._planes(n_planes, dim)
+    parts = [
+        f"(CASE WHEN {_sql_dot_chain(vcol, plane)} > 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+_SQL_COS = """round(
+      list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))
+      / (sqrt(list_sum(list_transform({a}, x -> x*x)))
+         * sqrt(list_sum(list_transform({b}, x -> x*x)))), 6)"""
+
+
+def _sql_lsh_topk():
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+  FROM embeddings),
+b AS (SELECT vec_id, v, {_sql_bucket_expr('v')} AS bucket FROM e),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         {_SQL_COS.format(a='c.v', b='q.v')} AS sim
+  FROM b c JOIN b q ON c.bucket = q.bucket
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, corpus_id) AS rank
+  FROM s)
+SELECT query_id, corpus_id, sim, rank FROM r WHERE rank <= 3
+"""
+
+
+def _sql_embedding_near_dups():
+    return f"""
+WITH e0 AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+  FROM embeddings),
+e AS (
+  SELECT vec_id, v FROM e0
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, v FROM e0 WHERE vec_id % 20 = 0),
+b AS (SELECT vec_id, v, {_sql_bucket_expr('v')} AS bucket FROM e),
+p AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         {_SQL_COS.format(a='a.v', b='c.v')} AS sim
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+SELECT DISTINCT id_a, id_b, sim FROM p WHERE sim >= 0.9
+"""
 
 
 # =====================================================================
@@ -751,7 +823,7 @@ def q_crawl_fixture(spark, sf_dir):
     hand-derived reference DFS golden (SURVEY.md §7.5)."""
     import tempfile
 
-    from img_spark.plans.crawl import CrawlConfig, Crawler
+    from img_spark.plans.crawl import CrawlConfig, Crawler, read_frontier
     from img_spark.operators.politeness import robots_df as _rdf
     from img_spark.sources.site_config import rows_from_config
     from img_spark.sources.synthweb import (
@@ -767,7 +839,7 @@ def q_crawl_fixture(spark, sf_dir):
         CrawlConfig(checkpoint_dir=ckpt, partitions=8),
     )
     c.run(seeds=FIXTURE_SEEDS)
-    frontier = spark.read.parquet(f"{ckpt}/frontier/g{c.generation}")
+    frontier = read_frontier(spark, ckpt, c.generation)
     return frontier.filter(
         F.col("status").isin("fetched", "disallowed", "fetch_failed")
     ).select("url", "status", F.col("generation").cast("int").alias("fetch_gen"))
@@ -828,6 +900,12 @@ def all_queries():
         "token_count_bpe": q_token_count_bpe,
         "extract_css_style": q_css_style_extract,
         "extract_json": q_json_extract,
+        "extract_redirect_cleanup": q_redirect_cleanup,
+        "extract_two_level": q_two_level,
+        "embed_dup_counts": q_embed_dup_counts,
+        "metrics_rollup": q_metrics_rollup,
+        "percent_encode": q_percent_encode,
+        "magic_sniff": q_magic_sniff,
     }
 
 
@@ -854,14 +932,20 @@ def all_oracles():
         "simhash": _sql_simhash(),
         "simhash_near_dups": _sql_simhash_near_dups(),
         "ann_cosine_topk": SQL_ANN_COSINE,
+        "ann_lsh_topk": _sql_lsh_topk(),
+        "embedding_near_dups": _sql_embedding_near_dups(),
         "crawl_fixture": SQL_CRAWL_FIXTURE,
         "downloads_sink": SQL_DOWNLOADS,
         "content_type_name": SQL_CONTENT_TYPE_NAME,
         "token_count_bpe": SQL_TOKEN_COUNT_BPE,
         "extract_css_style": SQL_CSS_STYLE_EXTRACT,
         "extract_json": SQL_JSON_EXTRACT,
-        # ann_lsh_topk / embedding_near_dups: engine-internal hyperplane
-        # literals → rows-only check; recall pinned in tests/test_dataops.py
+        "extract_redirect_cleanup": SQL_REDIRECT_CLEANUP,
+        "extract_two_level": SQL_TWO_LEVEL,
+        "embed_dup_counts": SQL_EMBED_DUP_COUNTS,
+        "metrics_rollup": SQL_METRICS_ROLLUP,
+        "percent_encode": SQL_PERCENT_ENCODE,
+        "magic_sniff": SQL_MAGIC_SNIFF,
     }
 
 
@@ -1097,4 +1181,232 @@ SELECT page_url, 'https://cdn.test/a' || doc_id::varchar || '.jpg' AS img_url,
 UNION ALL
 SELECT page_url, 'https://cdn.test/b' || doc_id::varchar || '.jpg',
        title, next_url FROM pages
+"""
+
+
+def q_redirect_cleanup(spark, sf_dir):
+    """E5 redirect/query URL cleanup (main.rs:985-1003) through the full
+    extraction UDF on config-less pages (the single-level path is the
+    only one that applies the cleanup, main.rs:298-302): percent-decode,
+    ?url= unwrap, two-stage query truncation."""
+    d = _docs(spark, sf_dir)
+    k = (F.col("doc_id") % 10).cast("string")
+    page_url = F.concat(F.lit("https://r"), k, F.lit(".test/p/"), _did())
+    html = F.concat(
+        F.lit("<html><head><title>R "), _did(), F.lit(" Cleanup</title>"),
+        F.lit('</head><body><img src="https://cdn.test/i'), _did(),
+        F.lit('.jpg?a=1&b=2">'),
+        F.lit('<img src="/redir%2Fx?url=https://deep.test/d'), _did(),
+        F.lit('.png">'),
+        F.lit('<img src="deep/e'), _did(), F.lit('.gif?x=9">'),
+        F.lit("</body></html>"),
+    )
+    pages = d.select(
+        page_url.alias("url"), F.encode(html, "utf-8").alias("html"),
+        F.lit(None).cast("string").alias("img_sel"),
+        F.lit(None).cast("string").alias("next_sel"),
+        F.lit(None).cast("string").alias("album_sel"),
+    )
+    out = extract_pages(pages)
+    return out.select(
+        F.col("url").alias("page_url"), F.explode("imgs").alias("img_url")
+    )
+
+
+# src1: query truncated at the '&' after the first '?' (main.rs:990-992)
+# src2: %2F decoded, trailing ?url= redirect unwrapped (main.rs:986-988)
+# src3: no '&' after '?' and none after the last-segment '.' → kept whole
+SQL_REDIRECT_CLEANUP = """
+WITH d AS (SELECT doc_id, (doc_id % 10)::varchar AS k, doc_id::varchar AS i
+           FROM documents)
+SELECT page_url, img_url FROM (
+  SELECT 'https://r' || k || '.test/p/' || i AS page_url,
+         'https://cdn.test/i' || i || '.jpg?a=1' AS img_url FROM d
+  UNION ALL
+  SELECT 'https://r' || k || '.test/p/' || i,
+         'https://deep.test/d' || i || '.png' FROM d
+  UNION ALL
+  SELECT 'https://r' || k || '.test/p/' || i,
+         'https://r' || k || '.test/p/deep/e' || i || '.gif?x=9' FROM d)
+"""
+
+
+def q_two_level(spark, sf_dir):
+    """E9/P7 two-level selector pass (main.rs:325-364): first-level URLs
+    re-fetched, right selector applied, title/alt suffix whitelisted by
+    image extension (P7, main.rs:346), canonicalized against the ORIGINAL
+    page address."""
+    from img_spark.operators.extract_udf import resolve_second_level
+
+    d = _docs(spark, sf_dir)
+    k = (F.col("doc_id") % 10).cast("string")
+    base = F.concat(F.lit("https://tw"), k, F.lit(".test"))
+    l1_url = F.concat(base, F.lit("/g/"), _did())
+    l1_html = F.concat(
+        F.lit("<html><head><title>Two "), _did(), F.lit("</title></head>"),
+        F.lit('<body><div class="gal"><img src="/m/'), _did(),
+        F.lit('a"><img src="/m/'), _did(), F.lit('b"></div></body></html>'),
+    )
+    l2a_url = F.concat(base, F.lit("/m/"), _did(), F.lit("a"))
+    l2a_html = F.concat(
+        F.lit('<html><body><img class="big" src="/full/'), _did(),
+        F.lit('a.jpg" title="Pretty '), _did(), F.lit('.JPG">'),
+        F.lit('<img class="big" src="/full/'), _did(),
+        F.lit('x.png" alt="plain"></body></html>'),
+    )
+    l2b_url = F.concat(base, F.lit("/m/"), _did(), F.lit("b"))
+    l2b_html = F.concat(
+        F.lit('<html><body><img class="big" src="/full/'), _did(),
+        F.lit('b.webp" alt="B'), _did(), F.lit('.webp"></body></html>'),
+    )
+    l1 = d.select(
+        l1_url.alias("url"), F.encode(l1_html, "utf-8").alias("html"),
+        F.lit("div.gal img | img.big").alias("img_sel"),
+        F.lit(None).cast("string").alias("next_sel"),
+        F.lit(None).cast("string").alias("album_sel"),
+    )
+    pages = d.select(
+        l2a_url.alias("url"), F.encode(l2a_html, "utf-8").alias("html")
+    ).unionByName(
+        d.select(l2b_url.alias("url"), F.encode(l2b_html, "utf-8").alias("html"))
+    )
+    out = resolve_second_level(extract_pages(l1), pages)
+    return out.select(
+        F.col("url").alias("page_url"), F.explode("imgs").alias("img_url")
+    )
+
+
+SQL_TWO_LEVEL = """
+WITH d AS (SELECT doc_id, (doc_id % 10)::varchar AS k, doc_id::varchar AS i
+           FROM documents)
+SELECT page_url, img_url FROM (
+  SELECT 'https://tw' || k || '.test/g/' || i AS page_url,
+         'https://tw' || k || '.test/full/' || i || 'a.jpg | Pretty ' || i || '.JPG' AS img_url
+  FROM d
+  UNION ALL
+  SELECT 'https://tw' || k || '.test/g/' || i,
+         'https://tw' || k || '.test/full/' || i || 'x.png' FROM d
+  UNION ALL
+  SELECT 'https://tw' || k || '.test/g/' || i,
+         'https://tw' || k || '.test/full/' || i || 'b.webp | B' || i || '.webp' FROM d)
+"""
+
+
+def q_embed_dup_counts(spark, sf_dir):
+    """P5/S5/D1 counters through the UDF: data:image embeds counted,
+    never emitted (default build, main.rs:289-296); per-page URL dedup
+    and missing-src hits land in empty_dup (main.rs:216-245)."""
+    d = _docs(spark, sf_dir)
+    k = (F.col("doc_id") % 10).cast("string")
+    page_url = F.concat(F.lit("https://em"), k, F.lit(".test/p/"), _did())
+    html = F.concat(
+        F.lit("<html><head><title>Embed "), _did(), F.lit("</title></head>"),
+        F.lit('<body><img src="data:image/png;base64,AA">'),
+        F.lit('<img src="data:image/gif;base64,BB">'),
+        F.lit('<img src="/i/'), _did(), F.lit('.jpg">'),
+        F.lit('<img src="/i/'), _did(), F.lit('.jpg">'),
+        F.lit('<img data-x="1"></body></html>'),
+    )
+    pages = d.select(
+        page_url.alias("url"), F.encode(html, "utf-8").alias("html"),
+        F.lit(None).cast("string").alias("img_sel"),
+        F.lit(None).cast("string").alias("next_sel"),
+        F.lit(None).cast("string").alias("album_sel"),
+    )
+    out = extract_pages(pages)
+    return out.select(
+        F.col("url").alias("page_url"),
+        F.size("imgs").alias("n_imgs"),
+        "empty_dup",
+        "embed",
+        "imgs_len",
+    )
+
+
+SQL_EMBED_DUP_COUNTS = """
+SELECT 'https://em' || (doc_id % 10)::varchar || '.test/p/' || doc_id::varchar
+         AS page_url,
+       1 AS n_imgs, 2 AS empty_dup, 2 AS embed, 5 AS imgs_len
+FROM documents
+"""
+
+
+def q_metrics_rollup(spark, sf_dir):
+    """D3/D4 per-host counters: the crawl loop's metrics aggregation
+    (dispatched / imgs / empty_dup / embed sums per host) over the
+    embed/dup fixture pages."""
+    out = q_embed_dup_counts(spark, sf_dir)
+    host = F.substring_index(
+        F.substring_index(F.col("page_url"), "://", -1), "/", 1
+    )
+    return out.groupBy(host.alias("host")).agg(
+        F.count("*").alias("dispatched"),
+        F.sum("n_imgs").alias("imgs"),
+        F.sum("empty_dup").alias("empty_dup"),
+        F.sum("embed").alias("embed"),
+    )
+
+
+SQL_METRICS_ROLLUP = """
+SELECT 'em' || (doc_id % 10)::varchar || '.test' AS host,
+       count(*) AS dispatched, sum(1) AS imgs, sum(2) AS empty_dup,
+       sum(2) AS embed
+FROM documents GROUP BY 1
+"""
+
+
+def q_percent_encode(spark, sf_dir):
+    """F11 percent-encode (main.rs:553-564, 629): UTF-8 bytes outside
+    alnum + ':/.-_?=%' encoded — the reference's NON_ALPHANUMERIC set,
+    NOT urllib.quote (which never encodes '~' or '*')."""
+    from img_spark.operators.sink import percent_encode_udf
+
+    url = F.concat(
+        F.lit("https://h.test/p "), _did(), F.lit("~a*b&c=d/e.f_g:h?i%j"),
+        F.lit("é"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", percent_encode_udf(url).alias("enc_url")
+    )
+
+
+# the fixed input alphabet makes the encode expressible as a replace
+# chain; '%' itself is in the keep set so there is no double-encoding
+SQL_PERCENT_ENCODE = """
+SELECT doc_id,
+  replace(replace(replace(replace(replace(
+    'https://h.test/p ' || doc_id::varchar || '~a*b&c=d/e.f_g:h?i%j' || 'é',
+    ' ', '%20'), '~', '%7E'), '*', '%2A'), '&', '%26'), 'é', '%C3%A9')
+    AS enc_url
+FROM documents
+"""
+
+
+def q_magic_sniff(spark, sf_dir):
+    """S7 magic-number type inference (main.rs:739-766): first-16-byte
+    magic → extension, '<svg' text fallback, '' for unknown."""
+    from img_spark.operators.sink import magic_extension
+
+    m = F.col("doc_id") % 8
+    blob = (
+        F.when(m == 0, F.unhex(F.lit("FFD8FFE000104A464946")))
+        .when(m == 1, F.unhex(F.lit("89504E470D0A1A0A0000")))
+        .when(m == 2, F.unhex(F.lit("47494638396164000000")))
+        .when(m == 3, F.unhex(F.lit("524946462400000057454250565038")))
+        .when(m == 4, F.unhex(F.lit("424D462A000000000000")))
+        .when(m == 5, F.unhex(F.lit("000000206674797061766966000000")))
+        .when(m == 6, F.encode(F.lit('<svg xmlns="http://x">'), "utf-8"))
+        .otherwise(F.encode(F.lit("plain text payload"), "utf-8"))
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", magic_extension(blob).alias("ext")
+    )
+
+
+SQL_MAGIC_SNIFF = """
+SELECT doc_id,
+  CASE doc_id % 8 WHEN 0 THEN 'jpg' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
+    WHEN 3 THEN 'webp' WHEN 4 THEN 'bmp' WHEN 5 THEN 'avif'
+    WHEN 6 THEN 'svg' ELSE '' END AS ext
+FROM documents
 """

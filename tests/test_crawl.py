@@ -5,7 +5,7 @@ cuckoo-vs-exact equality, and checkpoint resume."""
 import pytest
 from pyspark.sql import functions as F
 
-from img_spark.plans.crawl import CrawlConfig, Crawler
+from img_spark.plans.crawl import CrawlConfig, Crawler, read_frontier
 from img_spark.operators.politeness import robots_df
 from img_spark.sources.site_config import rows_from_config
 from img_spark.sources.synthweb import (
@@ -59,9 +59,7 @@ def crawl(spark, tmp_path_factory):
 
 
 def test_terminates_and_visits_expected_set(spark, crawl):
-    frontier = spark.read.parquet(
-        f"{crawl.cfg.checkpoint_dir}/frontier/g{crawl.generation}"
-    )
+    frontier = read_frontier(spark, str(crawl.cfg.checkpoint_dir), crawl.generation)
     fetched = {
         r["url"]
         for r in frontier.filter(F.col("status") == "fetched").collect()
@@ -169,10 +167,8 @@ def test_exact_mode_membership_equality(spark, crawl, tmp_path_factory):
     c2.run(seeds=FIXTURE_SEEDS)
     assert c2.generation == crawl.generation
     for g in (crawl.generation,):
-        f1 = spark.read.parquet(
-            f"{crawl.cfg.checkpoint_dir}/frontier/g{crawl.generation}"
-        )
-        f2 = spark.read.parquet(f"{ckpt2}/frontier/g{c2.generation}")
+        f1 = read_frontier(spark, str(crawl.cfg.checkpoint_dir), crawl.generation)
+        f2 = read_frontier(spark, str(ckpt2), c2.generation)
         s1 = {(r["url"], r["status"]) for r in f1.collect()}
         s2 = {(r["url"], r["status"]) for r in f2.collect()}
         assert s1 == s2
@@ -191,10 +187,8 @@ def test_resume_from_checkpoint(spark, crawl, tmp_path_factory):
     assert g == 2
     c4.run()
     assert c4.generation == crawl.generation
-    f1 = spark.read.parquet(
-        f"{crawl.cfg.checkpoint_dir}/frontier/g{crawl.generation}"
-    )
-    f4 = spark.read.parquet(f"{ckpt3}/frontier/g{c4.generation}")
+    f1 = read_frontier(spark, str(crawl.cfg.checkpoint_dir), crawl.generation)
+    f4 = read_frontier(spark, str(ckpt3), c4.generation)
     assert {(r["url"], r["status"]) for r in f1.collect()} == {
         (r["url"], r["status"]) for r in f4.collect()
     }
@@ -238,10 +232,8 @@ def test_partition_count_invariance(spark, crawl, tmp_path_factory):
     c5.cfg.partitions = 2
     c5.run(seeds=FIXTURE_SEEDS)
     assert c5.generation == crawl.generation
-    f1 = spark.read.parquet(
-        f"{crawl.cfg.checkpoint_dir}/frontier/g{crawl.generation}"
-    )
-    f5 = spark.read.parquet(f"{ckpt5}/frontier/g{c5.generation}")
+    f1 = read_frontier(spark, str(crawl.cfg.checkpoint_dir), crawl.generation)
+    f5 = read_frontier(spark, str(ckpt5), c5.generation)
     assert {(r["url"], r["status"], r["generation"]) for r in f1.collect()} == {
         (r["url"], r["status"], r["generation"]) for r in f5.collect()
     }
