@@ -3,10 +3,15 @@
 The reference parses pages with the ``crabquery`` crate (html5ever-backed;
 main.rs:125) and uses exactly this element API: ``tag() attr() children()
 parent() text() select()`` (main.rs:265-268, 374-396, 769-896). We rebuild
-that surface on the Python stdlib ``html.parser`` so there is no external
-C-parser variance (SURVEY.md §7.4). Fixtures are well-formed HTML with
-explicit <html>/<body> wrappers, so html5's implied-tag tree building is
-not needed.
+that surface dependency-free (no external C-parser variance, SURVEY.md
+§7.4): html.parser-compatible tokenization plus the html5
+implied-end-tag tree-construction rules (see below) so malformed
+real-world markup — unclosed <li>/<p>/<td>, misnested <a> — produces the
+html5 tree SHAPE the reference's parent()-walking heuristics assume
+(tests/test_html5_tree.py pins the shapes against hand-derived spec
+outcomes). Self-closing syntax on non-void elements keeps html.parser
+semantics (treated as immediately closed); foster parenting and the full
+adoption agency are intentionally out of scope.
 
 Semantics pinned here:
 - ``children()`` returns element children only (text nodes skipped) —
@@ -26,6 +31,74 @@ from html.parser import HTMLParser
 VOID_ELEMENTS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
 )
+
+# --------------------------------------------------------------------------
+# html5 tree-construction subset: implied end tags.
+#
+# crabquery parses with html5ever (main.rs:125). Literal html.parser
+# nesting diverges from the html5 tree on malformed real-world markup —
+# unclosed <li>/<p>/<td> etc. nest instead of closing — which changes
+# element PARENTAGE, and with it the reference's parent()-walking
+# heuristics (_album_href main.rs:374-396, check_next main.rs:769-896).
+# Both tree builders below apply these start-tag rules (the subset of
+# https://html.spec.whatwg.org/#tree-construction that affects tree
+# shape): li/dd/dt/td/th/tr/row-group/option/heading auto-close, <p>
+# closed by block starts (button scope), <a> closing an open <a>
+# (simplified adoption agency — no reparenting). Not covered: foster
+# parenting of table-misnested content, formatting-element reconstruction.
+# --------------------------------------------------------------------------
+
+_HEADINGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+_P_CLOSERS = frozenset((
+    "address article aside blockquote center details dialog dir div dl"
+    " fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header"
+    " hgroup hr main menu nav ol p pre section summary table ul li dd dt"
+).split())
+_BASE_SCOPE = frozenset(
+    "html table td th caption applet object marquee template #document".split()
+)
+_LIST_SCOPE = _BASE_SCOPE | {"ol", "ul"}
+_BUTTON_SCOPE = _BASE_SCOPE | {"button"}
+_CELL_SCOPE = frozenset({"table", "html", "template", "#document"})
+
+
+def _close_in_scope(stack, targets, boundary):
+    """Pop the stack through the nearest target element, unless a scope
+    boundary intervenes (html5 'has an element in X scope')."""
+    for i in range(len(stack) - 1, 0, -1):
+        t = stack[i]._tag
+        if t in targets:
+            del stack[i:]
+            return
+        if t in boundary:
+            return
+
+
+def _apply_implied_end(stack, tag):
+    """Start-tag implied-end-tag rules; call BEFORE inserting ``tag``."""
+    if tag == "li":
+        _close_in_scope(stack, ("li",), _LIST_SCOPE)
+    elif tag in ("dd", "dt"):
+        _close_in_scope(stack, ("dd", "dt"), _LIST_SCOPE)
+    elif tag in ("td", "th"):
+        _close_in_scope(stack, ("td", "th"), _CELL_SCOPE)
+    elif tag == "tr":
+        _close_in_scope(stack, ("tr",), _CELL_SCOPE)
+    elif tag in ("tbody", "thead", "tfoot"):
+        _close_in_scope(stack, ("tbody", "thead", "tfoot"), _CELL_SCOPE)
+    elif tag == "option":
+        if stack[-1]._tag == "option":
+            stack.pop()
+    elif tag == "optgroup":
+        while len(stack) > 1 and stack[-1]._tag in ("option", "optgroup"):
+            stack.pop()
+    elif tag == "a":
+        _close_in_scope(stack, ("a",), _BASE_SCOPE)
+    elif tag in _HEADINGS:
+        if stack[-1]._tag in _HEADINGS:
+            stack.pop()
+    if tag in _P_CLOSERS:
+        _close_in_scope(stack, ("p",), _BUTTON_SCOPE)
 
 
 class Node:
@@ -151,6 +224,7 @@ class _TreeBuilder(HTMLParser):
 
     def handle_starttag(self, tag, attrs):
         self._n += 1
+        _apply_implied_end(self._stack, tag)
         adict = {}
         for k, v in attrs:
             if k not in adict:
@@ -337,6 +411,7 @@ def _fast_parse(html: str) -> Element:
                 # clean start tag (hot path)
                 n += 1
                 tag = tag.lower()
+                _apply_implied_end(stack, tag)
                 el = Element(tag, _parse_attrs(m.group(3)), stack[-1], n)
                 stack[-1]._children.append(el)
                 if m.group(4) or tag in VOID_ELEMENTS:
@@ -379,6 +454,7 @@ def _fast_parse(html: str) -> Element:
                         stack[-1]._children.append(Text(as_text))
                         break  # restart finditer at endpos
                     n += 1
+                    _apply_implied_end(stack, tag)
                     el = Element(tag, attrs, stack[-1], n)
                     stack[-1]._children.append(el)
                     if not (startend or tag in VOID_ELEMENTS):

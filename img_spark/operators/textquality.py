@@ -17,7 +17,14 @@ STOPWORDS = {
     "de": ["der", "die", "und", "das", "ist", "ein", "nicht", "mit", "den"],
     "fr": ["le", "la", "les", "et", "des", "un", "une", "est", "pas"],
     "es": ["el", "la", "los", "y", "de", "que", "un", "una", "es", "no"],
+    "it": ["il", "di", "che", "e", "la", "per", "un", "una", "non", "sono"],
+    "pt": ["o", "a", "de", "que", "e", "do", "da", "em", "um", "para"],
+    "nl": ["de", "het", "een", "en", "van", "ik", "te", "dat", "die", "niet"],
+    "ru": ["и", "в", "не", "на", "я", "что", "с", "он", "как", "это"],
 }
+
+# deterministic argmax tie order (first wins on ties)
+LANG_ORDER = ["en", "de", "fr", "es", "it", "pt", "nl", "ru"]
 
 CJK_RE = "[\\u4e00-\\u9fff]"
 
@@ -54,16 +61,21 @@ def stopword_hits(text: Column, lang: str) -> Column:
 
 
 def lang_id(text: Column) -> Column:
-    """n-gram-free heuristic language ID: CJK codepoints → zh, else the
-    stopword-hit argmax with the deterministic tie order en>de>fr>es."""
-    en, de, fr, es = (stopword_hits(text, l) for l in ("en", "de", "fr", "es"))
-    return (
-        F.when(text.rlike(CJK_RE), F.lit("zh"))
-        .when((en >= de) & (en >= fr) & (en >= es), F.lit("en"))
-        .when((de >= fr) & (de >= es), F.lit("de"))
-        .when(fr >= es, F.lit("fr"))
-        .otherwise(F.lit("es"))
-    )
+    """HEURISTIC language ID (stopword-hit argmax over 8 languages +
+    CJK codepoint check → zh) — a portable, expression-only stand-in for
+    a real n-gram classifier; deterministic tie order = LANG_ORDER. Good
+    enough for corpus bucketing, NOT a confidence-bearing classifier."""
+    hits = [stopword_hits(text, l) for l in LANG_ORDER]
+    out = F.lit(LANG_ORDER[-1])
+    # right-to-left fold: language i wins iff its count >= every LATER
+    # language's count (earlier languages already had their chance)
+    for i in range(len(LANG_ORDER) - 2, -1, -1):
+        cond = None
+        for j in range(i + 1, len(LANG_ORDER)):
+            c = hits[i] >= hits[j]
+            cond = c if cond is None else (cond & c)
+        out = F.when(cond, F.lit(LANG_ORDER[i])).otherwise(out)
+    return F.when(text.rlike(CJK_RE), F.lit("zh")).otherwise(out)
 
 
 def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -490,31 +490,69 @@ FROM documents
 """
 
 
+# per-language probe runs: chosen so each hits ONLY its own stopword
+# list (no cross-list words) — exercises every classifier branch.
+LANG_PROBES = [
+    ("en", "the and of to a in is it"),
+    ("de", "der und das ist nicht mit den"),
+    ("fr", "les et des est pas une le"),
+    ("es", "los una es no el y que"),
+    ("it", "il di che per non sono"),
+    ("pt", "do da em um para o"),
+    ("nl", "het ik te dat niet van"),
+    ("ru", "и в не на я что с"),
+    ("zh", "这是中文文本测试"),
+]
+
+
 def q_lang_id(spark, sf_dir):
+    """Heuristic language ID over a 10-way input mix: the natural (en)
+    document text plus synthesized probe runs for every other branch."""
+    n = len(LANG_PROBES) + 1
+    text = F.col("text")
+    for i, (_, probe) in enumerate(LANG_PROBES):
+        text = F.when(F.col("doc_id") % n == i, F.lit(probe)).otherwise(text)
     return _docs(spark, sf_dir).select(
-        "doc_id", lang_id(F.col("text")).alias("lang_pred")
+        "doc_id", lang_id(text).alias("lang_pred")
     )
 
 
 def _sql_lang_id():
+    from img_spark.operators.textquality import LANG_ORDER
+
     def hits(lang):
         words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
         return (
             f"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
-            f" t -> list_contains([{words}], t)))"
+            f" t -> list_contains([{words}], t))) AS {lang}"
         )
 
+    cols = ",\n    ".join(hits(l) for l in LANG_ORDER)
+    whens = []
+    for i, lang in enumerate(LANG_ORDER[:-1]):
+        conds = " AND ".join(
+            f"{lang} >= {other}" for other in LANG_ORDER[i + 1:]
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    chain = " ".join(whens)
+    n = len(LANG_PROBES) + 1
+    probe_whens = " ".join(
+        f"WHEN {i} THEN '{probe}'"
+        for i, (_, probe) in enumerate(LANG_PROBES)
+    )
     return f"""
-WITH s AS (
+WITH t AS (
+  SELECT doc_id,
+    CASE doc_id % {n} {probe_whens} ELSE text END AS text
+  FROM documents),
+s AS (
   SELECT doc_id, text,
-    {hits('en')} AS en, {hits('de')} AS de, {hits('fr')} AS fr, {hits('es')} AS es
-  FROM documents)
+    {cols}
+  FROM t)
 SELECT doc_id,
   CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
-       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
-       WHEN de >= fr AND de >= es THEN 'de'
-       WHEN fr >= es THEN 'fr'
-       ELSE 'es' END AS lang_pred
+       {chain}
+       ELSE '{LANG_ORDER[-1]}' END AS lang_pred
 FROM s
 """
 

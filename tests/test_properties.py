@@ -41,14 +41,17 @@ def test_cleanup_idempotent(url):
 @given(st.text(max_size=40))
 @settings(max_examples=200, deadline=None)
 def test_percent_encode_charset(s):
-    """encoded output only ever contains unreserved+safe chars and
-    round-trips through percent-decoding."""
+    """encoded output only ever contains unreserved+safe chars; inputs
+    without a literal '%' round-trip through percent-decoding. ('%' is
+    in the reference's KEEP set, main.rs:563 — so '%00' stays '%00' and
+    a decoder would mis-read it; faithful non-injectivity, not a bug.)"""
     from urllib.parse import unquote
 
     enc = percent_encode(s)
     for c in enc:
         assert c.isalnum() or c in ":/.-_?=%"
-    assert unquote(enc, errors="strict") == s
+    if "%" not in s:
+        assert unquote(enc, errors="strict") == s
 
 
 @given(URL_CHARS)
