@@ -62,30 +62,63 @@ _BUTTON_SCOPE = _BASE_SCOPE | {"button"}
 _CELL_SCOPE = frozenset({"table", "html", "template", "#document"})
 
 
-def _close_in_scope(stack, targets, boundary):
+# hot-path guard: tags that can trigger ANY implied-end work; everything
+# else (img, span, script, br, formatting tags …) skips the call entirely
+_IMPLIED_TRIGGERS = (
+    _P_CLOSERS
+    | {"li", "dd", "dt", "td", "th", "tr", "tbody", "thead", "tfoot",
+       "option", "optgroup", "a"}
+    | _HEADINGS
+)
+
+# tags whose OPEN count is tracked so implied-end scans run only when a
+# target is actually open (a plain <div> page never walks the stack)
+_COUNTED = frozenset(
+    {"p", "a", "li", "dd", "dt", "td", "th", "tr", "tbody", "thead", "tfoot"}
+)
+
+
+def _uncount(stack, i, counts):
+    for j in range(i, len(stack)):
+        t = stack[j]._tag
+        if t in _COUNTED:
+            counts[t] -= 1
+
+
+def _close_in_scope(stack, targets, boundary, counts):
     """Pop the stack through the nearest target element, unless a scope
     boundary intervenes (html5 'has an element in X scope')."""
     for i in range(len(stack) - 1, 0, -1):
         t = stack[i]._tag
         if t in targets:
+            _uncount(stack, i, counts)
             del stack[i:]
             return
         if t in boundary:
             return
 
 
-def _apply_implied_end(stack, tag):
-    """Start-tag implied-end-tag rules; call BEFORE inserting ``tag``."""
+def _apply_implied_end(stack, tag, counts):
+    """Start-tag implied-end-tag rules; call BEFORE inserting ``tag``
+    (and only when ``tag in _IMPLIED_TRIGGERS``)."""
+    get = counts.get
     if tag == "li":
-        _close_in_scope(stack, ("li",), _LIST_SCOPE)
+        if get("li"):
+            _close_in_scope(stack, ("li",), _LIST_SCOPE, counts)
     elif tag in ("dd", "dt"):
-        _close_in_scope(stack, ("dd", "dt"), _LIST_SCOPE)
+        if get("dd") or get("dt"):
+            _close_in_scope(stack, ("dd", "dt"), _LIST_SCOPE, counts)
     elif tag in ("td", "th"):
-        _close_in_scope(stack, ("td", "th"), _CELL_SCOPE)
+        if get("td") or get("th"):
+            _close_in_scope(stack, ("td", "th"), _CELL_SCOPE, counts)
     elif tag == "tr":
-        _close_in_scope(stack, ("tr",), _CELL_SCOPE)
+        if get("tr"):
+            _close_in_scope(stack, ("tr",), _CELL_SCOPE, counts)
     elif tag in ("tbody", "thead", "tfoot"):
-        _close_in_scope(stack, ("tbody", "thead", "tfoot"), _CELL_SCOPE)
+        if get("tbody") or get("thead") or get("tfoot"):
+            _close_in_scope(
+                stack, ("tbody", "thead", "tfoot"), _CELL_SCOPE, counts
+            )
     elif tag == "option":
         if stack[-1]._tag == "option":
             stack.pop()
@@ -93,12 +126,13 @@ def _apply_implied_end(stack, tag):
         while len(stack) > 1 and stack[-1]._tag in ("option", "optgroup"):
             stack.pop()
     elif tag == "a":
-        _close_in_scope(stack, ("a",), _BASE_SCOPE)
+        if get("a"):
+            _close_in_scope(stack, ("a",), _BASE_SCOPE, counts)
     elif tag in _HEADINGS:
         if stack[-1]._tag in _HEADINGS:
             stack.pop()
-    if tag in _P_CLOSERS:
-        _close_in_scope(stack, ("p",), _BUTTON_SCOPE)
+    if tag in _P_CLOSERS and get("p"):
+        _close_in_scope(stack, ("p",), _BUTTON_SCOPE, counts)
 
 
 class Node:
@@ -220,11 +254,13 @@ class _TreeBuilder(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.root = Element("#document", {}, None, 0)
         self._stack = [self.root]
+        self._counts: dict = {}
         self._n = 0
 
     def handle_starttag(self, tag, attrs):
         self._n += 1
-        _apply_implied_end(self._stack, tag)
+        if tag in _IMPLIED_TRIGGERS:
+            _apply_implied_end(self._stack, tag, self._counts)
         adict = {}
         for k, v in attrs:
             if k not in adict:
@@ -233,6 +269,8 @@ class _TreeBuilder(HTMLParser):
         self._stack[-1]._children.append(el)
         if tag not in VOID_ELEMENTS:
             self._stack.append(el)
+            if tag in _COUNTED:
+                self._counts[tag] = self._counts.get(tag, 0) + 1
 
     def handle_startendtag(self, tag, attrs):
         self._n += 1
@@ -246,8 +284,14 @@ class _TreeBuilder(HTMLParser):
     def handle_endtag(self, tag):
         if tag in VOID_ELEMENTS:
             return
+        if len(self._stack) > 1 and self._stack[-1]._tag == tag:
+            if tag in _COUNTED:
+                self._counts[tag] -= 1
+            self._stack.pop()
+            return
         for i in range(len(self._stack) - 1, 0, -1):
             if self._stack[i]._tag == tag:
+                _uncount(self._stack, i, self._counts)
                 del self._stack[i:]
                 return
         # unmatched close tag: ignore (lenient)
@@ -388,6 +432,7 @@ def _parse_start(html: str, i: int):
 def _fast_parse(html: str) -> Element:
     root = Element("#document", {}, None, 0)
     stack = [root]
+    counts: dict = {}
     n = 0
     pos = 0
     L = len(html)
@@ -411,7 +456,8 @@ def _fast_parse(html: str) -> Element:
                 # clean start tag (hot path)
                 n += 1
                 tag = tag.lower()
-                _apply_implied_end(stack, tag)
+                if tag in _IMPLIED_TRIGGERS:
+                    _apply_implied_end(stack, tag, counts)
                 el = Element(tag, _parse_attrs(m.group(3)), stack[-1], n)
                 stack[-1]._children.append(el)
                 if m.group(4) or tag in VOID_ELEMENTS:
@@ -420,14 +466,23 @@ def _fast_parse(html: str) -> Element:
                     pos = _consume_rawtext(html, pos, tag, el, L)
                     break  # restart finditer at new pos
                 stack.append(el)
+                if tag in _COUNTED:
+                    counts[tag] = counts.get(tag, 0) + 1
                 continue
             end_name = m.group(1)
             if end_name is not None:
                 want = end_name.lower()
                 if want in VOID_ELEMENTS:
                     continue
+                if len(stack) > 1 and stack[-1]._tag == want:
+                    # hot path: well-formed close of the current element
+                    if want in _COUNTED:
+                        counts[want] -= 1
+                    stack.pop()
+                    continue
                 for i in range(len(stack) - 1, 0, -1):
                     if stack[i]._tag == want:
+                        _uncount(stack, i, counts)
                         del stack[i:]
                         break
                 continue
@@ -454,7 +509,8 @@ def _fast_parse(html: str) -> Element:
                         stack[-1]._children.append(Text(as_text))
                         break  # restart finditer at endpos
                     n += 1
-                    _apply_implied_end(stack, tag)
+                    if tag in _IMPLIED_TRIGGERS:
+                        _apply_implied_end(stack, tag, counts)
                     el = Element(tag, attrs, stack[-1], n)
                     stack[-1]._children.append(el)
                     if not (startend or tag in VOID_ELEMENTS):
@@ -462,6 +518,8 @@ def _fast_parse(html: str) -> Element:
                             pos = _consume_rawtext(html, pos, tag, el, L)
                         else:
                             stack.append(el)
+                            if tag in _COUNTED:
+                                counts[tag] = counts.get(tag, 0) + 1
                     break  # restart finditer at endpos
                 # '<' not opening a tag: html.parser emits it as data
                 stack[-1]._children.append(Text("<"))

@@ -306,6 +306,54 @@ def extract_second_level(fetched_html, right_sel: str, addr: str) -> list:
 
 
 # --------------------------------------------------------------------------
+# Web-asset extraction beyond the reference parser (north_star surface:
+# "img/src, srcset, link/icon, CSS url(...) and @import chains" —
+# BASELINE.json). The reference only does src/url(); srcset, icon links
+# and @import targets are engine extensions, kept OUT of parse_page so
+# reference parity is untouched.
+# --------------------------------------------------------------------------
+
+import re as _re_assets
+
+_IMPORT_RE = _re_assets.compile(
+    r"""@import\s+(?:url\(\s*)?["']?([^"'()\s;]+)"""
+)
+
+
+def extract_web_assets(html_bytes, addr: str) -> list:
+    """Returns sorted (asset_url, kind) pairs: ``srcset`` candidates of
+    <img>/<source>, ``icon`` hrefs of <link rel~=icon>, ``import``
+    targets of CSS @import chains (url() and string form, raw scan so
+    inline <style> and style attributes are both covered)."""
+    html = lossy_decode(html_bytes) if isinstance(
+        html_bytes, (bytes, bytearray)
+    ) else html_bytes
+    page = Document(html)
+    out: set = set()
+    for sel in ("img", "source"):
+        for el in page.select(sel):
+            ss = el.attr("srcset")
+            if not ss:
+                continue
+            for cand in ss.split(","):
+                toks = cand.strip().split()
+                if toks:
+                    out.add((canonicalize(toks[0], addr), "srcset"))
+    for el in page.select("link"):
+        rel = el.attr("rel")
+        if rel is None:
+            continue
+        tokens = ascii_lower(rel).split()
+        if any(t in ("icon", "apple-touch-icon", "shortcut") for t in tokens):
+            href = el.attr("href")
+            if href:
+                out.add((canonicalize(href, addr), "icon"))
+    for m in _IMPORT_RE.finditer(html):
+        out.add((canonicalize(m.group(1), addr), "import"))
+    return sorted(out)
+
+
+# --------------------------------------------------------------------------
 # C2: next-link heuristic engine (main.rs:769-896)
 # --------------------------------------------------------------------------
 

@@ -67,6 +67,32 @@ def extract_pages(df: DataFrame, album_policy: str = "all") -> DataFrame:
     return df.select(*_IN_COLS).mapInPandas(run, schema=EXTRACT_SCHEMA)
 
 
+ASSETS_SCHEMA = "url string, asset_url string, kind string"
+
+
+def extract_assets(df: DataFrame) -> DataFrame:
+    """srcset / link-icon / @import extraction (north_star surface
+    beyond the reference parser) as Arrow ``mapInPandas`` — same batch
+    shape as ``extract_pages``. df needs url + html (binary)."""
+    from img_spark.functions.extract import extract_web_assets
+
+    def run(batches):
+        for pdf in batches:
+            urls, assets, kinds = [], [], []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                if html is None:
+                    continue
+                for asset_url, kind in extract_web_assets(bytes(html), url):
+                    urls.append(url)
+                    assets.append(asset_url)
+                    kinds.append(kind)
+            yield pd.DataFrame(
+                {"url": urls, "asset_url": assets, "kind": kinds}
+            )
+
+    return df.select("url", "html").mapInPandas(run, schema=ASSETS_SCHEMA)
+
+
 def resolve_second_level(extracted: DataFrame, pages: DataFrame) -> DataFrame:
     """Fill ``imgs`` for two-level pages: explode first-level URLs, join
     the pages table (the sandbox "fetch"), run extraction pass 2 grouped

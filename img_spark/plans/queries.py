@@ -944,6 +944,7 @@ def all_queries():
         "metrics_rollup": q_metrics_rollup,
         "percent_encode": q_percent_encode,
         "magic_sniff": q_magic_sniff,
+        "extract_assets": q_extract_assets,
     }
 
 
@@ -984,6 +985,7 @@ def all_oracles():
         "metrics_rollup": SQL_METRICS_ROLLUP,
         "percent_encode": SQL_PERCENT_ENCODE,
         "magic_sniff": SQL_MAGIC_SNIFF,
+        "extract_assets": SQL_EXTRACT_ASSETS,
     }
 
 
@@ -1447,4 +1449,52 @@ SELECT doc_id,
     WHEN 3 THEN 'webp' WHEN 4 THEN 'bmp' WHEN 5 THEN 'avif'
     WHEN 6 THEN 'svg' ELSE '' END AS ext
 FROM documents
+"""
+
+
+def q_extract_assets(spark, sf_dir):
+    """srcset / link-icon / @import chain extraction (north_star asset
+    surface beyond the reference parser; BASELINE.json names all three)."""
+    from img_spark.operators.extract_udf import extract_assets
+
+    d = _docs(spark, sf_dir)
+    k = (F.col("doc_id") % 10).cast("string")
+    page_url = F.concat(F.lit("https://as"), k, F.lit(".test/p/"), _did())
+    html = F.concat(
+        F.lit('<html><head><link rel="icon" href="/fav'), _did(),
+        F.lit('.ico"><style>@import url("/css/a'), _did(),
+        F.lit('.css");@import "/css/b'), _did(),
+        F.lit('.css";</style></head><body><img src="/s/'), _did(),
+        F.lit('.jpg" srcset="/s/'), _did(), F.lit('-1x.jpg 1x, /s/'), _did(),
+        F.lit('-2x.jpg 2x"><picture><source srcset="https://cdn.test/pic'),
+        _did(), F.lit('.webp"></picture></body></html>'),
+    )
+    pages = d.select(page_url.alias("url"), F.encode(html, "utf-8").alias("html"))
+    return extract_assets(pages).select(
+        F.col("url").alias("page_url"), "asset_url", "kind"
+    )
+
+
+SQL_EXTRACT_ASSETS = """
+WITH d AS (SELECT doc_id, (doc_id % 10)::varchar AS k, doc_id::varchar AS i
+           FROM documents)
+SELECT page_url, asset_url, kind FROM (
+  SELECT 'https://as' || k || '.test/p/' || i AS page_url,
+         'https://as' || k || '.test/fav' || i || '.ico' AS asset_url,
+         'icon' AS kind FROM d
+  UNION ALL
+  SELECT 'https://as' || k || '.test/p/' || i,
+         'https://as' || k || '.test/css/a' || i || '.css', 'import' FROM d
+  UNION ALL
+  SELECT 'https://as' || k || '.test/p/' || i,
+         'https://as' || k || '.test/css/b' || i || '.css', 'import' FROM d
+  UNION ALL
+  SELECT 'https://as' || k || '.test/p/' || i,
+         'https://as' || k || '.test/s/' || i || '-1x.jpg', 'srcset' FROM d
+  UNION ALL
+  SELECT 'https://as' || k || '.test/p/' || i,
+         'https://as' || k || '.test/s/' || i || '-2x.jpg', 'srcset' FROM d
+  UNION ALL
+  SELECT 'https://as' || k || '.test/p/' || i,
+         'https://cdn.test/pic' || i || '.webp', 'srcset' FROM d)
 """

@@ -351,3 +351,28 @@ def test_next_positional_at_end():
     body = '<div class="p"><a href="/list/1">1</a><a href="/list/2">2</a></div>'
     # cur matches the LAST hit → no next (main.rs:871-878)
     assert nx(body, "div.p a") == ""
+
+
+def test_extract_web_assets_kernel():
+    """srcset/link-icon/@import extraction (north_star asset surface)."""
+    from img_spark.functions.extract import extract_web_assets
+
+    html = (
+        '<html><head><link rel="shortcut icon" href="/f.ico">'
+        '<link rel="stylesheet" href="/skip.css">'
+        '<style>@import url(\'/c/a.css\');@import "/c/b.css";</style>'
+        '</head><body>'
+        '<img src="/i.jpg" srcset="/i-320.jpg 320w,/i-640.jpg 640w">'
+        '<picture><source srcset="//cdn.t/x.webp 2x"></picture>'
+        '<img srcset="">'
+        "</body></html>"
+    )
+    out = extract_web_assets(html.encode(), "https://h.test/p/1")
+    assert out == sorted([
+        ("https://h.test/f.ico", "icon"),
+        ("https://h.test/c/a.css", "import"),
+        ("https://h.test/c/b.css", "import"),
+        ("https://h.test/i-320.jpg", "srcset"),
+        ("https://h.test/i-640.jpg", "srcset"),
+        ("https://cdn.t/x.webp", "srcset"),
+    ])
