@@ -945,6 +945,8 @@ def all_queries():
         "percent_encode": q_percent_encode,
         "magic_sniff": q_magic_sniff,
         "extract_assets": q_extract_assets,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -986,6 +988,8 @@ def all_oracles():
         "percent_encode": SQL_PERCENT_ENCODE,
         "magic_sniff": SQL_MAGIC_SNIFF,
         "extract_assets": SQL_EXTRACT_ASSETS,
+        "multimodal_decode": SQL_MULTIMODAL_DECODE,
+        "multimodal_features": SQL_MULTIMODAL_FEATURES,
     }
 
 
@@ -1497,4 +1501,87 @@ SELECT page_url, asset_url, kind FROM (
   UNION ALL
   SELECT 'https://as' || k || '.test/p/' || i,
          'https://cdn.test/pic' || i || '.webp', 'srcset' FROM d)
+"""
+
+
+def _media_df(spark, sf_dir):
+    """Deterministic media blobs keyed by doc_id; the payload is an
+    ASCII hex string (sha256 repeated) so DuckDB's VARCHAR md5 can
+    reproduce the engine's md5-seeded fake-decode byte-for-byte."""
+    import hashlib
+
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                kind = ("image", "audio", "video")[i % 3]
+                data = (
+                    hashlib.sha256(f"media-{i}".encode()).hexdigest()
+                    * (4 + i % 7)
+                ).encode()
+                rows.append((i, kind, data))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "data"])
+
+    return d.mapInPandas(gen, schema="media_id long, kind string, data binary")
+
+
+# md5 hex positions: byte j = hx[2j+1 : 2j+2] (1-based substr)
+_SQL_MEDIA_CTE = """
+m AS (
+  SELECT doc_id AS media_id,
+    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    md5(repeat(sha256('media-' || doc_id::varchar), 4 + doc_id % 7)) AS hx
+  FROM documents)
+"""
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal decode plumbing (deterministic-fake path: no codecs in
+    this container): md5-seeded width/height/frame-count over the binary
+    column via Arrow mapInPandas."""
+    from img_spark.operators.multimodal import decode_media
+
+    return decode_media(_media_df(spark, sf_dir))
+
+
+SQL_MULTIMODAL_DECODE = f"""
+WITH {_SQL_MEDIA_CTE}
+SELECT media_id, kind,
+  64 + (('0x'||substr(hx,1,2))::int + 256*('0x'||substr(hx,3,2))::int) % 1984 AS width,
+  64 + (('0x'||substr(hx,5,2))::int + 256*('0x'||substr(hx,7,2))::int) % 1984 AS height,
+  CASE WHEN kind = 'video' THEN 1 + ('0x'||substr(hx,9,2))::int % 32 ELSE 1 END AS n_frames,
+  TRUE AS decode_ok
+FROM m
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Feature-extraction plumbing: 16-dim md5-seeded vector, exploded
+    and re-quantized to the exact 16-bit integers (float32 storage
+    round-trips k/65535 losslessly at this magnitude)."""
+    from img_spark.operators.multimodal import extract_features
+
+    feats = extract_features(_media_df(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        F.posexplode("features").alias("idx", "f"),
+    ).select(
+        "media_id", "idx",
+        F.round(F.col("f").cast("double") * 65535).cast("int").alias("q16"),
+    )
+
+
+SQL_MULTIMODAL_FEATURES = f"""
+WITH {_SQL_MEDIA_CTE},
+f AS (
+  SELECT media_id, unnest(generate_series(0, 15)) AS idx, hx FROM m)
+SELECT media_id, idx::int AS idx,
+  (('0x'||substr(hx, 2*(idx%16)+1, 2))::int * 256
+   + ('0x'||substr(hx, 2*((idx+1)%16)+1, 2))::int)::int AS q16
+FROM f
 """
