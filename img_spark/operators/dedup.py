@@ -142,6 +142,35 @@ def minhash_signature(text: Column, k: int = MINHASH_K) -> Column:
     return minhash_signature_from(gram_hashes(text), k)
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+) -> DataFrame:
+    """Aggregate formulation of the signature matrix: explode the
+    distinct gram hashes ONCE, then one groupBy with k ``min()``
+    aggregates. Identical values to ``minhash_signature_from`` (min over
+    the same set), but the mins are map-side combinable — partial
+    aggregation happens before the shuffle, so only (doc_id, k longs)
+    rows cross the wire; the per-row array-expression form churns k
+    transient arrays per document instead. This is the shape that holds
+    at 10^10 docs."""
+    g = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(gram_hashes(F.col(text_col))).alias("gh"),
+    )
+    aggs = [
+        F.min((F.col("gh") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(
+            f"s{i}"
+        )
+        for i, (a, b) in enumerate(PERMS[:k])
+    ]
+    return g.groupBy("doc_id").agg(*aggs).select(
+        "doc_id", F.array(*[F.col(f"s{i}") for i in range(k)]).alias("sig")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -152,13 +181,7 @@ def minhash_lsh_candidates(
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
     shingle → minhash → band → bucket-join; only bucket keys shuffle."""
     r = k // bands
-    sig = df.select(
-        F.col(id_col).alias("doc_id"),
-        gram_hashes(F.col(text_col)).alias("ghs"),
-    ).select(
-        "doc_id",
-        minhash_signature_from(F.col("ghs"), k).alias("sig"),
-    )
+    sig = minhash_signatures(df, id_col, text_col, k)
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -254,6 +277,33 @@ def simhash32(text: Column) -> Column:
     )
 
 
+def simhash32_agg(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Aggregate formulation of simhash32 (identical values): per-bit
+    weight = 2·(count of set bits) − n_tokens, so one explode of the
+    distinct token hashes + 32 map-side-combinable ``sum()`` aggregates
+    replaces the per-row 32-array fold. Returns (doc_id, sh)."""
+    h = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(F.array_distinct(tokens(F.col(text_col))), h32)
+        ).alias("h"),
+    )
+    aggs = [
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"c{j}")
+        for j in range(32)
+    ] + [F.count("*").alias("n")]
+    agged = h.groupBy("doc_id").agg(*aggs)
+    sh = None
+    for j in range(32):
+        term = F.when(
+            F.col(f"c{j}") * 2 > F.col("n"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sh = term if sh is None else sh + term
+    return agged.select("doc_id", sh.alias("sh"))
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -262,9 +312,7 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Near-dup candidates: equal 8-bit SimHash chunk in any of 4 bands
     (guarantees recall for hamming distance < bands), then exact hamming."""
-    sig = df.select(
-        F.col(id_col).alias("doc_id"), simhash32(F.col(text_col)).alias("sh")
-    )
+    sig = simhash32_agg(df, id_col, text_col)
     width = 32 // bands
     banded = sig.select(
         "doc_id",
