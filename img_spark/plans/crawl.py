@@ -121,6 +121,12 @@ class CrawlConfig:
     seen_mode: str = "cuckoo"     # 'cuckoo' | 'exact'
     cuckoo_capacity: int = 1 << 16
     max_generations: int = 10_000
+    # >0 ⇒ the pages table carries tables.PAGES_BUCKET_COL
+    # (pmod(xxhash64(url), pages_buckets)) as a partition column and the
+    # per-generation fetch scan is PRUNED to the dispatch batch's
+    # buckets — without this every generation re-reads the full pages
+    # table (the dominant cost at 100 TB)
+    pages_buckets: int = 0
 
 
 class Crawler:
@@ -210,7 +216,26 @@ class Crawler:
         # big side (a left-outer join could NOT broadcast its outer side
         # and would fall back to a full sort-merge shuffle of pages).
         # Misses are recovered afterwards with a batch-sized anti-join.
-        fetched = self.pages.select("url", "html").join(
+        pages = self.pages
+        if self.cfg.pages_buckets:
+            # bucket-pruned scan: dispatch is host_budget-bounded (small
+            # enough to cache at any scale); its distinct url-hash
+            # buckets become a partition filter so the fetch only opens
+            # the files this batch's URLs can live in
+            from img_spark.sources.tables import PAGES_BUCKET_COL
+
+            dispatch = dispatch.persist()
+            mods = [
+                r["b"]
+                for r in dispatch.select(
+                    F.pmod(
+                        F.xxhash64(F.col("url")),
+                        F.lit(self.cfg.pages_buckets),
+                    ).cast("int").alias("b")
+                ).distinct().collect()
+            ]
+            pages = pages.filter(F.col(PAGES_BUCKET_COL).isin(mods))
+        fetched = pages.select("url", "html").join(
             F.broadcast(dispatch.select("url", "host")), "url", "inner"
         )
         withcfg = attach_site_config(fetched, self.config_rows)
@@ -354,6 +379,8 @@ class Crawler:
         t_metrics = time.time() - t0
 
         results.unpersist()
+        if self.cfg.pages_buckets:
+            dispatch.unpersist()
         # per-phase wall times ride in the manifest (S8 lineage + the
         # feedback loop for tuning per-generation overhead)
         self.last_step_times = {

@@ -53,3 +53,36 @@ def read_pages(spark: SparkSession, location: str) -> DataFrame:
 
 def read_sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------- pruning
+PAGES_BUCKET_COL = "url_bucket"
+
+
+def write_pages_bucketed(
+    pages: DataFrame, path: str, n_buckets: int = 1024
+) -> None:
+    """Materialize the pages table hash-partitioned by
+    ``pmod(xxhash64(url), n_buckets)`` — the layout that makes the
+    per-generation fetch scan PRUNABLE: a crawl generation dispatches a
+    tiny fraction of all URLs, so the fetch join only needs the
+    partitions their hashes land in. Without this layout every
+    generation re-scans the full (100-TB) pages table; with it, the scan
+    is O(dispatch-batch coverage). Iceberg's bucket-transform partition
+    spec is the production twin of this directory layout."""
+    from pyspark.sql import functions as F
+
+    pages.withColumn(
+        PAGES_BUCKET_COL,
+        F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int"),
+    ).write.mode("overwrite").partitionBy(PAGES_BUCKET_COL).parquet(path)
+
+
+def read_pages_bucketed(spark: SparkSession, path: str) -> DataFrame:
+    """Read a bucketed pages table; carries PAGES_BUCKET_COL as a
+    partition column so bucket-equality filters prune directories."""
+    df = spark.read.parquet(path)
+    missing = [c for c in PAGES_COLUMNS + [PAGES_BUCKET_COL] if c not in df.columns]
+    if missing:
+        raise ValueError(f"bucketed pages table missing columns: {missing}")
+    return df.select(*PAGES_COLUMNS, PAGES_BUCKET_COL)

@@ -263,3 +263,44 @@ def test_stateful_host_rate(spark, crawl):
     assert final["site-a.test"]["i"] == 18
     assert final["site-a.test"]["g"] == 7
     assert final["site-d.test"]["i"] == 2
+
+
+def test_bucketed_pages_pruned_crawl(spark, crawl, tmp_path_factory):
+    """Bucket-pruned fetch (100-TB scan path): a crawl over the
+    hash-partitioned pages table reproduces the plain crawl exactly,
+    and each generation's fetch opens only the dispatch batch's bucket
+    partitions (file-level pruning, not post-scan filtering)."""
+    from img_spark.sources.tables import (
+        PAGES_BUCKET_COL,
+        read_pages_bucketed,
+        write_pages_bucketed,
+    )
+
+    n_buckets = 8
+    bdir = str(tmp_path_factory.mktemp("pages_bucketed") / "pages")
+    write_pages_bucketed(fixture_pages_df(spark), bdir, n_buckets=n_buckets)
+    pages = read_pages_bucketed(spark, bdir)
+
+    # partition pruning is real: the bucket filter lands in the scan's
+    # PartitionFilters (directory-level pruning, not post-scan filter)
+    one = pages.filter(F.col(PAGES_BUCKET_COL).isin([0]))
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    pf = plan[plan.index("PartitionFilters"):].split("]", 1)[0]
+    assert PAGES_BUCKET_COL in pf, pf
+
+    ckpt = tmp_path_factory.mktemp("ckpt_bucketed")
+    c = Crawler(
+        spark,
+        pages,
+        rows_from_config(FIXTURE_CONFIG),
+        robots_df(spark, FIXTURE_ROBOTS),
+        CrawlConfig(checkpoint_dir=str(ckpt), partitions=8,
+                    pages_buckets=n_buckets),
+    )
+    c.run(seeds=FIXTURE_SEEDS)
+    assert c.generation == crawl.generation
+    f1 = read_frontier(spark, str(crawl.cfg.checkpoint_dir), crawl.generation)
+    f2 = read_frontier(spark, str(ckpt), c.generation)
+    assert {(r["url"], r["status"], r["generation"]) for r in f1.collect()} == {
+        (r["url"], r["status"], r["generation"]) for r in f2.collect()
+    }
