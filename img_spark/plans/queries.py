@@ -947,6 +947,7 @@ def all_queries():
         "extract_assets": q_extract_assets,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
+        "stream_window_counts": q_stream_window_counts,
     }
 
 
@@ -990,6 +991,7 @@ def all_oracles():
         "extract_assets": SQL_EXTRACT_ASSETS,
         "multimodal_decode": SQL_MULTIMODAL_DECODE,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        "stream_window_counts": SQL_STREAM_WINDOW_COUNTS,
     }
 
 
@@ -1584,4 +1586,61 @@ SELECT media_id, idx::int AS idx,
   (('0x'||substr(hx, 2*(idx%16)+1, 2))::int * 256
    + ('0x'||substr(hx, 2*((idx+1)%16)+1, 2))::int)::int AS q16
 FROM f
+"""
+
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def q_stream_window_counts(spark, sf_dir):
+    """Structured Streaming correctness row: readStream over the events
+    table → watermark + 1-hour tumbling window + per-type counts/sums,
+    drained with availableNow into a memory sink (complete mode so every
+    window is emitted and the batch result is oracle-comparable).
+    Tumbling windows are epoch-aligned, so DuckDB date_trunc('hour')
+    reproduces the window starts exactly."""
+    import tempfile
+    import uuid
+
+    # the file-stream source needs a DIRECTORY; glob-filter the sf dir
+    # down to the events file
+    src = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+    out = agg.select(
+        F.col("window.start").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+    name = "q_stream_win_" + uuid.uuid4().hex[:12]
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="imgspark_sw_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+SQL_STREAM_WINDOW_COUNTS = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2
 """
