@@ -179,9 +179,11 @@ def dataops_queries(spark):
 
 
 def main():
-    scaling = "--scaling" in sys.argv
-    if scaling:
+    if "--scaling" in sys.argv:
         run_scaling()
+        return
+    if "--crawl-scaling" in sys.argv:
+        run_crawl_scaling()
         return
     spark = _session(CPUS)
     # headline throughput runs on the large corpus: on the small one the
@@ -301,6 +303,47 @@ parquet files so scan parallelism never caps task parallelism).
     print(json.dumps({"metric": "scaling_efficiency", "value": eff,
                       "unit": "ratio", "eff_8_32": eff_8_32,
                       "levels": results}))
+
+
+def run_crawl_scaling():
+    """Per-generation-overhead amortization evidence: the SAME frontier
+    loop at three crawl sizes. The fixed per-generation cost (plan +
+    probe + writes, ~5-6 s on this box) is constant while the pages per
+    generation grow with the site fan-out — pages/s rises with batch
+    size, which is exactly the regime a 10^10-URL frontier operates in
+    (millions of URLs per generation)."""
+    import json as _json
+
+    spark = _session(CPUS)
+    rows = []
+    for albums in (4, 16, 64):
+        fetched, gens, dt, _ = crawl_generations(
+            spark, n_hosts=64, albums=albums, ppa=6
+        )
+        rows.append({
+            "albums": albums, "fetched": int(fetched),
+            "generations": int(gens), "sec": round(dt, 2),
+            "pages_per_sec": round(fetched / dt, 1),
+            "pages_per_generation": round(fetched / gens, 1),
+        })
+        print(_json.dumps(rows[-1]))
+    spark.stop()
+    with open(os.path.join(REPO, "BENCH", "CRAWL_SCALING.md"), "w") as f:
+        f.write("""# Crawl-loop batch-size amortization (local[%d])
+
+Same frontier loop (politeness + cuckoo seen-set + robots + checkpoint
+manifests), same per-generation fixed overhead, growing per-generation
+batch (site fan-out). The loop's cost model is
+``gens x overhead + pages x work``; throughput approaches the parse
+ceiling as batches grow — the regime a 10^10-URL frontier runs in.
+
+| albums/host | pages fetched | generations | pages/gen | wall s | pages/s |
+|---|---|---|---|---|---|
+""" % CPUS)
+        for r in rows:
+            f.write("| %d | %d | %d | %.0f | %.2f | %.1f |\n" % (
+                r["albums"], r["fetched"], r["generations"],
+                r["pages_per_generation"], r["sec"], r["pages_per_sec"]))
 
 
 if __name__ == "__main__":

@@ -353,6 +353,19 @@ def extract_web_assets(html_bytes, addr: str) -> list:
     return sorted(out)
 
 
+def scan_css(css_text: str, base_url: str):
+    """One level of a CSS @import chain: image urls via the reference's
+    url(/image(/image-set( scan (fonts/css rejected by url_image), plus
+    deeper @import targets (url() and string form), both canonicalized
+    against the css file's own url. Returns (sorted imgs, sorted imports)."""
+    imgs = sorted(css_image(css_text, base_url))
+    imports = sorted(
+        {canonicalize(m.group(1), base_url)
+         for m in _IMPORT_RE.finditer(css_text)}
+    )
+    return imgs, imports
+
+
 # --------------------------------------------------------------------------
 # C2: next-link heuristic engine (main.rs:769-896)
 # --------------------------------------------------------------------------

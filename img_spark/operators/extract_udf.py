@@ -93,6 +93,66 @@ def extract_assets(df: DataFrame) -> DataFrame:
     return df.select("url", "html").mapInPandas(run, schema=ASSETS_SCHEMA)
 
 
+def resolve_css_imports(
+    assets: DataFrame, pages: DataFrame, max_depth: int = 3
+) -> DataFrame:
+    """Follow @import CHAINS (north_star: "CSS url(...) and @import
+    chains"): the import targets discovered by ``extract_assets`` are
+    joined against the pages table (the sandbox "fetch"), each css body
+    is scanned for images + deeper imports, and newly discovered imports
+    feed the next round — a bounded driver loop, one broadcast-inner
+    join of the (small) import set per level, never a shuffle of pages.
+    Returns (page_url, img_url) for every image reachable through the
+    chain, deduped."""
+    from img_spark.functions.extract import scan_css
+    from img_spark.functions.textops import lossy_decode
+
+    def run(batches):
+        for pdf in batches:
+            prows, urows, krows = [], [], []
+            for page_url, css_url, html in zip(
+                pdf["page_url"], pdf["css_url"], pdf["html"]
+            ):
+                if html is None:
+                    continue
+                imgs, imps = scan_css(lossy_decode(bytes(html)), css_url)
+                for u in imgs:
+                    prows.append(page_url); urows.append(u); krows.append("img")
+                for u in imps:
+                    prows.append(page_url); urows.append(u); krows.append("import")
+            yield pd.DataFrame(
+                {"page_url": prows, "url": urows, "kind": krows}
+            )
+
+    frontier = (
+        assets.filter(F.col("kind") == "import")
+        .select(F.col("url").alias("page_url"),
+                F.col("asset_url").alias("css_url"))
+        .distinct()
+    )
+    visited = frontier
+    images = None
+    for _ in range(max_depth):
+        fetched = pages.select(
+            F.col("url").alias("css_url"), "html"
+        ).join(F.broadcast(frontier), "css_url")
+        found = fetched.select("page_url", "css_url", "html").mapInPandas(
+            run, schema="page_url string, url string, kind string"
+        )
+        level_imgs = found.filter(F.col("kind") == "img").select(
+            "page_url", F.col("url").alias("img_url")
+        )
+        images = level_imgs if images is None else images.unionByName(level_imgs)
+        frontier = (
+            found.filter(F.col("kind") == "import")
+            .select("page_url", F.col("url").alias("css_url"))
+            .distinct()
+            .join(visited, ["page_url", "css_url"], "left_anti")
+        )
+        visited = visited.unionByName(frontier)
+    return images.distinct()
+
+
 def resolve_second_level(extracted: DataFrame, pages: DataFrame) -> DataFrame:
     """Fill ``imgs`` for two-level pages: explode first-level URLs, join
     the pages table (the sandbox "fetch"), run extraction pass 2 grouped

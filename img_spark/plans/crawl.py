@@ -93,13 +93,35 @@ def read_pending(spark: SparkSession, checkpoint_dir: str, generation: int) -> D
     )
 
 
+def _compaction_floor(checkpoint_dir: str) -> int:
+    """First generation whose terminal delta is NOT covered by the
+    newest compaction (0 when never compacted)."""
+    p = os.path.join(checkpoint_dir, "compacted")
+    if not os.path.isdir(p):
+        return 0
+    gens = [
+        int(fn[1:]) for fn in os.listdir(p)
+        if fn.startswith("g") and fn[1:].isdigit()
+    ]
+    return (max(gens) + 1) if gens else 0
+
+
 def read_frontier(spark: SparkSession, checkpoint_dir: str, generation: int) -> DataFrame:
     """Reconstruct the FULL frontier view at a generation: the current
-    pending snapshot plus every generation's terminal-status delta. For
-    tests and offline analytics — the crawl loop itself never reads
-    history."""
+    pending snapshot, the newest compaction (merged terminal history, if
+    any), and every later generation's terminal-status delta. For tests
+    and offline analytics — the crawl loop itself never reads history."""
     out = read_pending(spark, checkpoint_dir, generation)
-    for g in range(generation + 1):
+    start = 0
+    floor = _compaction_floor(checkpoint_dir)
+    if floor > 0 and floor <= generation + 1:
+        out = out.unionByName(
+            spark.read.schema(FRONTIER_DDL).parquet(
+                os.path.join(checkpoint_dir, "compacted", f"g{floor - 1}")
+            ).select(*_frontier_cols())
+        )
+        start = floor
+    for g in range(start, generation + 1):
         p = os.path.join(checkpoint_dir, "frontier", f"g{g}")
         if os.path.isdir(p):
             out = out.unionByName(
@@ -582,6 +604,58 @@ class Crawler:
         """Full frontier view at the current generation (see
         ``read_frontier``)."""
         return read_frontier(self.spark, self.cfg.checkpoint_dir, self.generation)
+
+    def compact(self, prune: bool = False) -> str:
+        """Periodic compaction of the log-structured frontier: merge the
+        terminal-status history (previous compaction + per-generation
+        deltas) up to the current generation into ONE status-partitioned
+        directory. ``read_frontier`` then opens the compaction + only
+        the deltas written since — O(1 + gens-since-compaction) dirs
+        instead of O(all gens). With ``prune=True`` the superseded
+        per-generation dirs (stale pending snapshots + merged terminal
+        deltas) are deleted after the compaction is fully written —
+        crash-safe ordering: the new compaction dir is complete before
+        anything is removed."""
+        import shutil
+
+        g = self.generation
+        floor = _compaction_floor(self.cfg.checkpoint_dir)
+        parts = []
+        if floor > 0:
+            parts.append(
+                self.spark.read.schema(FRONTIER_DDL).parquet(
+                    self._p("compacted", f"g{floor - 1}")
+                ).select(*_frontier_cols())
+            )
+        for i in range(floor, g + 1):
+            p = self._p("frontier", f"g{i}")
+            if os.path.isdir(p):
+                parts.append(
+                    self.spark.read.schema(FRONTIER_DDL).parquet(p)
+                    .filter(F.col("status") != "pending")
+                    .select(*_frontier_cols())
+                )
+        if not parts:
+            return ""
+        df = parts[0]
+        for x in parts[1:]:
+            df = df.unionByName(x)
+        out = self._p("compacted", f"g{g}")
+        df.write.mode("overwrite").partitionBy("status").parquet(out)
+        if prune:
+            for i in range(g):  # old gens: pending stale, terminal merged
+                p = self._p("frontier", f"g{i}")
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+            cur = self._p("frontier", f"g{g}")
+            for entry in os.listdir(cur):  # current gen: keep pending only
+                if entry.startswith("status=") and entry != "status=pending":
+                    shutil.rmtree(os.path.join(cur, entry))
+            if floor > 0:
+                old = self._p("compacted", f"g{floor - 1}")
+                if os.path.isdir(old):
+                    shutil.rmtree(old)
+        return out
 
 
 def _frontier_cols():

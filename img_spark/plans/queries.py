@@ -948,6 +948,7 @@ def all_queries():
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
         "stream_window_counts": q_stream_window_counts,
+        "css_import_chain": q_css_import_chain,
     }
 
 
@@ -992,6 +993,7 @@ def all_oracles():
         "multimodal_decode": SQL_MULTIMODAL_DECODE,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "stream_window_counts": SQL_STREAM_WINDOW_COUNTS,
+        "css_import_chain": SQL_CSS_IMPORT_CHAIN,
     }
 
 
@@ -1643,4 +1645,56 @@ SQL_STREAM_WINDOW_COUNTS = """
 SELECT date_trunc('hour', ts) AS hour_start, event_type,
        count(*) AS n_events, round(sum(value), 6) AS total_value
 FROM events GROUP BY 1, 2
+"""
+
+
+def q_css_import_chain(spark, sf_dir):
+    """@import chain following: page imports a.css; a.css yields one
+    image and imports b.css; b.css yields another image (image-set
+    form). Every image reachable through the 2-level chain must surface
+    against the ORIGINATING page."""
+    from img_spark.operators.extract_udf import (
+        extract_assets,
+        resolve_css_imports,
+    )
+
+    d = _docs(spark, sf_dir)
+    k = (F.col("doc_id") % 10).cast("string")
+    base = F.concat(F.lit("https://cc"), k, F.lit(".test"))
+    page_url = F.concat(base, F.lit("/p/"), _did())
+    html = F.concat(
+        F.lit('<html><head><style>@import url("/css/a'), _did(),
+        F.lit('.css");</style></head><body>x</body></html>'),
+    )
+    a_url = F.concat(base, F.lit("/css/a"), _did(), F.lit(".css"))
+    a_body = F.concat(
+        F.lit(".x{background:url(/img/one"), _did(),
+        F.lit('.png)} @import "/css/b'), _did(), F.lit('.css";'),
+    )
+    b_url = F.concat(base, F.lit("/css/b"), _did(), F.lit(".css"))
+    b_body = F.concat(
+        F.lit(".y{background:image-set(url(/img/two"), _did(),
+        F.lit(".jpg) 2x)}"),
+    )
+    html_pages = d.select(
+        page_url.alias("url"), F.encode(html, "utf-8").alias("html")
+    )
+    css_pages = d.select(
+        a_url.alias("url"), F.encode(a_body, "utf-8").alias("html")
+    ).unionByName(
+        d.select(b_url.alias("url"), F.encode(b_body, "utf-8").alias("html"))
+    )
+    assets = extract_assets(html_pages)
+    return resolve_css_imports(assets, css_pages, max_depth=3)
+
+
+SQL_CSS_IMPORT_CHAIN = """
+WITH d AS (SELECT doc_id, (doc_id % 10)::varchar AS k, doc_id::varchar AS i
+           FROM documents)
+SELECT page_url, img_url FROM (
+  SELECT 'https://cc' || k || '.test/p/' || i AS page_url,
+         'https://cc' || k || '.test/img/one' || i || '.png' AS img_url FROM d
+  UNION ALL
+  SELECT 'https://cc' || k || '.test/p/' || i,
+         'https://cc' || k || '.test/img/two' || i || '.jpg' FROM d)
 """

@@ -304,3 +304,32 @@ def test_bucketed_pages_pruned_crawl(spark, crawl, tmp_path_factory):
     assert {(r["url"], r["status"], r["generation"]) for r in f1.collect()} == {
         (r["url"], r["status"], r["generation"]) for r in f2.collect()
     }
+
+
+def test_compaction_mid_crawl(spark, crawl, tmp_path_factory):
+    """Compact (with pruning) after generation 2, continue the crawl:
+    the final full-frontier view is identical to the uncompacted run,
+    and the superseded per-generation dirs are gone."""
+    import os
+
+    ckpt = tmp_path_factory.mktemp("ckpt_compact")
+    c = make_crawler(spark, ckpt)
+    c.init(FIXTURE_SEEDS)
+    c.step()
+    c.step()
+    c.compact(prune=True)
+    assert not os.path.isdir(f"{ckpt}/frontier/g0")  # pruned
+    assert os.path.isdir(f"{ckpt}/compacted/g2")
+    c.run()
+    assert c.generation == crawl.generation
+    f1 = read_frontier(spark, str(crawl.cfg.checkpoint_dir), crawl.generation)
+    s2 = {(r["url"], r["status"], r["generation"])
+          for r in c.frontier_df().collect()}
+    assert {(r["url"], r["status"], r["generation"])
+            for r in f1.collect()} == s2
+    # second compaction folds the first compaction + later deltas
+    # (collect before pruning — it deletes the first compaction's files)
+    c.compact(prune=True)
+    s3 = {(r["url"], r["status"], r["generation"])
+          for r in c.frontier_df().collect()}
+    assert s2 == s3

@@ -376,3 +376,20 @@ def test_extract_web_assets_kernel():
         ("https://h.test/i-640.jpg", "srcset"),
         ("https://cdn.t/x.webp", "srcset"),
     ])
+
+
+def test_scan_css_chain_kernel():
+    """One @import chain level: images + deeper imports, canonicalized
+    against the css file url; .css targets of url() stay rejected."""
+    from img_spark.functions.extract import scan_css
+
+    imgs, imps = scan_css(
+        '.a{background:url(/i/x.png)} @import url("/c/deep.css");'
+        " @import 'rel.css';",
+        "https://h.test/css/a.css",
+    )
+    assert imgs == ["https://h.test/i/x.png"]
+    assert imps == [
+        "https://h.test/c/deep.css",
+        "https://h.test/css/rel.css",
+    ]
