@@ -167,7 +167,7 @@ def dataops_queries(spark):
         "extract_images", "token_count", "lang_id", "quality_signals",
         "doc_fingerprint", "dedup_exact", "dedup_jaccard_pairs",
         "dedup_minhash_lsh", "simhash", "simhash_near_dups",
-        "ann_cosine_topk", "ann_lsh_topk", "embedding_near_dups",
+        "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "embedding_near_dups",
     ]
     all_q = Q.all_queries()
     times = {}

@@ -135,6 +135,68 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors are list-partitioned
+    by nearest centroid (ONE broadcast-join pass — the inverted file);
+    each query probes only its ``nprobe`` closest lists. Centroids here
+    are the first ``n_centroids`` corpus vectors (deterministic, so a
+    DuckDB oracle reproduces the whole pipeline); production swaps in
+    k-means-trained centroids through the same plan. Scale shape: the
+    scoring join shuffles on centroid_id (the list id) — each query
+    touches nprobe/n_centroids of the corpus instead of all of it."""
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    cent = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"),
+        _as_double(F.col(vec_col)).alias("ev"),
+    )
+    w_assign = Window.partitionBy("corpus_id").orderBy(
+        F.desc("csim"), F.asc("centroid_id")
+    )
+    assign = (
+        c.join(F.broadcast(cent))
+        .withColumn("csim", F.round(cosine(F.col("cv"), F.col("ev")), 6))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("corpus_id", "cv", "centroid_id")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("psim"), F.asc("centroid_id")
+    )
+    probes = (
+        q.join(F.broadcast(cent))
+        .withColumn("psim", F.round(cosine(F.col("qv"), F.col("ev")), 6))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    scored = assign.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("corpus_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "corpus_id",
+        F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "sim", "rank")
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -949,6 +949,7 @@ def all_queries():
         "multimodal_features": q_multimodal_features,
         "stream_window_counts": q_stream_window_counts,
         "css_import_chain": q_css_import_chain,
+        "ann_ivf_topk": q_ivf_topk,
     }
 
 
@@ -994,6 +995,7 @@ def all_oracles():
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "stream_window_counts": SQL_STREAM_WINDOW_COUNTS,
         "css_import_chain": SQL_CSS_IMPORT_CHAIN,
+        "ann_ivf_topk": _sql_ivf_topk(),
     }
 
 
@@ -1697,4 +1699,51 @@ SELECT page_url, img_url FROM (
   UNION ALL
   SELECT 'https://cc' || k || '.test/p/' || i,
          'https://cc' || k || '.test/img/two' || i || '.jpg' FROM d)
+"""
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN (inverted-file scale path, sibling of the LSH
+    variant): deterministic centroids → list assignment → nprobe probe →
+    in-list top-k."""
+    emb = _emb(spark, sf_dir)
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=3, n_centroids=16, nprobe=4
+    )
+
+
+def _sql_ivf_topk():
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+  FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS ev FROM e WHERE vec_id < 16),
+ca AS (
+  SELECT c.vec_id AS corpus_id, c.v AS cv, ct.centroid_id,
+         {_SQL_COS.format(a='c.v', b='ct.ev')} AS csim
+  FROM e c CROSS JOIN cent ct),
+assign AS (
+  SELECT corpus_id, cv, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY corpus_id
+                                 ORDER BY csim DESC, centroid_id) AS rn
+    FROM ca) WHERE rn = 1),
+qa AS (
+  SELECT q.vec_id AS query_id, q.v AS qv, ct.centroid_id,
+         {_SQL_COS.format(a='q.v', b='ct.ev')} AS psim
+  FROM e q CROSS JOIN cent ct WHERE q.vec_id < 5),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY psim DESC, centroid_id) AS rn
+    FROM qa) WHERE rn <= 4),
+s AS (
+  SELECT p.query_id, a.corpus_id,
+         {_SQL_COS.format(a='a.cv', b='p.qv')} AS sim
+  FROM assign a JOIN probes p USING (centroid_id)
+  WHERE a.corpus_id <> p.query_id),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, corpus_id) AS rank
+  FROM s)
+SELECT query_id, corpus_id, sim, rank FROM r WHERE rank <= 3
 """

@@ -228,3 +228,34 @@ def test_resize_plumbing(spark):
     assert out and all(r["resize_ok"] for r in out)
     assert all(max(r["width"], r["height"]) <= 128 for r in out)
     assert all(r["width"] >= 1 and r["height"] >= 1 for r in out)
+
+
+def test_ivf_topk_structure_and_overlap(spark):
+    """IVF probe path: ranks well-formed, sims consistent with the exact
+    baseline for the pairs it does surface, and nprobe=all-centroids
+    degenerates to the exact result."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.ivf_topk(emb, queries, k=3, n_centroids=16, nprobe=4)
+    rows = out.collect()
+    assert all(1 <= r["rank"] <= 3 for r in rows)
+    exact = {
+        (r["query_id"], r["corpus_id"]): r["sim"]
+        for r in similarity.cosine_topk(emb, queries, k=3).collect()
+    }
+    # every surfaced sim equals the exact cosine for that pair
+    ex_all = {
+        (r["query_id"], r["corpus_id"]): r["sim"]
+        for r in similarity.cosine_topk(
+            emb, queries, k=emb.count()
+        ).collect()
+    }
+    for r in rows:
+        assert ex_all[(r["query_id"], r["corpus_id"])] == r["sim"]
+    # probing EVERY list recovers the exact top-k
+    full = similarity.ivf_topk(
+        emb, queries, k=3, n_centroids=16, nprobe=16
+    ).collect()
+    assert {
+        (r["query_id"], r["corpus_id"], r["sim"]) for r in full
+    } == {(q, c, s) for (q, c), s in exact.items()}
