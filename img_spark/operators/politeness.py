@@ -25,6 +25,93 @@ def robots_df(spark, rows) -> DataFrame:
     return spark.createDataFrame(rows, ROBOTS_DDL)
 
 
+def parse_robots_txt(body: str, agent: str = "*") -> list:
+    """Parse a robots.txt body into (path_prefix, allow, crawl_delay)
+    rules for ``agent`` (RFC 9309 subset: grouped records, user-agent
+    selection by longest match with '*' fallback, Allow/Disallow path
+    prefixes, Crawl-delay; comments and blank-line group breaks).
+    An empty Disallow value means allow-all and yields no rule."""
+    groups: list = []  # (agents, rules, delay)
+    agents: list = []
+    rules: list = []
+    delay = 0.0
+    saw_directive = False
+
+    def flush():
+        nonlocal agents, rules, delay, saw_directive
+        if agents:
+            groups.append((agents, rules, delay))
+        agents, rules, delay, saw_directive = [], [], 0.0, False
+
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        if ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if saw_directive:
+                flush()
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            saw_directive = True
+            if val:
+                rules.append((val, key == "allow"))
+        elif key == "crawl-delay":
+            saw_directive = True
+            try:
+                delay = float(val)
+            except ValueError:
+                pass
+    flush()
+
+    want = agent.lower()
+    best = None
+    best_len = -1
+    for agents_g, rules_g, delay_g in groups:
+        for a in agents_g:
+            if a == "*":
+                L = 0
+            elif a and a in want:
+                L = len(a)
+            else:
+                continue
+            if L > best_len:
+                best, best_len = (rules_g, delay_g), L
+    if best is None:
+        return []
+    return [(p, allow, best[1]) for p, allow in best[0]]
+
+
+def robots_rules_from_bodies(df: DataFrame, agent: str = "*") -> DataFrame:
+    """Arrow mapInPandas over a (host, body) table of fetched robots.txt
+    files → the ROBOTS_DDL rules table that apply_robots broadcasts.
+    Hosts whose body yields no rule (or null body) emit nothing —
+    apply_robots defaults those to allowed."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            hosts, prefixes, allows, delays = [], [], [], []
+            for host, body in zip(pdf["host"], pdf["body"]):
+                if body is None:
+                    continue
+                for prefix, allow, delay in parse_robots_txt(str(body), agent):
+                    hosts.append(host)
+                    prefixes.append(prefix)
+                    allows.append(allow)
+                    delays.append(delay)
+            yield pd.DataFrame({
+                "host": hosts, "path_prefix": prefixes,
+                "allow": allows, "crawl_delay": delays,
+            })
+
+    return df.select("host", "body").mapInPandas(run, schema=ROBOTS_DDL)
+
+
 def apply_robots(
     candidates: DataFrame,
     robots: DataFrame,
@@ -74,12 +161,16 @@ def dispatch_top_k(
     pending: DataFrame,
     host_budget: int = 1,
     batch_window_s: float = 60.0,
+    order: str = "dfs",
 ) -> DataFrame:
-    """Adds ``dispatch`` boolean: the per-host top-K by DFS path order.
-    A row-level ``crawl_delay`` (from robots) CAPS the host budget at
+    """Adds ``dispatch`` boolean: the per-host top-K of the priority
+    queue. ``order='dfs'`` ranks by the DFS path (reference visit-order
+    parity); ``order='bfs'`` ranks by (depth, path) — shallow pages
+    first, the frontier shape large crawls usually want. A row-level
+    ``crawl_delay`` (from robots) CAPS the host budget at
     ``batch_window_s / delay`` (floored at 1) — a robots throttle can
     only lower the dispatch rate, never raise it above ``host_budget``;
-    rows beyond the budget stay pending and keep their path priority
+    rows beyond the budget stay pending and keep their priority
     (carry-over, SURVEY.md §4.3)."""
     budget = F.when(
         F.col("crawl_delay") > 0,
@@ -91,7 +182,44 @@ def dispatch_top_k(
             ),
         ),
     ).otherwise(F.lit(host_budget))
-    w = Window.partitionBy("host").orderBy("path", "url")
+    keys = ["depth", "path", "url"] if order == "bfs" else ["path", "url"]
+    w = Window.partitionBy("host").orderBy(*keys)
     return pending.withColumn(
         "dispatch", F.row_number().over(w) <= budget
     )
+
+
+def dispatch_top_k_salted(
+    pending: DataFrame,
+    host_budget: int = 1,
+    batch_window_s: float = 60.0,
+    order: str = "dfs",
+    salts: int = 32,
+) -> DataFrame:
+    """Skew-safe two-phase variant of ``dispatch_top_k`` with IDENTICAL
+    dispatch semantics: the per-host window is the loop's one
+    frontier-sized shuffle, so a mega-host (10^8 pending URLs on one
+    domain) would hot-spot a single partition. Phase 1 takes the
+    per-(host, salt) top-budget — bounding every partition at
+    pending/salts and discarding all but budget·salts rows per host
+    map-side; phase 2 runs the exact per-host window over the tiny
+    survivor set. Every global top-budget row is its salt's top-budget
+    row, so the final dispatch set is exactly ``dispatch_top_k``'s;
+    non-survivors are correctly not dispatched (appended back with
+    dispatch=false so the held/carry-over contract is unchanged)."""
+    keys = ["depth", "path", "url"] if order == "bfs" else ["path", "url"]
+    budget_cap = F.lit(host_budget)  # phase-1 prune uses the raw budget
+    salted = pending.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salts))
+    )
+    w1 = Window.partitionBy("host", "__salt").orderBy(*keys)
+    survivors = (
+        salted.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= budget_cap)
+        .drop("__rn1", "__salt")
+    )
+    rest = salted.withColumn("__rn1", F.row_number().over(w1)).filter(
+        F.col("__rn1") > budget_cap
+    ).drop("__rn1", "__salt").withColumn("dispatch", F.lit(False))
+    marked = dispatch_top_k(survivors, host_budget, batch_window_s, order)
+    return marked.unionByName(rest)

@@ -143,6 +143,9 @@ class CrawlConfig:
     seen_mode: str = "cuckoo"     # 'cuckoo' | 'exact'
     cuckoo_capacity: int = 1 << 16
     max_generations: int = 10_000
+    priority: str = "dfs"         # 'dfs' (reference parity) | 'bfs'
+    dispatch_salts: int = 0       # >0 ⇒ skew-safe two-phase dispatch
+    compact_every: int = 0        # >0 ⇒ compact(prune=True) every N gens
     # >0 ⇒ the pages table carries tables.PAGES_BUCKET_COL
     # (pmod(xxhash64(url), pages_buckets)) as a partition column and the
     # per-generation fetch scan is PRUNED to the dispatch batch's
@@ -227,9 +230,18 @@ class Crawler:
         pending = read_pending(
             self.spark, self.cfg.checkpoint_dir, self.generation
         )
-        marked = dispatch_top_k(
-            pending, self.cfg.host_budget, self.cfg.batch_window_s
-        )
+        if self.cfg.dispatch_salts:
+            from img_spark.operators.politeness import dispatch_top_k_salted
+
+            marked = dispatch_top_k_salted(
+                pending, self.cfg.host_budget, self.cfg.batch_window_s,
+                order=self.cfg.priority, salts=self.cfg.dispatch_salts,
+            )
+        else:
+            marked = dispatch_top_k(
+                pending, self.cfg.host_budget, self.cfg.batch_window_s,
+                order=self.cfg.priority,
+            )
         dispatch = marked.filter(F.col("dispatch")).drop("dispatch")
         held = marked.filter(~F.col("dispatch")).drop("dispatch")
 
@@ -460,6 +472,11 @@ class Crawler:
         stats: dict = {}
         for _ in range(limit):
             stats = self.step()
+            if (
+                self.cfg.compact_every
+                and self.generation % self.cfg.compact_every == 0
+            ):
+                self.compact(prune=True)
             if stats.get("pending", 0) == 0:
                 break
         return stats

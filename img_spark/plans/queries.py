@@ -950,6 +950,7 @@ def all_queries():
         "stream_window_counts": q_stream_window_counts,
         "css_import_chain": q_css_import_chain,
         "ann_ivf_topk": q_ivf_topk,
+        "robots_parse": q_robots_parse,
     }
 
 
@@ -996,6 +997,7 @@ def all_oracles():
         "stream_window_counts": SQL_STREAM_WINDOW_COUNTS,
         "css_import_chain": SQL_CSS_IMPORT_CHAIN,
         "ann_ivf_topk": _sql_ivf_topk(),
+        "robots_parse": SQL_ROBOTS_PARSE,
     }
 
 
@@ -1746,4 +1748,43 @@ r AS (
                                ORDER BY sim DESC, corpus_id) AS rank
   FROM s)
 SELECT query_id, corpus_id, sim, rank FROM r WHERE rank <= 3
+"""
+
+
+def q_robots_parse(spark, sf_dir):
+    """robots.txt BODY parsing (RFC 9309 subset) → broadcastable rules
+    table: agent-group selection (longest match, '*' fallback),
+    Allow/Disallow prefixes, Crawl-delay, comments, empty-Disallow
+    allow-all."""
+    from img_spark.operators.politeness import robots_rules_from_bodies
+
+    v = F.col("doc_id") % 4
+    body = (
+        F.when(v == 0, F.lit(
+            "User-agent: *\nDisallow: /private\n"
+            "Allow: /private/pub\nCrawl-delay: 2.5"))
+        .when(v == 1, F.lit(
+            "User-agent: imgbot\nDisallow: /img\n\n"
+            "User-agent: *\nDisallow: /all"))
+        .when(v == 2, F.lit("# nothing blocked\nUser-agent: *\nDisallow:"))
+        .otherwise(F.lit("User-agent: other\nDisallow: /x"))
+    )
+    d = _docs(spark, sf_dir).select(
+        F.concat(F.lit("rb"), _did(), F.lit(".test")).alias("host"),
+        body.alias("body"),
+    )
+    return robots_rules_from_bodies(d, agent="imgbot")
+
+
+SQL_ROBOTS_PARSE = """
+WITH d AS (
+  SELECT 'rb' || doc_id::varchar || '.test' AS host, doc_id % 4 AS v
+  FROM documents)
+SELECT host, path_prefix, allow, crawl_delay FROM (
+  SELECT host, '/private' AS path_prefix, FALSE AS allow,
+         2.5::double AS crawl_delay FROM d WHERE v = 0
+  UNION ALL
+  SELECT host, '/private/pub', TRUE, 2.5::double FROM d WHERE v = 0
+  UNION ALL
+  SELECT host, '/img', FALSE, 0.0::double FROM d WHERE v = 1)
 """

@@ -333,3 +333,118 @@ def test_compaction_mid_crawl(spark, crawl, tmp_path_factory):
     s3 = {(r["url"], r["status"], r["generation"])
           for r in c.frontier_df().collect()}
     assert s2 == s3
+
+
+def test_parse_robots_txt_kernel():
+    from img_spark.operators.politeness import parse_robots_txt
+
+    body = (
+        "# robots\nUser-agent: Googlebot\nDisallow: /g\n\n"
+        "User-agent: imgbot\nUser-agent: otherbot\n"
+        "Disallow: /private\nAllow: /private/pub\nCrawl-delay: 1.5\n\n"
+        "User-agent: *\nDisallow: /all\n"
+    )
+    assert parse_robots_txt(body, "imgbot/1.0") == [
+        ("/private", False, 1.5), ("/private/pub", True, 1.5),
+    ]
+    assert parse_robots_txt(body, "randombot") == [("/all", False, 0.0)]
+    assert parse_robots_txt("User-agent: *\nDisallow:", "x") == []
+    assert parse_robots_txt("", "x") == []
+    # missing blank line between groups: a new User-agent after
+    # directives starts a new group (lenient, html5-of-robots behavior)
+    two = "User-agent: a\nDisallow: /x\nUser-agent: *\nDisallow: /y"
+    assert parse_robots_txt(two, "zbot") == [("/y", False, 0.0)]
+
+
+def test_bfs_vs_dfs_priority(spark, tmp_path_factory):
+    """Priority-queue frontier: a nested-album site where DFS descends
+    into the sub-album before the sibling leaf, while BFS fetches the
+    shallow sibling first."""
+    rows = [
+        ("https://site-n.test/",
+         '<html><head><title>Root N</title></head><body>'
+         '<a class="alb" href="/a">A</a><a class="alb" href="/b">B</a>'
+         "</body></html>"),
+        ("https://site-n.test/a",
+         '<html><head><title>Sub A</title></head><body>'
+         '<a class="alb" href="/a/1">A1</a></body></html>'),
+        ("https://site-n.test/b",
+         '<html><head><title>Leaf B</title></head><body>'
+         '<img class="x" src="/i/b.jpg"></body></html>'),
+        ("https://site-n.test/a/1",
+         '<html><head><title>Leaf A1</title></head><body>'
+         '<img class="x" src="/i/a1.jpg"></body></html>'),
+    ]
+    import datetime as dt
+
+    pages = spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, 1), h.encode(), "", "en") for u, h in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).cache()
+    cfg_rows = [(0, "site-n.test", "img.x", None, "a.alb")]
+
+    def run(priority):
+        ckpt = tmp_path_factory.mktemp(f"ckpt_{priority}")
+        c = Crawler(
+            spark, pages, cfg_rows, robots_df(spark, []),
+            CrawlConfig(checkpoint_dir=str(ckpt), partitions=4,
+                        priority=priority),
+        )
+        c.run(seeds=["https://site-n.test/"])
+        fr = c.frontier_df().filter(F.col("status") == "fetched")
+        return {r["url"]: r["generation"] for r in fr.collect()}
+
+    dfs = run("dfs")
+    bfs = run("bfs")
+    assert dfs["https://site-n.test/a/1"] == 3  # DFS descends first
+    assert dfs["https://site-n.test/b"] == 4
+    assert bfs["https://site-n.test/b"] == 3    # BFS takes the shallow leaf
+    assert bfs["https://site-n.test/a/1"] == 4
+    assert set(dfs) == set(bfs)
+
+
+def test_salted_dispatch_equivalence(spark):
+    """Two-phase skew-safe dispatch returns EXACTLY the single-window
+    dispatch set (per-salt top-budget is a superset of the global
+    top-budget), including delay-capped hosts."""
+    from img_spark.operators.politeness import (
+        dispatch_top_k,
+        dispatch_top_k_salted,
+    )
+
+    pend = spark.createDataFrame(
+        [
+            (f"u{i}", f"h{i % 5}", f"{i:010d}", i % 11,
+             40.0 if i % 5 == 0 else 0.0)
+            for i in range(500)
+        ],
+        "url string, host string, path string, depth int, crawl_delay double",
+    )
+    for order in ("dfs", "bfs"):
+        base = {
+            r["url"]
+            for r in dispatch_top_k(pend, 3, 60.0, order=order)
+            .filter("dispatch").collect()
+        }
+        for salts in (2, 7, 32):
+            got = {
+                r["url"]
+                for r in dispatch_top_k_salted(pend, 3, 60.0, order=order,
+                                               salts=salts)
+                .filter("dispatch").collect()
+            }
+            assert got == base, (order, salts)
+
+
+def test_salted_crawl_and_autocompact(spark, crawl, tmp_path_factory):
+    """dispatch_salts + compact_every in the live loop reproduce the
+    plain crawl exactly."""
+    ckpt = tmp_path_factory.mktemp("ckpt_salted")
+    c = make_crawler(spark, ckpt, dispatch_salts=4, compact_every=3)
+    c.run(seeds=FIXTURE_SEEDS)
+    assert c.generation == crawl.generation
+    f1 = read_frontier(spark, str(crawl.cfg.checkpoint_dir), crawl.generation)
+    f2 = c.frontier_df()
+    assert {(r["url"], r["status"], r["generation"]) for r in f1.collect()} == {
+        (r["url"], r["status"], r["generation"]) for r in f2.collect()
+    }
