@@ -217,6 +217,10 @@ def _collect_text(el: Element, parts: list):
             _collect_text(c, parts)
 
 
+class _Root(Element):
+    __slots__ = ("doc_text",)
+
+
 class Document:
     """Parsed page; ``select`` returns matches in document order
     (crabquery ``Document::select`` parity).
@@ -252,7 +256,8 @@ class Document:
 class _TreeBuilder(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
-        self.root = Element("#document", {}, None, 0)
+        self.root = _Root("#document", {}, None, 0)
+        self.root.doc_text = []
         self._stack = [self.root]
         self._counts: dict = {}
         self._n = 0
@@ -299,6 +304,9 @@ class _TreeBuilder(HTMLParser):
     def handle_data(self, data):
         if data:
             self._stack[-1]._children.append(Text(data))
+            # doc-order text, script/style excluded (extract_text twin)
+            if self._stack[-1]._tag not in _RAWTEXT:
+                self.root.doc_text.append(data)
 
 
 # ---------------------------------------------------------------------------
@@ -430,7 +438,9 @@ def _parse_start(html: str, i: int):
 
 
 def _fast_parse(html: str) -> Element:
-    root = Element("#document", {}, None, 0)
+    root = _Root("#document", {}, None, 0)
+    doc_text: list = []
+    root.doc_text = doc_text
     stack = [root]
     counts: dict = {}
     n = 0
@@ -451,6 +461,7 @@ def _fast_parse(html: str) -> Element:
                         text = _unescape(text)  # may strip invalid refs
                     if text:
                         stack[-1]._children.append(Text(text))
+                        doc_text.append(text)
                     continue
             else:
                 # clean start tag (hot path)
@@ -502,11 +513,13 @@ def _fast_parse(html: str) -> Element:
                             tail = _unescape(tail)
                         if tail:
                             stack[-1]._children.append(Text(tail))
+                            doc_text.append(tail)
                         pos = L
                         break
                     pos = endpos
                     if as_text is not None:
                         stack[-1]._children.append(Text(as_text))
+                        doc_text.append(as_text)
                         break  # restart finditer at endpos
                     n += 1
                     if tag in _IMPLIED_TRIGGERS:
@@ -523,6 +536,7 @@ def _fast_parse(html: str) -> Element:
                     break  # restart finditer at endpos
                 # '<' not opening a tag: html.parser emits it as data
                 stack[-1]._children.append(Text("<"))
+                doc_text.append("<")
                 continue
             # comments/doctype/PI/marked sections: dropped when properly
             # terminated; html.parser flushes UNTERMINATED ones (buffered
@@ -532,6 +546,7 @@ def _fast_parse(html: str) -> Element:
                     g0 = _unescape(g0)
                 if g0:
                     stack[-1]._children.append(Text(g0))
+                    doc_text.append(g0)
                 continue
         else:
             break

@@ -69,18 +69,24 @@ def extract_text(html: str) -> str:
 
 
 def extract_text_from(doc: Document) -> str:
+    # the fast tree builder records non-script/style text in document
+    # order during the parse itself — no second tree walk
+    cached = getattr(doc.root, "doc_text", None)
+    if cached is not None:
+        return "".join(cached)
     parts: list = []
     _walk_text(doc.root, parts)
     return "".join(parts)
 
 
-def _walk_text(el, parts):
-    from .dom import Text
+from .dom import Text as _Text  # noqa: E402
 
+
+def _walk_text(el, parts):
     for c in el._children:
-        if isinstance(c, Text):
+        if isinstance(c, _Text):
             parts.append(c.data)
-        elif c.tag() not in ("script", "style"):
+        elif c._tag not in ("script", "style"):
             _walk_text(c, parts)
 
 

@@ -38,12 +38,13 @@ class Compound:
         self.attrs = []  # (name, value-or-None)
 
     def matches(self, el: Element) -> bool:
-        if el.tag() is None or el.tag() == "#document":
+        t = el._tag  # slot access — this is the hot loop of every select
+        if t is None or t == "#document":
             return False
-        if self.tag is not None and el.tag() != self.tag:
+        if self.tag is not None and t != self.tag:
             return False
         if self.classes:
-            cls = el.attr("class")
+            cls = el.attrs.get("class")
             if cls is None:
                 return False
             toks = cls.split()

@@ -136,3 +136,18 @@ def test_fast_is_default_and_faster():
             stdlib_tree(h)
         std.append(time.perf_counter() - t0)
     assert statistics.median(fast) < statistics.median(std)  # the point
+
+
+@pytest.mark.parametrize("idx", range(len(ADVERSARIAL)))
+def test_doc_text_matches_walk(idx):
+    """The parse-time doc_text list equals the tree walk (and both
+    builders agree) — extract_text's fast path is exact."""
+    from img_spark.functions.extract import _walk_text
+
+    html = ADVERSARIAL[idx]
+    for root in (_fast_parse(html), stdlib_tree(html)):
+        if root is None:
+            continue
+        walked: list = []
+        _walk_text(root, walked)
+        assert "".join(getattr(root, "doc_text", walked)) == "".join(walked)
