@@ -31,9 +31,13 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 GEN_PARAMS = dict(hosts=64, albums=24, pages_per_album=12, skew=4,
                   imgs_base=12, imgs_var=7, text_repeat=6)
 # scaling evidence needs UDF work >> fixed overhead (≥30 s at local[8],
-# BASELINE.md protocol) → ~155k pages
+# BASELINE.md protocol) → ~309k pages for the headline run and ~772k for
+# the scaling pair (the kernel got faster in round 2; the bigger corpus
+# keeps parallel work ≥7x the ~4 s per-level fixed overhead)
 SCALING_PARAMS = dict(hosts=64, albums=384, pages_per_album=12, skew=4,
                       imgs_base=12, imgs_var=7, text_repeat=6)
+SCALING_PARAMS_BIG = dict(hosts=64, albums=960, pages_per_album=12, skew=4,
+                          imgs_base=12, imgs_var=7, text_repeat=6)
 
 
 def _session(cpus: int):
@@ -235,16 +239,27 @@ def run_scaling():
     evidence of behavior at the hardware ceiling.
     """
     results = {}
+    # corpus generation is NOT part of the measurement — materialize it
+    # once at full parallelism before the per-level sessions
+    gen = _session(32)
+    _ensure_corpus(gen, SCALING_PARAMS_BIG)
+    gen.stop()
     for cpus in (2, 8, 32):
         spark = _session(cpus)
-        corpus = _ensure_corpus(spark, SCALING_PARAMS)
+        # split sizing: with the default 128m maxPartitionBytes the
+        # ~1.1 GB corpus planned into ~10 splits — 1.25 task waves at
+        # local[8] (a 20%+ efficiency artifact of wave imbalance, not
+        # of the engine). 8m → ~140 splits → balanced waves at every
+        # level, same setting for all three.
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+        corpus = _ensure_corpus(spark, SCALING_PARAMS_BIG)
         # warm-up on a slice (JIT, codegen, python workers), then measure
         parse_throughput(spark, corpus, limit=4000,
-                         n_hosts=SCALING_PARAMS["hosts"])
+                         n_hosts=SCALING_PARAMS_BIG["hosts"])
         pages_n, imgs_n, dt = parse_throughput(
-            spark, corpus, n_hosts=SCALING_PARAMS["hosts"])
+            spark, corpus, n_hosts=SCALING_PARAMS_BIG["hosts"])
         pages_n2, _, dt2 = parse_throughput(
-            spark, corpus, n_hosts=SCALING_PARAMS["hosts"])
+            spark, corpus, n_hosts=SCALING_PARAMS_BIG["hosts"])
         if dt2 < dt:
             pages_n, dt = pages_n2, dt2
         results[cpus] = {"pages": int(pages_n), "sec": round(dt, 2),
