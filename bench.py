@@ -205,7 +205,9 @@ def main():
     queries["fetch_parse"] = round(dt, 3)
     urls_per_sec = round(pages_n / dt, 1)
 
-    fetched, gens, dt_crawl, skew = crawl_generations(spark)
+    # albums=64 → ~3.6k pages/generation: the amortized regime a real
+    # frontier runs in (see BENCH/CRAWL_SCALING.md for the sweep)
+    fetched, gens, dt_crawl, skew = crawl_generations(spark, albums=64)
     queries["crawl_loop"] = round(dt_crawl, 3)
 
     queries.update(dataops_queries(spark))
