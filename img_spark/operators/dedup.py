@@ -244,6 +244,69 @@ def minhash_dedup(
     )
 
 
+# ---------------------------------------------------------- clustering
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Collapse near-dup PAIRS into clusters: iterative min-label
+    propagation (the standard large-graph connected-components shape —
+    each iteration is one shuffle join of edge-sized data + a map-side
+    combinable min; iterations ≤ graph diameter, convergence checked
+    with a cheap aggregate). Returns (doc_id, rep_id) for every node
+    that appears in a pair; rep_id = the component's minimum doc id —
+    the keep-the-smallest-id dedup policy."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "rep_id", F.col("doc_id")
+    ).persist()
+    for _ in range(max_iters):
+        # each node takes the min of its own label and its neighbours'
+        prop = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"),
+                    F.col("rep_id").alias("nbr_rep"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("nbr_rep").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("rep_id"), F.coalesce(F.col("nbr_min"), F.col("rep_id"))
+                ).alias("rep_id"),
+            )
+            .persist()
+        )
+        # convergence: the label multiset stops changing (sum is a safe
+        # monotone witness — labels only ever decrease)
+        old_sum = labels.agg(F.sum("rep_id")).collect()[0][0]
+        new_sum = new_labels.agg(F.sum("rep_id")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if old_sum == new_sum:
+            break
+    edges.unpersist()
+    # returned persisted (each iteration was materialized by the
+    # convergence aggregate, so lineage never re-runs); caller may
+    # unpersist when done
+    return labels
+
+
 # ---------------------------------------------------------------- simhash
 def simhash32(text: Column) -> Column:
     """32-bit SimHash over word h32 hashes, as one expression: per-bit

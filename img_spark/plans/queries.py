@@ -951,6 +951,7 @@ def all_queries():
         "css_import_chain": q_css_import_chain,
         "ann_ivf_topk": q_ivf_topk,
         "robots_parse": q_robots_parse,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -998,6 +999,7 @@ def all_oracles():
         "css_import_chain": SQL_CSS_IMPORT_CHAIN,
         "ann_ivf_topk": _sql_ivf_topk(),
         "robots_parse": SQL_ROBOTS_PARSE,
+        "dedup_clusters": _sql_dedup_clusters(),
     }
 
 
@@ -1787,4 +1789,29 @@ SELECT host, path_prefix, allow, crawl_delay FROM (
   SELECT host, '/private/pub', TRUE, 2.5::double FROM d WHERE v = 0
   UNION ALL
   SELECT host, '/img', FALSE, 0.0::double FROM d WHERE v = 1)
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the MinHash+verify
+    pairs (threshold 0.8), rep = min doc id per component — the
+    keep-smallest dedup policy. Iterative min-label propagation on the
+    Spark side; the oracle replays it with a recursive CTE."""
+    pairs = dedup.minhash_dedup(_docs(spark, sf_dir), threshold=0.8)
+    return dedup.connected_components(pairs)
+
+
+def _sql_dedup_clusters():
+    inner = _sql_minhash_pairs().strip().rstrip()
+    return f"""
+WITH RECURSIVE pairs AS ({inner}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+cc(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, c.lbl FROM edges e JOIN cc c ON c.id = e.dst)
+SELECT id AS doc_id, min(lbl) AS rep_id FROM cc GROUP BY id
 """

@@ -259,3 +259,16 @@ def test_ivf_topk_structure_and_overlap(spark):
     assert {
         (r["query_id"], r["corpus_id"], r["sim"]) for r in full
     } == {(q, c, s) for (q, c), s in exact.items()}
+
+
+def test_connected_components_known_graph(spark):
+    """Chain 1-2-3-4, triangle 10-11-12 (via pairs), isolated pair
+    20-21: min-label propagation converges to the component minimum."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    out = {r["doc_id"]: r["rep_id"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
