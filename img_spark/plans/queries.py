@@ -952,6 +952,8 @@ def all_queries():
         "ann_ivf_topk": q_ivf_topk,
         "robots_parse": q_robots_parse,
         "dedup_clusters": q_dedup_clusters,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
     }
 
 
@@ -1000,6 +1002,8 @@ def all_oracles():
         "ann_ivf_topk": _sql_ivf_topk(),
         "robots_parse": SQL_ROBOTS_PARSE,
         "dedup_clusters": _sql_dedup_clusters(),
+        "multimodal_frames": SQL_MULTIMODAL_FRAMES,
+        "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     }
 
 
@@ -1814,4 +1818,64 @@ cc(id, lbl) AS (
   UNION
   SELECT e.src, c.lbl FROM edges e JOIN cc c ON c.id = e.dst)
 SELECT id AS doc_id, min(lbl) AS rep_id FROM cc GROUP BY id
+"""
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling plan (video rows): one row per sampled frame index
+    at a 1000 ms stride — pure JVM sequence/explode."""
+    from img_spark.operators.multimodal import sample_frames
+
+    d = _docs(spark, sf_dir)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 2, F.lit("video"))
+        .otherwise(F.lit("image")).alias("kind"),
+        F.struct(
+            F.lit("video/mp4").alias("mime"),
+            F.lit(640).alias("width"),
+            F.lit(480).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (F.lit(1500) + (F.col("doc_id") % 10) * 1000).cast("int")
+            .alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return sample_frames(media, every_ms=1000)
+
+
+SQL_MULTIMODAL_FRAMES = """
+WITH v AS (
+  SELECT doc_id AS media_id,
+         greatest(1, (1500 + (doc_id % 10) * 1000) // 1000) AS n
+  FROM documents WHERE doc_id % 3 = 2)
+SELECT media_id, unnest(generate_series(0, (n - 1)::int))::int AS frame_idx,
+       unnest(generate_series(0, (n - 1)::int))::int * 1000 AS ts_ms
+FROM v
+"""
+
+
+def q_multimodal_resize(spark, sf_dir):
+    """Aspect-preserving resize plumbing (fake-decode path): md5-seeded
+    source dims → scale = min(1, 256/max_side), truncated target dims."""
+    from img_spark.operators.multimodal import resize_image
+
+    media = _media_df(spark, sf_dir).withColumn(
+        "kind", F.lit("image")
+    )
+    out = resize_image(media, max_side=256)
+    return out.select("media_id", "width", "height", "resize_ok")
+
+
+SQL_MULTIMODAL_RESIZE = f"""
+WITH {_SQL_MEDIA_CTE},
+dims AS (
+  SELECT media_id,
+    64 + (('0x'||substr(hx,1,2))::int + 256*('0x'||substr(hx,3,2))::int) % 1984 AS w,
+    64 + (('0x'||substr(hx,5,2))::int + 256*('0x'||substr(hx,7,2))::int) % 1984 AS h
+  FROM m)
+SELECT media_id,
+  greatest(1, trunc(w * least(1.0, 256.0 / greatest(w, h)))::int) AS width,
+  greatest(1, trunc(h * least(1.0, 256.0 / greatest(w, h)))::int) AS height,
+  TRUE AS resize_ok
+FROM dims
 """
