@@ -1,0 +1,111 @@
+"""Physical-plan pins: the scale-critical plan shapes must not regress
+(the 100-TB properties are invisible to row-level correctness tests —
+these assert them on the optimized/executed plans directly)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from img_spark.sources.site_config import attach_site_config
+from img_spark.operators.politeness import dispatch_top_k
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def pages_pq(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "pages")
+    rows = [
+        (f"https://h{i % 7}.test/p/{i}", dt.datetime(2024, 1, 1),
+         b"<html><title>t</title></html>", "text body", "en")
+        for i in range(200)
+    ]
+    spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).write.parquet(p)
+    return p
+
+
+def test_fetch_join_is_broadcast_not_smj(spark, pages_pq):
+    """The fetch equi-join must broadcast the dispatch batch — a
+    sort-merge join would shuffle the (100-TB) pages side."""
+    pages = spark.read.parquet(pages_pq)
+    dispatch = spark.createDataFrame(
+        [(f"https://h1.test/p/{i}", "h1.test") for i in range(5)],
+        "url string, host string",
+    )
+    j = pages.select("url", "html").join(
+        F.broadcast(dispatch.select("url", "host")), "url", "inner"
+    )
+    plan = plan_of(j)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_fetch_scan_prunes_unused_columns(spark, pages_pq):
+    """Selecting (url, html) for the fetch must push column pruning to
+    the parquet scan — reading text/lang/warc_ts for a 2-column
+    projection is wasted I/O at every generation."""
+    pages = spark.read.parquet(pages_pq)
+    plan = plan_of(pages.select("url", "html").filter(F.col("url") != ""))
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "url" in scan and "html" in scan
+    assert "text" not in scan and "lang" not in scan and "warc_ts" not in scan
+
+
+def test_site_config_attach_is_pure_projection(spark):
+    """The compiled when-chain lookup must add NO exchange — a broadcast
+    join + first-match window here would shuffle the frontier."""
+    df = spark.range(100).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".alpha.test"))
+        .alias("host")
+    )
+    out = attach_site_config(df, [(0, "alpha.test", "img.a", None, None)])
+    assert "Exchange" not in plan_of(out)
+
+
+def test_dispatch_single_shuffle(spark):
+    """The politeness top-K window is the loop's ONE frontier-sized
+    shuffle — exactly one Exchange in its plan."""
+    pend = spark.range(1000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % 10).cast("string")).alias("host"),
+        F.lpad(F.col("id").cast("string"), 10, "0").alias("path"),
+        (F.col("id") % 5).cast("int").alias("depth"),
+        F.lit(0.0).alias("crawl_delay"),
+    )
+    plan = plan_of(dispatch_top_k(pend, 2, 60.0))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dataops_expressions_stay_jvm_side(spark):
+    """Quality/dedup/similarity signal pipelines must stay JVM-side —
+    no row-at-a-time or Arrow Python evaluation nodes anywhere in their
+    plans (higher-order functions block codegen for single projections,
+    so the pin is the ABSENCE of Python evals, not codegen spans)."""
+    from img_spark.operators import dedup, similarity
+    from img_spark.operators.textquality import quality_signals
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w x y z "), F.col("id").cast("string")).alias("text"),
+    )
+    emb = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * i).cast("float") for i in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    for df in (
+        quality_signals(docs),
+        dedup.minhash_dedup(docs),
+        dedup.simhash_near_dups(docs),
+        similarity.lsh_topk(emb, emb.limit(3), k=2, dim=8),
+    ):
+        plan = plan_of(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
