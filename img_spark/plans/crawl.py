@@ -177,6 +177,11 @@ class Crawler:
             isinstance(r[2], str) and SEP in r[2] and not r[2].startswith("json:")
             for r in config_rows
         )
+        # compile the config lookup Column ONCE — rebuilt per generation
+        # it costs O(config) py4j roundtrips every step
+        from img_spark.sources.site_config import compile_config_column
+
+        self._cfg_col = compile_config_column(config_rows)
 
     # ---------------------------------------------------------------- paths
     def _p(self, *parts) -> str:
@@ -272,7 +277,7 @@ class Crawler:
         fetched = pages.select("url", "html").join(
             F.broadcast(dispatch.select("url", "host")), "url", "inner"
         )
-        withcfg = attach_site_config(fetched, self.config_rows)
+        withcfg = attach_site_config(fetched, self._cfg_col)
 
         results = extract_pages(withcfg, album_policy=self.cfg.album_policy)
         if self.has_two_level:

@@ -71,6 +71,27 @@ def site_config_df(spark: SparkSession, rows_or_path) -> DataFrame:
     return spark.createDataFrame(rows, SITE_CONFIG_SCHEMA)
 
 
+def compile_config_column(config_rows: list):
+    """Build the coalesce/when lookup Column once — Column objects are
+    immutable expression trees, so a crawler reuses one across every
+    generation instead of re-issuing O(config) py4j calls per step."""
+    host = F.regexp_replace(F.col("host"), "\\s+$", "")
+    cfg_type = "struct<img_sel:string,next_sel:string,album_sel:string>"
+    sel_struct = F.lit(None).cast(cfg_type)
+    for order, dom, img, nxt, alb in sorted(
+        config_rows, key=lambda r: r[0], reverse=True
+    ):
+        sel_struct = F.when(
+            host.endswith(F.lit(dom)),
+            F.struct(
+                F.lit(img).cast(StringType()).alias("img_sel"),
+                F.lit(nxt).cast(StringType()).alias("next_sel"),
+                F.lit(alb).cast(StringType()).alias("album_sel"),
+            ),
+        ).otherwise(sel_struct)
+    return sel_struct
+
+
 def attach_site_config(frontier: DataFrame, config_rows: list) -> DataFrame:
     """P2 config lookup (main.rs:65-80): suffix-match the host against
     each exploded domain (``host.trim_end().ends_with(domain)``), first
@@ -84,26 +105,18 @@ def attach_site_config(frontier: DataFrame, config_rows: list) -> DataFrame:
     inside whole-stage codegen, and Catalyst constant-folds it. A
     broadcast nested-loop join would only win if the config had far more
     domains than codegen tolerates (~thousands).
+
+    Host trimming: Rust host.trim_end() strips all trailing whitespace
+    (main.rs:74); F.rtrim strips spaces only, so the compiled column
+    uses a trailing-\\s+ regexp_replace (ASCII whitespace — every char a
+    URL host can realistically carry). Callers in a loop should compile
+    once with ``compile_config_column`` and pass the Column here.
     """
-    # Rust host.trim_end() strips all trailing whitespace (main.rs:74);
-    # F.rtrim strips spaces only, so a trailing tab/newline would miss.
-    # \s+ here is ASCII whitespace — covers every char a URL host can
-    # realistically carry.
-    host = F.regexp_replace(F.col("host"), "\\s+$", "")
-    cfg_type = "struct<img_sel:string,next_sel:string,album_sel:string>"
-    sel_struct = F.lit(None).cast(cfg_type)
-    # fold right-to-left so the lowest config_order is the outermost WHEN
-    for order, dom, img, nxt, alb in sorted(
-        config_rows, key=lambda r: r[0], reverse=True
-    ):
-        sel_struct = F.when(
-            host.endswith(F.lit(dom)),
-            F.struct(
-                F.lit(img).cast(StringType()).alias("img_sel"),
-                F.lit(nxt).cast(StringType()).alias("next_sel"),
-                F.lit(alb).cast(StringType()).alias("album_sel"),
-            ),
-        ).otherwise(sel_struct)
+    sel_struct = (
+        config_rows
+        if not isinstance(config_rows, list)
+        else compile_config_column(config_rows)
+    )
     return (
         frontier.withColumn("__cfg", sel_struct)
         .withColumn("img_sel", F.col("__cfg.img_sel"))

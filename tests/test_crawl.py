@@ -448,3 +448,37 @@ def test_salted_crawl_and_autocompact(spark, crawl, tmp_path_factory):
     assert {(r["url"], r["status"], r["generation"]) for r in f1.collect()} == {
         (r["url"], r["status"], r["generation"]) for r in f2.collect()
     }
+
+
+def test_robots_bodies_end_to_end(spark, crawl, tmp_path_factory):
+    """Full loop closure: raw robots.txt BODIES → parse operator →
+    rules table → crawler; the crawl must match the hand-written
+    rules-table run exactly."""
+    from img_spark.operators.politeness import robots_rules_from_bodies
+
+    bodies = spark.createDataFrame(
+        [
+            ("site-a.test",
+             "# fixture\nUser-agent: *\nDisallow: /private\nAllow: /\n"),
+            ("site-b.test", "User-agent: *\nAllow: /\n"),
+            ("site-c.test", "User-agent: *\nAllow: /\n"),
+            ("site-d.test", "User-agent: *\nAllow: /\n"),
+        ],
+        "host string, body string",
+    )
+    robots = robots_rules_from_bodies(bodies, agent="imgbot")
+    ckpt = tmp_path_factory.mktemp("ckpt_robots_e2e")
+    c = Crawler(
+        spark,
+        fixture_pages_df(spark).cache(),
+        rows_from_config(FIXTURE_CONFIG),
+        robots,
+        CrawlConfig(checkpoint_dir=str(ckpt), partitions=8),
+    )
+    c.run(seeds=FIXTURE_SEEDS)
+    assert c.generation == crawl.generation
+    f1 = read_frontier(spark, str(crawl.cfg.checkpoint_dir), crawl.generation)
+    f2 = c.frontier_df()
+    assert {(r["url"], r["status"]) for r in f1.collect()} == {
+        (r["url"], r["status"]) for r in f2.collect()
+    }
