@@ -482,3 +482,27 @@ def test_robots_bodies_end_to_end(spark, crawl, tmp_path_factory):
     assert {(r["url"], r["status"]) for r in f1.collect()} == {
         (r["url"], r["status"]) for r in f2.collect()
     }
+
+
+def test_retry_after_crash_before_manifest_commit(spark, crawl, tmp_path_factory):
+    """Durability: a generation that wrote its data dirs but died BEFORE
+    the atomic manifest commit is re-run from the previous manifest; the
+    overwrite-mode writes make the retry idempotent and the final crawl
+    matches the uninterrupted run."""
+    import os
+
+    ckpt = tmp_path_factory.mktemp("ckpt_crash")
+    c = make_crawler(spark, ckpt)
+    c.init(FIXTURE_SEEDS)
+    c.step()  # g1 committed
+    c.step()  # g2 committed — now simulate the crash by dropping ONLY
+    os.remove(f"{ckpt}/manifest-g2.json")  # the commit record
+    c2 = make_crawler(spark, ckpt)
+    assert c2.resume() == 1  # g2's data dirs exist but are uncommitted
+    c2.run()  # re-runs g2 (overwrite) and finishes the crawl
+    assert c2.generation == crawl.generation
+    f1 = read_frontier(spark, str(crawl.cfg.checkpoint_dir), crawl.generation)
+    f2 = c2.frontier_df()
+    assert {(r["url"], r["status"], r["generation"]) for r in f1.collect()} == {
+        (r["url"], r["status"], r["generation"]) for r in f2.collect()
+    }
