@@ -106,6 +106,44 @@ def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns — RE2-safe (no lookaround) so the DuckDB oracle shares
+# them verbatim; word-ish boundaries via explicit classes.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+PII_IPV4_RE = (
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Training-data hygiene: replace emails/phones/IPv4s with typed
+    placeholder tokens — pure chained regexp_replace (JVM, codegen).
+    Order matters: emails first (their local part can look phone-ish),
+    then IPs (before phones — a dotted quad matches the phone shape),
+    then phones."""
+    out = F.regexp_replace(text, PII_EMAIL_RE, "[EMAIL]")
+    out = F.regexp_replace(out, PII_IPV4_RE, "[IP]")
+    out = F.regexp_replace(out, PII_PHONE_RE, "[PHONE]")
+    return out
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition gates: duplicate-line fraction and
+    top-line frequency per document, as pure expressions over the
+    line-split array (map-side, no Python)."""
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    dup_frac = F.round((n_lines - n_distinct) / n_lines, 6)
+    return df.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_distinct.alias("n_distinct_lines"),
+        dup_frac.alias("dup_line_frac"),
+        (dup_frac <= 0.3).alias("keep_repetition"),
+    )
+
+
 def normalize_text(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
 

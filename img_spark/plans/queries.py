@@ -954,6 +954,8 @@ def all_queries():
         "dedup_clusters": q_dedup_clusters,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
+        "redact_pii": q_redact_pii,
+        "repetition_signals": q_repetition,
     }
 
 
@@ -1004,6 +1006,8 @@ def all_oracles():
         "dedup_clusters": _sql_dedup_clusters(),
         "multimodal_frames": SQL_MULTIMODAL_FRAMES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,
+        "redact_pii": _sql_redact_pii(),
+        "repetition_signals": SQL_REPETITION,
     }
 
 
@@ -1878,4 +1882,77 @@ SELECT media_id,
   greatest(1, trunc(h * least(1.0, 256.0 / greatest(w, h)))::int) AS height,
   TRUE AS resize_ok
 FROM dims
+"""
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII redaction over text with planted emails/phones/IPs (hygiene
+    pass every training pipeline needs before tokenization)."""
+    from img_spark.operators.textquality import redact_pii
+
+    planted = F.concat(
+        F.col("text"), F.lit(" contact user"), _did(),
+        F.lit("@example.com or +1 555-123-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 192.168."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 today"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", redact_pii(planted).alias("clean_text")
+    )
+
+
+def _sql_redact_pii():
+    from img_spark.operators.textquality import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+    )
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id::varchar ||
+    '@example.com or +1 555-123-' || lpad((doc_id % 10000)::varchar, 4, '0') ||
+    ' from 192.168.' || (doc_id % 256)::varchar || '.7 today' AS planted
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(planted,
+    '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+    '{PII_IPV4_RE}', '[IP]', 'g'),
+    '{PII_PHONE_RE}', '[PHONE]', 'g') AS clean_text
+FROM t
+"""
+
+
+def q_repetition(spark, sf_dir):
+    """Duplicate-line repetition gates over text with planted repeated
+    lines (every 3rd doc gets its first 40 chars repeated 4x)."""
+    from img_spark.operators.textquality import repetition_signals
+
+    head = F.substring(F.col("text"), 1, 40)
+    text = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat_ws("\n", F.col("text"), head, head, head, head),
+    ).otherwise(F.concat_ws("\n", F.col("text"), head))
+    d = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return repetition_signals(d)
+
+
+SQL_REPETITION = """
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+         THEN text || '\n' || substr(text,1,40) || '\n' || substr(text,1,40)
+              || '\n' || substr(text,1,40) || '\n' || substr(text,1,40)
+         ELSE text || '\n' || substr(text,1,40) END AS text
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    len(string_split(text, chr(10))) AS n_lines,
+    len(list_distinct(string_split(text, chr(10)))) AS n_distinct_lines
+  FROM t)
+SELECT doc_id, n_lines, n_distinct_lines,
+  round((n_lines - n_distinct_lines) / n_lines, 6) AS dup_line_frac,
+  round((n_lines - n_distinct_lines) / n_lines, 6) <= 0.3 AS keep_repetition
+FROM s
 """
