@@ -1,0 +1,98 @@
+"""Checkpoint filesystem layer: every byte of crawl state (cuckoo
+blobs, manifests, parquet-footer reads, compaction listings) goes
+through pyarrow.fs instead of POSIX calls, so the checkpoint dir can
+live on any scheme pyarrow resolves — local paths, ``file://``,
+``s3://``, ``hdfs://`` (north_star: the 100-TB deployment checkpoints
+to object storage; executors on different hosts share no local disk).
+
+Paths stay plain strings end-to-end (executors re-resolve from the
+string — no filesystem handles are pickled into tasks). Spark itself
+reads/writes the same URIs through its Hadoop layer; this module covers
+the driver/executor side channels Spark doesn't mediate.
+
+Atomicity: ``write_bytes_atomic`` is write-temp + rename on local
+filesystems (os-level atomic replace) and a direct single PUT on object
+stores (atomic by the store's semantics — a rename there would be
+copy+delete, which is weaker).
+"""
+
+from __future__ import annotations
+
+import os
+import posixpath
+
+from pyarrow import fs as pafs
+
+
+def resolve(path: str):
+    """(FileSystem, fs-local path) for a plain path or URI."""
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), os.path.abspath(path)
+
+
+def join(base: str, *parts: str) -> str:
+    """Scheme-preserving path join (URI or plain)."""
+    return posixpath.join(base, *parts)
+
+
+def exists(path: str) -> bool:
+    fs, p = resolve(path)
+    return fs.get_file_info(p).type != pafs.FileType.NotFound
+
+
+def isdir(path: str) -> bool:
+    fs, p = resolve(path)
+    return fs.get_file_info(p).type == pafs.FileType.Directory
+
+
+def listdir(path: str) -> list:
+    """Basenames of a directory's entries ([] when absent)."""
+    fs, p = resolve(path)
+    if fs.get_file_info(p).type != pafs.FileType.Directory:
+        return []
+    return [
+        info.base_name for info in fs.get_file_info(pafs.FileSelector(p))
+    ]
+
+
+def makedirs(path: str) -> None:
+    fs, p = resolve(path)
+    fs.create_dir(p, recursive=True)
+
+
+def rmtree(path: str) -> None:
+    fs, p = resolve(path)
+    if fs.get_file_info(p).type == pafs.FileType.Directory:
+        fs.delete_dir(p)
+
+
+def read_bytes(path: str) -> bytes:
+    fs, p = resolve(path)
+    with fs.open_input_file(p) as f:
+        return f.read()
+
+
+def write_bytes_atomic(path: str, data: bytes) -> None:
+    fs, p = resolve(path)
+    parent = posixpath.dirname(p)
+    if parent:
+        fs.create_dir(parent, recursive=True)
+    if isinstance(fs, pafs.LocalFileSystem):
+        tmp = p + ".tmp"
+        with fs.open_output_stream(tmp) as f:
+            f.write(data)
+        fs.move(tmp, p)  # same-dir rename: atomic commit
+    else:
+        # object stores: one PUT is atomic; rename is copy+delete
+        with fs.open_output_stream(p) as f:
+            f.write(data)
+
+
+def parquet_num_rows(path: str) -> int:
+    """Row count from one parquet file's footer (no data read)."""
+    import pyarrow.parquet as pq
+
+    fs, p = resolve(path)
+    with fs.open_input_file(p) as f:
+        return pq.ParquetFile(f).metadata.num_rows

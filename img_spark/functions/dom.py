@@ -128,11 +128,14 @@ def _apply_implied_end(stack, tag, counts):
     elif tag == "a":
         if get("a"):
             _close_in_scope(stack, ("a",), _BASE_SCOPE, counts)
-    elif tag in _HEADINGS:
-        if stack[-1]._tag in _HEADINGS:
-            stack.pop()
     if tag in _P_CLOSERS and get("p"):
         _close_in_scope(stack, ("p",), _BUTTON_SCOPE, counts)
+    # spec order: the p-in-button-scope close runs FIRST, then the
+    # heading current-node pop re-checks the (possibly new) stack top —
+    # '<h1><p>x<h2>' makes h2 a SIBLING of h1 (html5ever parity), not a
+    # child (https://html.spec.whatwg.org/#parsing-main-inbody, h1-h6)
+    if tag in _HEADINGS and stack[-1]._tag in _HEADINGS:
+        stack.pop()
 
 
 class Node:
@@ -279,6 +282,12 @@ class _TreeBuilder(HTMLParser):
 
     def handle_startendtag(self, tag, attrs):
         self._n += 1
+        # self-closing syntax still runs start-tag implied-end rules
+        # ('<p>x<div/>' closes the p) — keeps the stdlib builder
+        # tree-identical to _fast_parse, which applies them before
+        # checking the self-closing flag
+        if tag in _IMPLIED_TRIGGERS:
+            _apply_implied_end(self._stack, tag, self._counts)
         adict = {}
         for k, v in attrs:
             if k not in adict:

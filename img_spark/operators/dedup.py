@@ -155,7 +155,15 @@ def minhash_signatures(
     aggregation happens before the shuffle, so only (doc_id, k longs)
     rows cross the wire; the per-row array-expression form churns k
     transient arrays per document instead. This is the shape that holds
-    at 10^10 docs."""
+    at 10^10 docs.
+
+    NULL-text docs emit no row (explode of the empty hash set) — and
+    are therefore EXCLUDED from LSH candidates. Intended: an unfetched
+    /binary doc is not a dedup candidate, and the expression form's
+    alternative (hashing NULL like "") would band-match every null doc
+    against every empty doc. Empty-STRING docs keep the h32("")
+    signature in both forms and still pair with each other (pinned by
+    tests/test_dataops.py)."""
     g = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(gram_hashes(F.col(text_col))).alias("gh"),
@@ -171,18 +179,50 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+# ------------------------------------------------------- hot-bucket guard
+def cap_buckets(df: DataFrame, key_cols, max_bucket: int) -> DataFrame:
+    """Drop every row belonging to a bucket larger than ``max_bucket``.
+    All LSH candidate joins are quadratic INSIDE a bucket — one hot
+    bucket (boilerplate pages, empty-ish docs hashing together) turns a
+    linear pass into n² on a single reducer. The cap bounds per-bucket
+    work; the recall loss is EXPLICIT — pair it with
+    ``bucket_drop_report`` so truncation never silently reads as full
+    coverage. The window count shuffles on the same bucket key the
+    candidate join uses, so no new shuffle shape is introduced."""
+    w = Window.partitionBy(*[F.col(c) for c in key_cols])
+    return (
+        df.withColumn("_bn", F.count("*").over(w))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+
+
+def bucket_drop_report(df: DataFrame, key_cols, max_bucket: int) -> DataFrame:
+    """The buckets ``cap_buckets`` would drop: (key…, n,
+    dropped_pairs). Emit/persist this next to any capped run — it is
+    the coverage ledger for the truncation."""
+    return (
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .withColumn(
+            "dropped_pairs",
+            (F.col("n") * (F.col("n") - 1) / 2).cast("long"),
+        )
+    )
+
+
+def minhash_bands(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     bands: int = LSH_BANDS,
     k: int = MINHASH_K,
 ) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band bucket.
-    shingle → minhash → band → bucket-join; only bucket keys shuffle."""
+    """Banded LSH keys per doc: (doc_id, band, bucket)."""
     r = k // bands
     sig = minhash_signatures(df, id_col, text_col, k)
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(*[
@@ -199,6 +239,24 @@ def minhash_lsh_candidates(
             ])
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bucket")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = LSH_BANDS,
+    k: int = MINHASH_K,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+    shingle → minhash → band → bucket-join; only bucket keys shuffle.
+    ``max_bucket`` bounds the quadratic per-bucket join (see
+    cap_buckets; report the drops with bucket_drop_report over
+    minhash_bands)."""
+    banded = minhash_bands(df, id_col, text_col, bands, k)
+    if max_bucket is not None:
+        banded = cap_buckets(banded, ("band", "bucket"), max_bucket)
     x = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     y = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     return (
@@ -214,6 +272,7 @@ def minhash_dedup(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verify.
 
@@ -221,7 +280,7 @@ def minhash_dedup(
     array_intersect on the per-doc gram-hash arrays — never the full
     gram-explode self-join (which blows up quadratically on common
     shingles and is exactly what LSH exists to avoid at scale)."""
-    cand = minhash_lsh_candidates(df, id_col, text_col)
+    cand = minhash_lsh_candidates(df, id_col, text_col, max_bucket=max_bucket)
     grams = df.select(
         F.col(id_col).alias("doc_id"),
         gram_hashes(F.col(text_col)).alias("ghs"),
@@ -346,7 +405,12 @@ def simhash32_agg(
     """Aggregate formulation of simhash32 (identical values): per-bit
     weight = 2·(count of set bits) − n_tokens, so one explode of the
     distinct token hashes + 32 map-side-combinable ``sum()`` aggregates
-    replaces the per-row 32-array fold. Returns (doc_id, sh)."""
+    replaces the per-row 32-array fold. Returns (doc_id, sh).
+
+    NULL-text docs emit no row and are excluded from near-dup bands —
+    intended (the expression form emits sh=NULL for them, and NULL join
+    keys never band-match, so the resulting PAIR set is identical);
+    empty-string docs keep their real signature in both forms."""
     h = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -372,9 +436,12 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates: equal 8-bit SimHash chunk in any of 4 bands
-    (guarantees recall for hamming distance < bands), then exact hamming."""
+    (guarantees recall for hamming distance < bands), then exact hamming.
+    ``max_bucket`` bounds the quadratic per-chunk join (cap_buckets;
+    drops reportable via bucket_drop_report)."""
     sig = simhash32_agg(df, id_col, text_col)
     width = 32 // bands
     banded = sig.select(
@@ -392,6 +459,8 @@ def simhash_near_dups(
             ])
         ).alias("bc"),
     ).select("doc_id", "sh", "bc.band", "bc.chunk")
+    if max_bucket is not None:
+        banded = cap_buckets(banded, ("band", "chunk"), max_bucket)
     x = banded.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"),
                       "band", "chunk")
     y = banded.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"),

@@ -153,16 +153,24 @@ def resolve_css_imports(
     return images.distinct()
 
 
-def resolve_second_level(extracted: DataFrame, pages: DataFrame) -> DataFrame:
+def resolve_second_level(
+    extracted: DataFrame, pages: DataFrame, pages_buckets: int = 0
+) -> DataFrame:
     """Fill ``imgs`` for two-level pages: explode first-level URLs, join
     the pages table (the sandbox "fetch"), run extraction pass 2 grouped
     per origin page, and merge results back.
 
-    Scale notes: the explode→join shuffles only (page_url, url) string
-    pairs plus the second-level html blobs; the first-level pages
-    DataFrame is aggressively projected before the join so the origin
-    page's own html never re-shuffles.
-    """
+    Scale notes: the fetch is an INNER join with the (batch-sized)
+    exploded URL set BROADCAST — the big pages table streams through a
+    BroadcastHashJoin with no shuffle (a left join here could only
+    broadcast the pages side and would sort-merge-shuffle all of pages
+    every generation, main.rs:325-364's loop run on a cluster). Inner
+    semantics are safe because the final merge coalesces a missing
+    second-pass row to an empty imgs array — identical to the old left
+    join feeding html=NULL rows into the kernel. With ``pages_buckets``
+    > 0 the pages side must carry ``tables.PAGES_BUCKET_COL`` and the
+    scan is partition-pruned to the buckets this batch's fetch URLs can
+    live in (same derivation as the first-level fetch)."""
     two = extracted.filter(F.col("second_level_sel") != "").select(
         "url", "second_level_sel", "first_level_urls"
     )
@@ -171,10 +179,19 @@ def resolve_second_level(extracted: DataFrame, pages: DataFrame) -> DataFrame:
         "second_level_sel",
         F.explode("first_level_urls").alias("fetch_url"),
     )
-    fetched = exploded.join(
-        pages.select(F.col("url").alias("fetch_url"), "html"),
-        "fetch_url",
-        "left",
+    if pages_buckets:
+        from img_spark.sources.tables import PAGES_BUCKET_COL
+
+        mods = [
+            r["b"]
+            for r in exploded.select(
+                F.pmod(F.xxhash64(F.col("fetch_url")), F.lit(pages_buckets))
+                .cast("int").alias("b")
+            ).distinct().collect()
+        ]
+        pages = pages.filter(F.col(PAGES_BUCKET_COL).isin(mods))
+    fetched = pages.select(F.col("url").alias("fetch_url"), "html").join(
+        F.broadcast(exploded), "fetch_url", "inner"
     )
 
     def run(key, pdf):
@@ -186,7 +203,9 @@ def resolve_second_level(extracted: DataFrame, pages: DataFrame) -> DataFrame:
     second = fetched.groupBy("page_url", "second_level_sel").applyInPandas(
         run, schema="url string, second_imgs array<string>"
     )
-    merged = extracted.join(second, "url", "left").withColumn(
+    # `second` holds one row per two-level origin page (≤ dispatch
+    # batch) — broadcast it so the merge-back never sort-merge-shuffles
+    merged = extracted.join(F.broadcast(second), "url", "left").withColumn(
         "imgs",
         F.when(
             F.col("second_level_sel") != "",

@@ -145,16 +145,74 @@ def apply_robots(
     return (
         j.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .withColumn(
-            "allowed",
-            F.when(F.col("__match"), F.col("allow")).otherwise(F.lit(True)),
-        )
-        .withColumn(
-            "crawl_delay",
-            F.when(F.col("__match"), F.col("crawl_delay")).otherwise(F.lit(0.0)),
-        )
+        .withColumns({
+            "allowed":
+                F.when(F.col("__match"), F.col("allow")).otherwise(F.lit(True)),
+            "crawl_delay":
+                F.when(F.col("__match"), F.col("crawl_delay"))
+                .otherwise(F.lit(0.0)),
+        })
         .drop("__rn", "__match", "__path", "path_prefix", "allow")
     )
+
+
+def robots_compact(robots: DataFrame) -> DataFrame:
+    """ONE row per host: its rules as an array (precompute once per
+    crawl — the rules table is static across generations)."""
+    return robots.groupBy("host").agg(
+        F.collect_list(
+            F.struct("path_prefix", "allow", "crawl_delay")
+        ).alias("rules")
+    )
+
+
+def apply_robots_rules(candidates: DataFrame, compact: DataFrame) -> DataFrame:
+    """Shuffle-free twin of ``apply_robots`` over the compacted rules
+    table: broadcast join on host (no fan-out — one rules array per
+    host), then longest-matching-prefix selection as pure array
+    expressions. ``apply_robots`` needs a per-candidate window (a
+    candidate-batch shuffle every generation) to collapse the rule
+    fan-out; this form never fans out, so the crawl loop's candidate
+    path keeps ZERO robots shuffles. Equal-length ties break to
+    allow=True (deterministic; the window form's tie order is
+    arbitrary). Rows whose host has no rules (or no matching prefix)
+    default to allowed=True, crawl_delay=0.0."""
+    pos = F.instr(F.col("url"), "://")
+    rest = F.when(
+        pos > 0, F.substring(F.col("url"), pos + 3, F.lit(1 << 30))
+    ).otherwise(F.col("url"))
+    slash = F.instr(rest, "/")
+    path = F.when(
+        slash > 0, F.substring(rest, slash, F.lit(1 << 30))
+    ).otherwise(F.lit("/"))
+    j = candidates.withColumn("__path", path).join(
+        F.broadcast(compact), "host", "left"
+    )
+    matched = F.filter(
+        F.col("rules"),
+        lambda r: F.col("__path").startswith(r["path_prefix"]),
+    )
+    # F.get (not getItem): a host can have rules but none matching the
+    # path — ANSI mode makes [0] on the empty array an error, get()
+    # returns NULL and the coalesce below applies the allow-all default
+    best = F.get(
+        F.sort_array(
+            F.transform(
+                matched,
+                lambda r: F.struct(
+                    F.length(r["path_prefix"]).alias("l"),
+                    r["allow"].alias("allow"),
+                    r["crawl_delay"].alias("crawl_delay"),
+                ),
+            ),
+            asc=False,
+        ),
+        0,
+    )
+    return j.withColumns({
+        "allowed": F.coalesce(best["allow"], F.lit(True)),
+        "crawl_delay": F.coalesce(best["crawl_delay"], F.lit(0.0)),
+    }).drop("__path", "rules")
 
 
 def dispatch_top_k(

@@ -22,9 +22,9 @@ per task.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
+
+from img_spark import fsio
 
 _MULT = np.uint64(0x5BD1E995)
 _MAX_KICKS = 500
@@ -131,15 +131,13 @@ class CuckooFilter:
         return cls(_table=table)
 
     def save(self, path: str) -> None:
-        tmp = path + ".tmp"
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(tmp, "wb") as f:
-            f.write(self.to_bytes())
-        os.replace(tmp, path)  # atomic per-partition blob commit
+        # atomic per-partition blob commit, on any pyarrow.fs scheme —
+        # this runs INSIDE executor tasks, which share no local disk
+        # with the driver on a real cluster
+        fsio.write_bytes_atomic(path, self.to_bytes())
 
     @classmethod
     def load(cls, path: str, capacity: int = 1 << 16) -> "CuckooFilter":
-        if not os.path.exists(path):
+        if not path or not fsio.exists(path):
             return cls(capacity=capacity)
-        with open(path, "rb") as f:
-            return cls.from_bytes(f.read())
+        return cls.from_bytes(fsio.read_bytes(path))

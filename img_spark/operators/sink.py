@@ -50,16 +50,17 @@ def with_download_columns(extracted: DataFrame) -> DataFrame:
         F.substring_index(F.col("img_url"), " | ", 1),
     ).otherwise(F.col("img_url"))
     fname = filename_expr(F.col("img_url"))
-    return (
-        extracted.withColumn("download_url", F.when(dl, u))
-        .withColumn("dir", F.when(dl, F.translate(F.col("dir_title"), "/", ":")))
-        .withColumn("filename", F.when(dl, fname))
-        .withColumn("needs_ext_detection", dl & fname.isNull())
-        .withColumn(
-            "referer", F.when(dl, F.concat(F.lit("https://"), F.col("host")))
-        )
-        .withColumn("enc_url", F.when(dl, percent_encode_udf(u)))
-    )
+    # one withColumns call: this runs on the crawl loop's per-
+    # generation hot path, where each chained withColumn is a py4j
+    # round-trip of driver plan-construction time
+    return extracted.withColumns({
+        "download_url": F.when(dl, u),
+        "dir": F.when(dl, F.translate(F.col("dir_title"), "/", ":")),
+        "filename": F.when(dl, fname),
+        "needs_ext_detection": dl & fname.isNull(),
+        "referer": F.when(dl, F.concat(F.lit("https://"), F.col("host"))),
+        "enc_url": F.when(dl, percent_encode_udf(u)),
+    })
 
 
 def downloads_table(extracted: DataFrame) -> DataFrame:

@@ -269,6 +269,30 @@ def q_robots_allow(spark, sf_dir):
                       F.round("crawl_delay", 6).alias("crawl_delay"))
 
 
+def q_robots_allow_rules(spark, sf_dir):
+    """Shuffle-free robots twin (the form the crawl loop runs):
+    compacted per-host rules array + broadcast join + longest-prefix
+    array expressions — same oracle as the window form."""
+    from img_spark.operators.politeness import apply_robots_rules, robots_compact
+
+    hostn = (F.col("doc_id") % 10).cast("string")
+    host = F.concat(F.lit("h"), hostn, F.lit(".test"))
+    path = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/pub/"), _did()))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("/private/"), _did()))
+        .when(F.col("doc_id") % 4 == 2, F.lit("/private/pub/x"))
+        .otherwise(F.lit("/"))
+    )
+    cand = _docs(spark, sf_dir).select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("url"),
+    )
+    out = apply_robots_rules(cand, robots_compact(robots_df(spark, ROBOTS_RULES)))
+    return out.select("doc_id", "url", "allowed",
+                      F.round("crawl_delay", 6).alias("crawl_delay"))
+
+
 SQL_ROBOTS_ALLOW = """
 WITH rules(host, path_prefix, allow, crawl_delay) AS (VALUES
   ('h0.test','/private',FALSE,0.0::double), ('h0.test','/',TRUE,0.0::double),
@@ -914,6 +938,7 @@ def all_queries():
         "filename_derive": q_filename,
         "site_config_lookup": q_site_lookup,
         "robots_allow": q_robots_allow,
+        "robots_allow_rules": q_robots_allow_rules,
         "politeness_topk": q_politeness_topk,
         "seen_antijoin": q_seen_antijoin,
         "extract_images": q_extract_images,
@@ -966,6 +991,7 @@ def all_oracles():
         "filename_derive": SQL_FILENAME,
         "site_config_lookup": _sql_site_lookup(),
         "robots_allow": SQL_ROBOTS_ALLOW,
+        "robots_allow_rules": SQL_ROBOTS_ALLOW,
         "politeness_topk": SQL_POLITENESS_TOPK,
         "seen_antijoin": SQL_SEEN_ANTIJOIN,
         "extract_images": SQL_EXTRACT_IMAGES,
@@ -1411,8 +1437,8 @@ def q_metrics_rollup(spark, sf_dir):
 
 SQL_METRICS_ROLLUP = """
 SELECT 'em' || (doc_id % 10)::varchar || '.test' AS host,
-       count(*) AS dispatched, sum(1) AS imgs, sum(2) AS empty_dup,
-       sum(2) AS embed
+       count(*) AS dispatched, sum(1)::BIGINT AS imgs,
+       sum(2)::BIGINT AS empty_dup, sum(2)::BIGINT AS embed
 FROM documents GROUP BY 1
 """
 

@@ -272,3 +272,98 @@ def test_connected_components_known_graph(spark):
            for r in dedup.connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_ivf_assignment_no_window_over_product(spark):
+    """Round-2 verdict item 5: centroid assignment must be a
+    map-combinable max_by aggregate — a row_number window over the
+    corpus×centroids product would shuffle n_centroids× the corpus.
+    Exactly two windows remain (query probe top-nprobe + final top-k),
+    both over query-sized data."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = similarity.ivf_topk(emb, emb.limit(3), k=2, n_centroids=8, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("- Window [") == 2  # WindowGroupLimit nodes excluded
+    assert "partial_max_by" in plan  # assignment map-side combines
+
+
+def test_kmeans_centroids_through_same_plan(spark):
+    """Trained centroids feed ivf_topk through the identical plan; on
+    two well-separated synthetic clusters Lloyd's converges to the two
+    cluster means and nprobe=1 already recovers same-cluster
+    neighbours."""
+    import numpy as np
+
+    rows = []
+    for i in range(20):
+        base = [10.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 10.0, 0.0, 0.0]
+        vec = [b + ((i * 7 + j) % 5) * 0.01 for j, b in enumerate(base)]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = similarity.kmeans_centroids(emb, n_centroids=2, iters=4)
+    got = {r["centroid_id"]: r["ev"] for r in cent.collect()}
+    assert len(got) == 2
+    # each trained centroid points at one cluster axis
+    axes = sorted(int(np.argmax(v)) for v in got.values())
+    assert axes == [0, 1]
+    out = similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 2), k=3, nprobe=1, centroids=cent
+    ).collect()
+    for r in out:
+        # neighbours come from the query's own cluster (same parity)
+        assert r["corpus_id"] % 2 == r["query_id"] % 2
+
+
+def test_hot_bucket_guard_bounds_work_and_reports(spark):
+    """Plant one mega-bucket (many identical docs): with max_bucket the
+    candidate set is bounded and the drop report carries the truncation
+    ledger — silent full-coverage reads are impossible."""
+    rows = [(i, "the same boilerplate page text again and again")
+            for i in range(60)]
+    rows += [(100, "a unique document about spark"),
+             (101, "a unique document about spark")]
+    docs_df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.minhash_lsh_candidates(docs_df, max_bucket=10)
+    got = capped.collect()
+    # the 60-doc mega-bucket (60*59/2=1770 pairs/band) is dropped; the
+    # small pair survives
+    assert (100, 101) in {(r["doc_a"], r["doc_b"]) for r in got}
+    assert all(r["doc_a"] >= 100 for r in got)
+    banded = dedup.minhash_bands(docs_df)
+    report = dedup.bucket_drop_report(banded, ("band", "bucket"), 10)
+    rep = report.collect()
+    assert rep and all(r["n"] == 60 and r["dropped_pairs"] == 1770 for r in rep)
+    # embedding path: one hot LSH bucket of identical vectors
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(50)]
+        + [(200, [0.0, -1.0, 0.0, 0.0]), (201, [0.0, -1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = similarity.embedding_near_dups(
+        emb, threshold=0.9, n_planes=4, dim=4, max_bucket=10
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(200, 201)}
+    # simhash path accepts the cap too
+    sim = dedup.simhash_near_dups(docs_df, max_bucket=10).collect()
+    assert all(r["doc_a"] >= 100 for r in sim)
+
+
+def test_null_text_docs_excluded_from_lsh_by_design(spark):
+    """Pinned behavior (round-2 advice): NULL-text docs emit no
+    signature row and never reach candidate pairs; empty-STRING docs
+    keep the h32('') signature and still pair with each other."""
+    docs_df = spark.createDataFrame(
+        [(0, None), (1, None), (2, ""), (3, "  "), (4, "real text here")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"] for r in dedup.minhash_signatures(docs_df).collect()}
+    assert sigs == {2, 3, 4}
+    cand = {(r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_lsh_candidates(docs_df).collect()}
+    assert (2, 3) in cand
+    assert all(a not in (0, 1) and b not in (0, 1) for a, b in cand)
+    sh = {r["doc_id"] for r in dedup.simhash32_agg(docs_df).collect()}
+    assert sh == {2, 3, 4}
+    near = dedup.simhash_near_dups(docs_df).collect()
+    assert all(r["doc_a"] not in (0, 1) and r["doc_b"] not in (0, 1)
+               for r in near)

@@ -127,6 +127,33 @@ def test_heading_closes_heading():
     assert [c.tag() for c in root.children()] == ["h1", "h2"]
 
 
+def test_heading_start_closes_p_then_heading():
+    """Spec order: the p-in-button-scope close runs BEFORE the heading
+    current-node pop — '<h1><p>x<h2>y' makes h2 a SIBLING of h1
+    (html5ever), not a child of it."""
+    root = assert_equiv("<h1><p>x<h2>y")
+    assert [c.tag() for c in root.children()] == ["h1", "h2"]
+    h1 = root.children()[0]
+    assert [c.tag() for c in h1.children()] == ["p"]
+    assert root.children()[1].text() == "y"
+
+
+def test_self_closing_trigger_still_implies_end():
+    """'<p>x<div/>y' — self-closing syntax on a non-void p-closer still
+    closes the open p in BOTH builders (the div itself keeps
+    html.parser's immediately-closed semantics)."""
+    root = assert_equiv("<p>x<div/>y")
+    assert [c.tag() for c in root.children()] == ["p", "div"]
+    # y lands after the closed div, outside the p
+    assert root.children()[0].text() == "x"
+
+
+def test_self_closing_li_still_implies_end():
+    root = assert_equiv("<ul><li/>a<li/>b</ul>")
+    ul = root.children()[0]
+    assert [c.tag() for c in ul.children()] == ["li", "li"]
+
+
 def test_hr_closes_p():
     # void element in the p-closers set: pops p, inserts hr as sibling
     root = assert_equiv("<p>a<hr><p>b")

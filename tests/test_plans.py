@@ -82,6 +82,31 @@ def test_dispatch_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_second_level_fetch_never_shuffles_pages(spark, pages_pq):
+    """The two-level re-fetch (main.rs:325-364) must stream the pages
+    table through a BroadcastHashJoin against the broadcast exploded URL
+    batch — a SortMergeJoin anywhere in this plan means the (100-TB)
+    pages side is being shuffled every generation. The only exchange
+    allowed is the batch-sized groupBy feeding the second-pass UDF."""
+    from img_spark.operators.extract_udf import resolve_second_level
+
+    pages = spark.read.parquet(pages_pq)
+    extracted = spark.createDataFrame(
+        [
+            ("https://h1.test/a", ["x"], ["html"], "img.second",
+             [f"https://h1.test/p/{i}" for i in range(3)]),
+            ("https://h2.test/b", ["y"], ["html"], "",
+             []),
+        ],
+        "url string, imgs array<string>, origins array<string>,"
+        " second_level_sel string, first_level_urls array<string>",
+    )
+    plan = plan_of(resolve_second_level(extracted, pages))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_dataops_expressions_stay_jvm_side(spark):
     """Quality/dedup/similarity signal pipelines must stay JVM-side —
     no row-at-a-time or Arrow Python evaluation nodes anywhere in their
