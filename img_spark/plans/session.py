@@ -12,17 +12,15 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(
-    app: str = "img-spark",
-    master: str | None = None,
-    shuffle_partitions: int | None = None,
-) -> SparkSession:
+def engine_defaults(builder, shuffle_partitions: int | None = None):
+    """Apply the engine's runtime defaults to a SparkSession builder —
+    WITHOUT touching the master, so a ``spark-submit``-launched job
+    (job.py) keeps the cluster manager chosen on the submit command
+    line while local tools pick their own."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or int(os.environ.get("IMG_SPARK_SHUFFLE", cpus))
-    b = (
-        SparkSession.builder.appName(app)
-        .master(master)
+    return (
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -34,5 +32,17 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("IMG_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+    )
+
+
+def get_spark(
+    app: str = "img-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    b = engine_defaults(
+        SparkSession.builder.appName(app).master(master), shuffle_partitions
     )
     return b.getOrCreate()

@@ -30,9 +30,11 @@ SITE_CONFIG_SCHEMA = StructType(
 
 
 def load_site_config_rows(path: str) -> list:
-    """Explode a web.json-shaped config file into schema rows."""
-    with open(path) as f:
-        cfg = json.load(f)
+    """Explode a web.json-shaped config file into schema rows; the path
+    may be on any pyarrow.fs scheme (local, file://, s3://, hdfs://)."""
+    from img_spark import fsio
+
+    cfg = json.loads(fsio.read_bytes(path))
     return rows_from_config(cfg)
 
 

@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the crawl engine (north_rule lifecycle,
+SURVEY.md §3.4):
+
+    zip -r engine.zip img_spark
+    spark-submit --master <cluster> --py-files engine.zip job.py \
+        --seeds https://a.example/ https://b.example/ \
+        --pages /data/pages            # parquet dir / Iceberg table id \
+        --checkpoint s3://bucket/crawl-1 \
+        --config web.json              # reference-shaped site config \
+        --robots-rules /data/robots.parquet \
+        --host-budget 64 --partitions 4096 --pages-buckets 1024
+
+The master comes from spark-submit (never overridden here); every other
+runtime default is the engine's (img_spark.plans.session). One JSON
+status line per generation on stdout; the final line carries
+``"done": true`` and the cumulative frontier-status totals. ``--resume``
+continues from the newest committed manifest in the checkpoint dir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="img-spark crawl job")
+    p.add_argument("--seeds", nargs="*", default=[],
+                   help="seed URLs (required unless --resume)")
+    p.add_argument("--pages", required=True,
+                   help="pages table: parquet path or Iceberg identifier")
+    p.add_argument("--checkpoint", required=True,
+                   help="checkpoint dir (any pyarrow.fs scheme)")
+    p.add_argument("--config", default=None,
+                   help="web.json-shaped site-config file")
+    p.add_argument("--robots-rules", default=None,
+                   help="parquet of (host, path_prefix, allow, crawl_delay)")
+    p.add_argument("--robots-bodies", default=None,
+                   help="parquet of (host, body) raw robots.txt bodies")
+    p.add_argument("--agent", default="imgbot",
+                   help="user-agent for robots group selection")
+    p.add_argument("--host-budget", type=int, default=1)
+    p.add_argument("--partitions", type=int, default=32,
+                   help="seen-set salt shards / state write width")
+    p.add_argument("--pages-buckets", type=int, default=0,
+                   help=">0: pages table carries url_bucket for scan pruning")
+    p.add_argument("--max-generations", type=int, default=10_000)
+    p.add_argument("--priority", choices=("dfs", "bfs"), default="dfs")
+    p.add_argument("--album-policy", default="all")
+    p.add_argument("--seen-mode", choices=("cuckoo", "exact"), default="cuckoo")
+    p.add_argument("--cuckoo-capacity", type=int, default=1 << 16)
+    p.add_argument("--dispatch-salts", type=int, default=0)
+    p.add_argument("--compact-every", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the newest committed manifest")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if not args.resume and not args.seeds:
+        print("error: --seeds required unless --resume", file=sys.stderr)
+        return 2
+
+    from pyspark.sql import SparkSession
+
+    from img_spark.plans.crawl import CrawlConfig, Crawler
+    from img_spark.plans.session import engine_defaults
+    from img_spark.operators.politeness import (
+        robots_df,
+        robots_rules_from_bodies,
+    )
+    from img_spark.sources.site_config import load_site_config_rows
+    from img_spark.sources.tables import read_pages, read_pages_bucketed
+
+    spark = engine_defaults(
+        SparkSession.builder.appName("img-spark-crawl"),
+        shuffle_partitions=args.partitions,
+    ).getOrCreate()
+
+    pages = (
+        read_pages_bucketed(spark, args.pages)
+        if args.pages_buckets
+        else read_pages(spark, args.pages)
+    )
+    config_rows = (
+        load_site_config_rows(args.config) if args.config else []
+    )
+    if args.robots_rules:
+        robots = spark.read.parquet(args.robots_rules).select(
+            "host", "path_prefix", "allow", "crawl_delay"
+        )
+    elif args.robots_bodies:
+        robots = robots_rules_from_bodies(
+            spark.read.parquet(args.robots_bodies), agent=args.agent
+        )
+    else:
+        robots = robots_df(spark, [])
+
+    cfg = CrawlConfig(
+        checkpoint_dir=args.checkpoint,
+        partitions=args.partitions,
+        host_budget=args.host_budget,
+        album_policy=args.album_policy,
+        seen_mode=args.seen_mode,
+        cuckoo_capacity=args.cuckoo_capacity,
+        max_generations=args.max_generations,
+        priority=args.priority,
+        dispatch_salts=args.dispatch_salts,
+        compact_every=args.compact_every,
+        pages_buckets=args.pages_buckets,
+    )
+    crawler = Crawler(spark, pages, config_rows, robots, cfg)
+
+    if args.resume:
+        g = crawler.resume()
+        print(json.dumps({"resumed_generation": g}), flush=True)
+        stats: dict = {}
+    else:
+        stats = crawler.init(args.seeds)
+        print(json.dumps({"generation": 0, **stats}), flush=True)
+
+    for _ in range(args.max_generations):
+        t0 = time.time()
+        stats = crawler.step()
+        line = {
+            "generation": crawler.generation,
+            "wall_s": round(time.time() - t0, 2),
+            "step_times": crawler.last_step_times,
+            **stats,
+        }
+        print(json.dumps(line), flush=True)
+        if cfg.compact_every and crawler.generation % cfg.compact_every == 0:
+            crawler.compact(prune=True)
+        if not stats.get("pending", 0):
+            break
+
+    print(json.dumps({
+        "done": True,
+        "generation": crawler.generation,
+        "frontier_status": stats,
+    }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

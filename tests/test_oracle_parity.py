@@ -83,3 +83,67 @@ def test_oracle_parity(spark, ddb, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def _arrow_family(t):
+    import pyarrow as pa
+
+    if pa.types.is_boolean(t):
+        return "b"
+    if pa.types.is_integer(t):
+        return "i"
+    if pa.types.is_floating(t):
+        return "f"
+    if pa.types.is_decimal(t):
+        return "dec"  # DuckDB HUGEINT lands here — never int64
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "s"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "y"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "l"
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return "t"
+    return str(t)
+
+
+def _spark_family(t):
+    from pyspark.sql import types as T
+
+    if isinstance(t, T.BooleanType):
+        return "b"
+    if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "i"
+    if isinstance(t, (T.FloatType, T.DoubleType)):
+        return "f"
+    if isinstance(t, T.DecimalType):
+        return "dec"
+    if isinstance(t, T.StringType):
+        return "s"
+    if isinstance(t, T.BinaryType):
+        return "y"
+    if isinstance(t, T.ArrayType):
+        return "l"
+    if isinstance(t, (T.TimestampType, T.DateType)):
+        return "t"
+    return str(t)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_oracle_type_families_match(spark, ddb, name):
+    """The driver's value hash is TYPE-SENSITIVE: a DuckDB aggregate
+    that comes back HUGEINT (arrow decimal128) hashes differently from
+    Spark's BIGINT even when every value is equal — exactly how round
+    2's metrics_rollup row went red while this file's value-normalizing
+    parity test stayed green. Guard: each oracle column's arrow type
+    family must equal the Spark column's family (int-vs-decimal or
+    int-vs-float drift fails here at build time, before the driver)."""
+    sdf = entry_mod.queries()[name](spark, SF)
+    spark_fams = {f.name: _spark_family(f.dataType) for f in sdf.schema.fields}
+    tbl = ddb.execute(entry_mod.oracle_sql()[name]).arrow()
+    for field in tbl.schema:
+        assert field.name in spark_fams, (name, field.name)
+        fam = _arrow_family(field.type)
+        assert fam == spark_fams[field.name], (
+            name, field.name, fam, spark_fams[field.name]
+        )
