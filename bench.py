@@ -164,6 +164,52 @@ def crawl_generations(spark, n_hosts=64, albums=16, ppa=6):
     return fetched, c.generation, dt, skew
 
 
+def crawl_two_level(spark, hosts=16, albums=4, ppa=4, thumbs=6):
+    """Two-level-selector crawl (main.rs:325-364): every gallery page's
+    images live on linked photo pages, so each generation runs the
+    second-level broadcast re-fetch (round-2's one perf-weak path — now
+    inner-join + broadcast, pinned shuffle-free). Throughput counts the
+    photo pages too: they are real fetches the generation performs."""
+    from pyspark.sql import functions as F
+
+    from img_spark.plans.crawl import CrawlConfig, Crawler, read_frontier
+    from img_spark.operators.politeness import robots_df
+    from img_spark.sources.site_config import rows_from_config
+    from img_spark.sources.synthweb import (
+        bench2l_config, bench2l_pages_df, bench2l_seeds,
+    )
+
+    pages = bench2l_pages_df(
+        spark, hosts=hosts, albums=albums, pages_per_album=ppa, thumbs=thumbs
+    ).cache()
+    pages.count()
+    ckpt = tempfile.mkdtemp(prefix="imgspark_bench2l_")
+    c = Crawler(
+        spark,
+        pages,
+        rows_from_config(bench2l_config(hosts)),
+        robots_df(spark, [(f"site{h}.bench2", "/", True, 0.0)
+                          for h in range(hosts)]),
+        CrawlConfig(checkpoint_dir=ckpt, partitions=CPUS, host_budget=1000),
+    )
+    t0 = time.time()
+    c.run(seeds=bench2l_seeds(hosts), max_generations=ppa + 3)
+    dt = time.time() - t0
+    from pyspark.sql import functions as F2
+
+    frontier = read_frontier(spark, ckpt, c.generation)
+    first_level = frontier.filter(F2.col("status") == "fetched").count()
+    # every extracted img == one photo page fetched in the 2nd-level pass
+    imgs = 0
+    for g in range(1, c.generation + 1):
+        imgs += (
+            spark.read.parquet(f"{ckpt}/extracted/g{g}")
+            .filter(F2.col("img_url").isNotNull()).count()
+        )
+    pages.unpersist()
+    return first_level, imgs, c.generation, dt
+
+
 def dataops_queries(spark):
     from img_spark.plans import queries as Q
 
@@ -210,6 +256,11 @@ def main():
     fetched, gens, dt_crawl, skew = crawl_generations(spark, albums=64)
     queries["crawl_loop"] = round(dt_crawl, 3)
 
+    # two-level selector crawl: exercises the per-generation broadcast
+    # re-fetch path (absent from the main corpus)
+    fl2, imgs2, gens2, dt_2l = crawl_two_level(spark)
+    queries["crawl_two_level"] = round(dt_2l, 3)
+
     queries.update(dataops_queries(spark))
     total = round(time.time() - t_all, 3)
 
@@ -225,6 +276,11 @@ def main():
         "extracted_imgs": int(imgs_n),
         "crawl": {"fetched": int(fetched), "generations": int(gens),
                   "pages_per_sec": round(fetched / dt_crawl, 1)},
+        "crawl_two_level": {
+            "first_level": int(fl2), "photo_pages": int(imgs2),
+            "generations": int(gens2),
+            "pages_per_sec": round((fl2 + imgs2) / dt_2l, 1),
+        },
         "seen_partition_skew": skew,
     }))
 

@@ -361,3 +361,104 @@ def bench_pages_df(spark, hosts=8, albums=4, pages_per_album=6, skew=10,
         spark.range(0, total, 1, n_parts)
         .mapInPandas(gen, schema=PAGES_DDL)
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-level bench web (gallery pages link to photo pages; the real image
+# sits on the photo page — main.rs:325-364's two-level selector mode)
+# ---------------------------------------------------------------------------
+
+def bench2l_config(hosts: int):
+    return [
+        {
+            "Site": ",".join(f"site{h}.bench2" for h in range(hosts)),
+            "Img": "a.thumb[href] | img.big",
+            "Next": "div.pg a",
+            "Album": "div.alblist a",
+        }
+    ]
+
+
+def bench2l_seeds(hosts: int):
+    return [f"http://site{h}.bench2/" for h in range(hosts)]
+
+
+def bench2l_layout(hosts: int, albums: int, ppa: int, thumbs: int):
+    """Rows per host: 1 index + albums×ppa gallery pages, each followed
+    by its ``thumbs`` photo pages. Returns total rows."""
+    return hosts * (1 + albums * ppa * (1 + thumbs))
+
+
+def _bench2l_page(idx: int, hosts: int, albums: int, ppa: int, thumbs: int):
+    per = 1 + albums * ppa * (1 + thumbs)
+    h, rel = idx // per, idx % per
+    hostname = f"site{h}.bench2"
+    if rel == 0:
+        b = Html().page(f"Index of {hostname}")
+        b.raw('<div class="alblist">')
+        for a in range(albums):
+            b.raw(f'<a href="/a{a}/1" title="Album {a}">')
+            b.text(f"Album {a}")
+            b.raw("</a>")
+        b.raw("</div>")
+        html, text = b.done()
+        return (f"http://{hostname}/", EPOCH + dt.timedelta(seconds=idx),
+                html.encode(), text, "en")
+    block, slot = (rel - 1) // (1 + thumbs), (rel - 1) % (1 + thumbs)
+    a, p = block // ppa, block % ppa + 1
+    if slot == 0:
+        # gallery page: thumb links (the FIRST level) + pagination
+        b = Html().page(f"Gallery {a} Page {p} - {hostname}")
+        for j in range(thumbs):
+            b.raw(f'<a class="thumb" href="/a{a}/p{p}/t{j}.html">')
+            b.text(f"thumb {j}")
+            b.raw("</a>")
+        b.raw('<div class="pg">')
+        if 1 < p < ppa:
+            b.raw(f'<a href="/a{a}/{p - 1}">')
+            b.text("prev")
+            b.raw("</a>")
+        b.raw('<span class="current">')
+        b.text(str(p))
+        b.raw("</span>")
+        if p < ppa:
+            b.raw(f'<a href="/a{a}/{p + 1}">')
+            b.text("next page")
+            b.raw("</a>")
+        b.raw("</div>")
+        html, text = b.done()
+        return (f"http://{hostname}/a{a}/{p}",
+                EPOCH + dt.timedelta(seconds=idx), html.encode(), text, "en")
+    # photo page: the SECOND level, fetched by resolve_second_level
+    j = slot - 1
+    b = Html().page(f"Photo {a}.{p}.{j}")
+    b.raw(f'<img class="big" src="http://cdn{h}.bench2/a{a}/p{p}/f{j}.jpg">')
+    b.raw("<p>")
+    b.text(f"photo page {a}.{p}.{j} on {hostname}")
+    b.raw("</p>")
+    html, text = b.done()
+    return (f"http://{hostname}/a{a}/p{p}/t{j}.html",
+            EPOCH + dt.timedelta(seconds=idx), html.encode(), text, "en")
+
+
+def bench2l_pages_df(spark, hosts=16, albums=4, pages_per_album=4,
+                     thumbs=6, partitions=None):
+    """Distributed two-level corpus (same contract as bench_pages_df)."""
+    import pandas as pd
+
+    total = bench2l_layout(hosts, albums, pages_per_album, thumbs)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [
+                _bench2l_page(int(i), hosts, albums, pages_per_album, thumbs)
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    n_parts = partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return spark.range(0, total, 1, n_parts).mapInPandas(gen, schema=PAGES_DDL)

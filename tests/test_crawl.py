@@ -628,3 +628,54 @@ def test_robots_rules_equiv_and_shuffle_free(spark):
     ]
     assert exchanges and all("host#" in ln for ln in exchanges), exchanges
     assert "hashpartitioning(id" not in plan
+
+
+def test_two_level_bench_corpus_end_to_end(spark, tmp_path_factory):
+    """Two-level crawl over the parametric bench2 corpus: every gallery
+    page's imgs equal its photo pages' img.big URLs (the second-level
+    broadcast re-fetch resolves ALL thumbs), and the photo pages are
+    never frontier rows (they are fetched inside the generation, like
+    the reference's inline two-level loop, main.rs:325-364)."""
+    from img_spark.sources.synthweb import (
+        bench2l_config,
+        bench2l_pages_df,
+        bench2l_seeds,
+    )
+
+    hosts, albums, ppa, thumbs = 3, 2, 2, 3
+    pages = bench2l_pages_df(
+        spark, hosts=hosts, albums=albums, pages_per_album=ppa, thumbs=thumbs
+    ).cache()
+    ckpt = tmp_path_factory.mktemp("ckpt_2l")
+    c = Crawler(
+        spark,
+        pages,
+        rows_from_config(bench2l_config(hosts)),
+        robots_df(spark, [(f"site{h}.bench2", "/", True, 0.0)
+                          for h in range(hosts)]),
+        CrawlConfig(checkpoint_dir=str(ckpt), partitions=4, host_budget=10),
+    )
+    c.run(seeds=bench2l_seeds(hosts))
+    by_page = {}
+    for g in range(1, c.generation + 1):
+        for r in spark.read.parquet(f"{ckpt}/extracted/g{g}").collect():
+            if r["img_url"] is not None:
+                by_page.setdefault(r["page_url"], set()).add(r["img_url"])
+    for h in range(hosts):
+        for a in range(albums):
+            for p in range(1, ppa + 1):
+                got = by_page[f"http://site{h}.bench2/a{a}/{p}"]
+                assert got == {
+                    f"http://cdn{h}.bench2/a{a}/p{p}/f{j}.jpg"
+                    for j in range(thumbs)
+                }, (h, a, p, got)
+    # photo pages never enter the frontier
+    frontier = c.frontier_df()
+    assert frontier.filter(F.col("url").contains("/t")).filter(
+        F.col("url").endswith(".html")
+    ).count() == 0
+    # frontier fetched = indexes + gallery pages only
+    assert frontier.filter(F.col("status") == "fetched").count() == (
+        hosts * (1 + albums * ppa)
+    )
+    pages.unpersist()
