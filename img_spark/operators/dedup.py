@@ -474,3 +474,45 @@ def simhash_near_dups(
     return pairs.withColumn(
         "hamming", F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
     )
+
+
+# ------------------------------------------------------ decontamination
+def ngram_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark n-gram decontamination (standard training-data
+    hygiene: drop corpus documents that overlap an evaluation set, so
+    the trained model is not graded on memorized test data). A document
+    is contaminated when it shares ANY distinct word n-gram hash with
+    the benchmark. Returns (doc_id, bench_hits, contaminated) for every
+    input doc — bench_hits = number of shared distinct grams.
+
+    Scale shape: the benchmark gram set is tiny next to the corpus
+    (eval sets are thousands of docs, the corpus 10^10), so it is
+    DISTINCT-ed and broadcast; corpus grams stream through the
+    broadcast join with no shuffle of the corpus side, and the per-doc
+    hit count is a map-side-combinable aggregate."""
+    bg = benchmark.select(
+        F.explode(gram_hashes(F.col(bench_text_col), n)).alias("gh")
+    ).distinct()
+    hits = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(gram_hashes(F.col(text_col), n)).alias("gh"),
+        )
+        .join(F.broadcast(bg), "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("bench_hits"))
+    )
+    out = docs.select(F.col(id_col).alias("doc_id")).join(hits, "doc_id", "left")
+    n_hits = F.coalesce(F.col("bench_hits"), F.lit(0).cast("long"))
+    return out.select(
+        "doc_id",
+        n_hits.alias("bench_hits"),
+        (n_hits > 0).alias("contaminated"),
+    )

@@ -158,3 +158,46 @@ def h32(s: Column) -> Column:
     """Portable 32-bit hash: first 8 hex digits of md5, as bigint.
     DuckDB twin: ``('0x' || substr(md5(x),1,8))::bigint``."""
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def curate_corpus(docs, benchmark=None, lang: str = "en"):
+    """Composed corpus-curation gate — the decision a training-data
+    pipeline actually ships: quality signals (Gopher-style gates) AND
+    language match AND not-an-exact-duplicate AND (optionally) not
+    benchmark-contaminated, with every component flag kept so drops are
+    auditable. Returns (doc_id, quality_keep, lang_ok, is_dup,
+    contaminated, keep).
+
+    Scale shape: quality + language are ONE projection pass (pure
+    expressions, no shuffle); exact-dedup adds the fingerprint window
+    and decontamination the broadcast gram join — three linear passes
+    joined on doc_id (AQE broadcasts the small sides at test scale,
+    co-partitioned shuffle joins at corpus scale)."""
+    from pyspark.sql import functions as F
+
+    from img_spark.operators.dedup import exact_dedup, ngram_decontaminate
+
+    base = quality_signals(docs).select(
+        "doc_id", F.col("keep").alias("quality_keep")
+    ).join(
+        docs.select(
+            "doc_id", (lang_id(F.col("text")) == lang).alias("lang_ok")
+        ),
+        "doc_id",
+    )
+    dups = exact_dedup(docs).select("doc_id", "is_dup")
+    out = base.join(dups, "doc_id")
+    if benchmark is not None:
+        cont = ngram_decontaminate(docs, benchmark).select(
+            "doc_id", "contaminated"
+        )
+        out = out.join(cont, "doc_id")
+    else:
+        out = out.withColumn("contaminated", F.lit(False))
+    return out.select(
+        "doc_id", "quality_keep", "lang_ok", "is_dup", "contaminated",
+        (
+            F.col("quality_keep") & F.col("lang_ok")
+            & ~F.col("is_dup") & ~F.col("contaminated")
+        ).alias("keep"),
+    )

@@ -541,7 +541,9 @@ def q_lang_id(spark, sf_dir):
     )
 
 
-def _sql_lang_id():
+def _lang_sql_parts():
+    """(stopword-hit columns, decision chain, fallback lang) — shared
+    by the lang_id oracle and the corpus-curation composition."""
     from img_spark.operators.textquality import LANG_ORDER
 
     def hits(lang):
@@ -558,7 +560,11 @@ def _sql_lang_id():
             f"{lang} >= {other}" for other in LANG_ORDER[i + 1:]
         )
         whens.append(f"WHEN {conds} THEN '{lang}'")
-    chain = " ".join(whens)
+    return cols, " ".join(whens), LANG_ORDER[-1]
+
+
+def _sql_lang_id():
+    cols, chain, fallback = _lang_sql_parts()
     n = len(LANG_PROBES) + 1
     probe_whens = " ".join(
         f"WHEN {i} THEN '{probe}'"
@@ -576,7 +582,7 @@ s AS (
 SELECT doc_id,
   CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
        {chain}
-       ELSE '{LANG_ORDER[-1]}' END AS lang_pred
+       ELSE '{fallback}' END AS lang_pred
 FROM s
 """
 
@@ -939,6 +945,8 @@ def all_queries():
         "site_config_lookup": q_site_lookup,
         "robots_allow": q_robots_allow,
         "robots_allow_rules": q_robots_allow_rules,
+        "decontaminate": q_decontaminate,
+        "curate_corpus": q_curate_corpus,
         "politeness_topk": q_politeness_topk,
         "seen_antijoin": q_seen_antijoin,
         "extract_images": q_extract_images,
@@ -992,6 +1000,8 @@ def all_oracles():
         "site_config_lookup": _sql_site_lookup(),
         "robots_allow": SQL_ROBOTS_ALLOW,
         "robots_allow_rules": SQL_ROBOTS_ALLOW,
+        "decontaminate": SQL_DECONTAMINATE,
+        "curate_corpus": _sql_curate_corpus(),
         "politeness_topk": SQL_POLITENESS_TOPK,
         "seen_antijoin": SQL_SEEN_ANTIJOIN,
         "extract_images": SQL_EXTRACT_IMAGES,
@@ -1441,6 +1451,109 @@ SELECT 'em' || (doc_id % 10)::varchar || '.test' AS host,
        sum(2)::BIGINT AS empty_dup, sum(2)::BIGINT AS embed
 FROM documents GROUP BY 1
 """
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark n-gram decontamination over the documents table: every
+    37th doc plays the evaluation set; docs sharing any distinct word
+    3-gram hash with it (themselves, their exact dups, boilerplate
+    overlaps) are flagged with their shared-gram count."""
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    return dedup.ngram_decontaminate(d, bench)
+
+
+# minimal gram CTEs (toks→g0→gh→ge, same construction the jaccard
+# oracle uses — duplicated here so the decontam oracle doesn't drag the
+# quadratic jac CTE along)
+_SQL_GRAM_GE_CTE = r"""
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+g0 AS (
+  SELECT doc_id,
+    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_transform(generate_series(1, len(t)-2),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    END AS grams
+  FROM toks),
+gh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(grams,
+        g -> ('0x' || substr(md5(g),1,8))::bigint)) AS ghs
+  FROM g0),
+ge AS (SELECT doc_id, unnest(ghs) AS gh FROM gh)
+"""
+
+SQL_DECONTAMINATE = (
+    "WITH " + _SQL_GRAM_GE_CTE + """,
+bgh AS (SELECT DISTINCT gh FROM ge WHERE doc_id % 37 = 0),
+hits AS (SELECT ge.doc_id, count(*) AS n FROM ge JOIN bgh USING (gh)
+         GROUP BY 1)
+SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS bench_hits,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+)
+
+
+def q_curate_corpus(spark, sf_dir):
+    """The composed training-corpus curation gate: quality AND
+    language AND not-exact-dup AND not-benchmark-contaminated, every
+    component flag retained for drop auditing."""
+    from img_spark.operators.textquality import curate_corpus
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    return curate_corpus(d, benchmark=bench, lang="en")
+
+
+def _sql_curate_corpus():
+    words = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    cols, chain, fallback = _lang_sql_parts()
+    return (
+        "WITH " + _SQL_GRAM_GE_CTE + f""",
+bgh AS (SELECT DISTINCT gh FROM ge WHERE doc_id % 37 = 0),
+hits AS (SELECT ge.doc_id, count(*) AS n FROM ge JOIN bgh USING (gh)
+         GROUP BY 1),
+q AS (
+  SELECT doc_id,
+    (len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 10
+     AND len(regexp_split_to_array(trim(lower(text)), '\\s+')) <= 100000
+     AND round(length(regexp_replace(text, '\\s+', '', 'g'))
+               / len(regexp_split_to_array(trim(lower(text)), '\\s+')), 6) >= 2.0
+     AND round(length(regexp_replace(text, '\\s+', '', 'g'))
+               / len(regexp_split_to_array(trim(lower(text)), '\\s+')), 6) <= 12.0
+    ) AS quality_keep
+  FROM documents),
+ls AS (
+  SELECT doc_id, text,
+    {cols}
+  FROM documents),
+lp AS (
+  SELECT doc_id,
+    CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+         {chain}
+         ELSE '{fallback}' END AS lang_pred
+  FROM ls),
+fp AS (
+  SELECT doc_id,
+    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents),
+dd AS (
+  SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
+  FROM fp)
+SELECT d.doc_id, q.quality_keep, lp.lang_pred = 'en' AS lang_ok, dd.is_dup,
+       coalesce(h.n, 0) > 0 AS contaminated,
+       (q.quality_keep AND lp.lang_pred = 'en' AND NOT dd.is_dup
+        AND NOT coalesce(h.n, 0) > 0) AS keep
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+JOIN lp ON lp.doc_id = d.doc_id
+JOIN dd ON dd.doc_id = d.doc_id
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+    )
 
 
 def q_percent_encode(spark, sf_dir):

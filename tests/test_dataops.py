@@ -367,3 +367,67 @@ def test_null_text_docs_excluded_from_lsh_by_design(spark):
     near = dedup.simhash_near_dups(docs_df).collect()
     assert all(r["doc_a"] not in (0, 1) and r["doc_b"] not in (0, 1)
                for r in near)
+
+
+def test_ngram_decontaminate_planted(spark):
+    """Docs sharing a 3-gram with the benchmark are flagged; clean docs
+    are not; every input doc gets a row (null-text docs count as clean,
+    not dropped)."""
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs_df = spark.createDataFrame(
+        [
+            (1, "totally unrelated content about spark engines"),
+            (2, "he said the quick brown fox appeared at dawn"),  # overlap
+            (3, "the quick brown fox jumps over the lazy dog"),   # verbatim
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["contaminated"], r["bench_hits"])
+           for r in dedup.ngram_decontaminate(docs_df, bench).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] == (False, 0)
+    assert got[2][0] is True and got[2][1] >= 2  # 'the quick brown' etc.
+    assert got[3][0] is True and got[3][1] == 7  # all 7 distinct 3-grams
+    assert got[4] == (False, 0)
+
+
+def test_curate_corpus_gates_compose(spark):
+    """keep == quality AND lang AND not-dup AND not-contaminated, with
+    each component flag observable."""
+    from img_spark.operators.textquality import curate_corpus
+
+    good = ("a perfectly reasonable english document with enough words "
+            "to pass the quality gates and no duplicated content here "
+            "it keeps going with more plain text for the token floor")
+    docs_df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good),                      # exact dup of 1 → dropped
+            (3, "too short"),               # fails quality floor
+            (4, good + " extra tail words making it unique and fine"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "no overlap with anything in that corpus whatsoever")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           curate_corpus(docs_df, benchmark=bench).collect()}
+    assert got[1]["keep"] and not got[1]["is_dup"]
+    assert not got[2]["keep"] and got[2]["is_dup"]
+    assert not got[3]["keep"] and not got[3]["quality_keep"]
+    assert got[4]["keep"]
+    # contaminate doc 4 via a benchmark that quotes it
+    bench2 = spark.createDataFrame(
+        [(0, "extra tail words making it unique")],
+        "doc_id long, text string",
+    )
+    got2 = {r["doc_id"]: r for r in
+            curate_corpus(docs_df, benchmark=bench2).collect()}
+    assert got2[4]["contaminated"] and not got2[4]["keep"]
+    assert got2[1]["keep"]  # 'keeps going with more plain text' ≠ quote
