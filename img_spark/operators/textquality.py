@@ -201,3 +201,36 @@ def curate_corpus(docs, benchmark=None, lang: str = "en"):
             & ~F.col("is_dup") & ~F.col("contaminated")
         ).alias("keep"),
     )
+
+
+def stratified_sample(
+    docs,
+    rates: dict,
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    strat_col: str = "lang",
+):
+    """Deterministic hash-based stratified sampling — the corpus-mixing
+    step that sets per-stratum (e.g. per-language) training weights.
+    Each doc's keep decision is ``h32(id || ":sample") % 1e6 <
+    rate·1e6``: reproducible across runs, partitionings and engines
+    (the DuckDB oracle replays it bit-for-bit), unlike ``sampleBy``
+    whose per-partition RNG stream moves when the data does. Pure
+    projection — zero shuffle at any scale. Returns (doc_id, stratum,
+    bucket, sampled)."""
+    from pyspark.sql import functions as F
+
+    bucket = h32(
+        F.concat(F.col(id_col).cast("string"), F.lit(":sample"))
+    ) % F.lit(1_000_000)
+    rate = F.lit(int(default_rate * 1_000_000))
+    for value, r in sorted(rates.items()):
+        rate = F.when(
+            F.col(strat_col) == value, F.lit(int(r * 1_000_000))
+        ).otherwise(rate)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strat_col).alias("stratum"),
+        bucket.alias("bucket"),
+        (bucket < rate).alias("sampled"),
+    )

@@ -947,6 +947,7 @@ def all_queries():
         "robots_allow_rules": q_robots_allow_rules,
         "decontaminate": q_decontaminate,
         "curate_corpus": q_curate_corpus,
+        "stratified_sample": q_stratified_sample,
         "politeness_topk": q_politeness_topk,
         "seen_antijoin": q_seen_antijoin,
         "extract_images": q_extract_images,
@@ -1002,6 +1003,7 @@ def all_oracles():
         "robots_allow_rules": SQL_ROBOTS_ALLOW,
         "decontaminate": SQL_DECONTAMINATE,
         "curate_corpus": _sql_curate_corpus(),
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "politeness_topk": SQL_POLITENESS_TOPK,
         "seen_antijoin": SQL_SEEN_ANTIJOIN,
         "extract_images": SQL_EXTRACT_IMAGES,
@@ -1554,6 +1556,29 @@ JOIN dd ON dd.doc_id = d.doc_id
 LEFT JOIN hits h ON h.doc_id = d.doc_id
 """
     )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language sampling rates over the documents
+    table (corpus-mixing weights): en 50%, de 25%, others kept."""
+    from img_spark.operators.textquality import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), {"en": 0.5, "de": 0.25}, default_rate=1.0
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH b AS (
+  SELECT doc_id, lang AS stratum,
+    ('0x' || substr(md5(doc_id::varchar || ':sample'), 1, 8))::bigint
+      % 1000000 AS bucket
+  FROM documents)
+SELECT doc_id, stratum, bucket,
+  bucket < (CASE stratum WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+            ELSE 1000000 END) AS sampled
+FROM b
+"""
 
 
 def q_percent_encode(spark, sf_dir):

@@ -431,3 +431,28 @@ def test_curate_corpus_gates_compose(spark):
             curate_corpus(docs_df, benchmark=bench2).collect()}
     assert got2[4]["contaminated"] and not got2[4]["keep"]
     assert got2[1]["keep"]  # 'keeps going with more plain text' ≠ quote
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    """Sampling is a pure hash: identical across runs, independent of
+    partitioning, and each stratum's keep fraction tracks its rate."""
+    from img_spark.operators.textquality import stratified_sample
+
+    docs_df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        F.lit("x").alias("text"),
+    )
+    out = stratified_sample(docs_df, {"en": 0.5, "de": 0.1})
+    a = {r["doc_id"]: r["sampled"] for r in out.collect()}
+    b = {r["doc_id"]: r["sampled"]
+         for r in stratified_sample(docs_df.repartition(13),
+                                    {"en": 0.5, "de": 0.1}).collect()}
+    assert a == b  # partitioning-independent
+    kept = out.filter("sampled").groupBy("stratum").count().collect()
+    frac = {r["stratum"]: r["count"] / 2000 for r in kept}
+    assert abs(frac["en"] - 0.5) < 0.05
+    assert abs(frac["de"] - 0.1) < 0.03
+    # pure projection: no shuffle at any scale
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -134,3 +134,27 @@ def test_dataops_expressions_stay_jvm_side(spark):
         plan = plan_of(df)
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_and_curation_plans(spark):
+    """Decontamination must broadcast the benchmark gram set (the
+    corpus side never sort-merge-shuffles), and the composed curation
+    gate stays fully JVM-side with no SortMergeJoin — at 10^10 docs an
+    SMJ against the eval set would shuffle the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from img_spark.operators.dedup import ngram_decontaminate
+    from img_spark.operators.textquality import curate_corpus
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w x y z q "), F.col("id").cast("string")).alias("text"),
+    )
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    d = plan_of(ngram_decontaminate(docs, bench))
+    assert "SortMergeJoin" not in d
+    assert d.count("BroadcastHashJoin") >= 1
+    assert "EvalPython" not in d
+    c = plan_of(curate_corpus(docs, benchmark=bench))
+    assert "SortMergeJoin" not in c
+    assert "EvalPython" not in c
