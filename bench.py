@@ -400,6 +400,20 @@ def run_crawl_scaling():
             "pages_per_generation": round(fetched / gens, 1),
         })
         print(_json.dumps(rows[-1]))
+    # two-level amortization: same loop, every gallery page resolved
+    # through the second-level broadcast re-fetch
+    rows2l = []
+    for albums in (2, 8):
+        fl, imgs, gens, dt = crawl_two_level(
+            spark, hosts=64, albums=albums, ppa=4, thumbs=8
+        )
+        rows2l.append({
+            "albums": albums, "first_level": int(fl),
+            "photo_pages": int(imgs), "generations": int(gens),
+            "sec": round(dt, 2),
+            "pages_per_sec": round((fl + imgs) / dt, 1),
+        })
+        print(_json.dumps(rows2l[-1]))
     spark.stop()
     with open(os.path.join(REPO, "BENCH", "CRAWL_SCALING.md"), "w") as f:
         f.write("""# Crawl-loop batch-size amortization (local[%d])
@@ -409,6 +423,10 @@ manifests), same per-generation fixed overhead, growing per-generation
 batch (site fan-out). The loop's cost model is
 ``gens x overhead + pages x work``; throughput approaches the parse
 ceiling as batches grow — the regime a 10^10-URL frontier runs in.
+Absolute numbers swing with external load on the shared sandbox host
+(observed range at albums=16: 168-291 pages/s, at albums=64: 700-1013;
+round-2 code measured 173/667 on the same box) — compare rows within
+one run, and runs at similar load.
 
 | albums/host | pages fetched | generations | pages/gen | wall s | pages/s |
 |---|---|---|---|---|---|
@@ -417,6 +435,19 @@ ceiling as batches grow — the regime a 10^10-URL frontier runs in.
             f.write("| %d | %d | %d | %.0f | %.2f | %.1f |\n" % (
                 r["albums"], r["fetched"], r["generations"],
                 r["pages_per_generation"], r["sec"], r["pages_per_sec"]))
+        f.write("""
+## Two-level selector loop (second-level broadcast re-fetch each generation)
+
+Pages/s counts first-level + photo-page fetches; the second-level pass
+is the round-2 perf-weak path, now broadcast-inner (plan pinned).
+
+| albums/host | first-level | photo pages | generations | wall s | pages/s |
+|---|---|---|---|---|---|
+""")
+        for r in rows2l:
+            f.write("| %d | %d | %d | %d | %.2f | %.1f |\n" % (
+                r["albums"], r["first_level"], r["photo_pages"],
+                r["generations"], r["sec"], r["pages_per_sec"]))
 
 
 if __name__ == "__main__":

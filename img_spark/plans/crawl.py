@@ -747,6 +747,15 @@ class Crawler:
                 "snapshot has been pruned by a later compaction — "
                 "resume from the latest manifest instead"
             )
+        missing = [
+            p for p in m["seen_blobs"].values() if p and not fsio.exists(p)
+        ]
+        if missing:
+            raise RuntimeError(
+                f"generation {g}'s manifest references {len(missing)} "
+                "seen-filter blobs pruned by a later compaction (e.g. "
+                f"{missing[0]}) — resume from the latest manifest instead"
+            )
         self.generation = g
         self.seen_blobs = m["seen_blobs"]
         self.status_totals = {
@@ -817,6 +826,23 @@ class Crawler:
                     fsio.rmtree(fsio.join(cur, entry))
             if floor > 0:
                 fsio.rmtree(self._p("compacted", f"g{floor - 1}"))
+            # seen-blob GC: each generation's probe writes fresh blob
+            # versions under seen/g{i}; only the versions the CURRENT
+            # manifest references are live state (a salt idle for many
+            # generations keeps pointing at an old dir — those dirs
+            # survive). Without this, blob dirs grow O(P·G): 10^4
+            # generations × 4096 salts of dead filter versions.
+            live = {
+                blob.rsplit("/", 2)[-2]
+                for blob in self.seen_blobs.values()
+            }
+            seen_base = self._p("seen")
+            for entry in fsio.listdir(seen_base):
+                if (
+                    entry.startswith("g") and entry[1:].isdigit()
+                    and int(entry[1:]) < g and entry not in live
+                ):
+                    fsio.rmtree(fsio.join(seen_base, entry))
         return out
 
 

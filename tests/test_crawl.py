@@ -679,3 +679,50 @@ def test_two_level_bench_corpus_end_to_end(spark, tmp_path_factory):
         hosts * (1 + albums * ppa)
     )
     pages.unpersist()
+
+
+def test_seen_blob_gc_on_compaction(spark, tmp_path_factory):
+    """compact(prune=True) garbage-collects seen-blob generations no
+    longer referenced by the live manifest (without it blob dirs grow
+    O(salts × generations)); every live blob survives, the resumed
+    crawl still works, and resume() to a manifest whose blobs were
+    pruned fails loudly."""
+    import os
+
+    from img_spark import fsio
+
+    ckpt = tmp_path_factory.mktemp("ckpt_seengc")
+    c = make_crawler(spark, ckpt)
+    # 2 salts: a busy generation re-versions BOTH filters, so earlier
+    # generations' blob dirs actually die (at 8 salts over this tiny
+    # fixture every dir keeps some salt's latest version — correctly
+    # not collectable)
+    c.cfg.partitions = 2
+    c.init(FIXTURE_SEEDS)
+    for _ in range(4):
+        c.step()
+    dirs_before = {d for d in os.listdir(f"{ckpt}/seen")}
+    assert len(dirs_before) >= 4  # one per generation that probed
+    c.compact(prune=True)
+    live = {p.rsplit("/", 2)[-2] for p in c.seen_blobs.values()}
+    dirs_after = {d for d in os.listdir(f"{ckpt}/seen")}
+    # everything that survives is either referenced by the live
+    # manifest or the current generation's dir; dead versions are gone
+    assert dirs_after <= live | {f"g{c.generation}"}
+    assert dirs_after < dirs_before  # something was actually collected
+    # every live blob still exists
+    assert all(fsio.exists(p) for p in c.seen_blobs.values())
+    # resume latest + finish the crawl
+    c2 = make_crawler(spark, ckpt)
+    assert c2.resume() == 4
+    c2.run()
+    f = read_frontier(spark, str(ckpt), c2.generation)
+    assert f.filter(F.col("status") == "fetched").count() == 12
+    # a pre-compaction manifest that references pruned blobs is refused
+    pruned_gens = [
+        int(d[1:]) for d in (dirs_before - dirs_after) if d[1:].isdigit()
+    ]
+    if pruned_gens:
+        c3 = make_crawler(spark, ckpt)
+        with pytest.raises(RuntimeError):
+            c3.resume(generation=min(pruned_gens))
