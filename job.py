@@ -31,7 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seeds", nargs="*", default=[],
                    help="seed URLs (required unless --resume)")
     p.add_argument("--pages", required=True,
-                   help="pages table: parquet path or Iceberg identifier")
+                   help="pages table: parquet path, Iceberg identifier, "
+                        "or WARC file/glob")
+    p.add_argument("--pages-format", default="auto",
+                   choices=("auto", "table", "warc"),
+                   help="auto: WARC when the path looks like *.warc[.gz]")
     p.add_argument("--checkpoint", required=True,
                    help="checkpoint dir (any pyarrow.fs scheme)")
     p.add_argument("--config", default=None,
@@ -81,11 +85,25 @@ def main(argv=None) -> int:
         shuffle_partitions=args.partitions,
     ).getOrCreate()
 
-    pages = (
-        read_pages_bucketed(spark, args.pages)
-        if args.pages_buckets
-        else read_pages(spark, args.pages)
-    )
+    fmt = args.pages_format
+    if fmt == "auto":
+        fmt = "warc" if args.pages.rstrip("*").rstrip("/").endswith(
+            (".warc", ".warc.gz")
+        ) or ".warc" in args.pages.rsplit("/", 1)[-1] else "table"
+    if fmt == "warc":
+        from img_spark.sources.warc import read_warc_pages
+
+        pages = read_warc_pages(spark, args.pages)
+        if args.pages_buckets:
+            raise SystemExit(
+                "--pages-buckets requires a bucket-partitioned table; "
+                "materialize the WARC input first "
+                "(sources.tables.write_pages_bucketed)"
+            )
+    elif args.pages_buckets:
+        pages = read_pages_bucketed(spark, args.pages)
+    else:
+        pages = read_pages(spark, args.pages)
     config_rows = (
         load_site_config_rows(args.config) if args.config else []
     )

@@ -726,3 +726,53 @@ def test_seen_blob_gc_on_compaction(spark, tmp_path_factory):
         c3 = make_crawler(spark, ckpt)
         with pytest.raises(RuntimeError):
             c3.resume(generation=min(pruned_gens))
+
+
+def test_warc_source_roundtrip_and_crawl(spark, tmp_path):
+    """WARC connector: a multi-member-gzip archive (the Common Crawl
+    layout) reads back into the pages schema byte-exactly — and the
+    resulting table drives the crawler end-to-end like any pages
+    table."""
+    import datetime as dt
+
+    from img_spark.sources.synthweb import fixture_web
+    from img_spark.sources.warc import build_warc, parse_warc, read_warc_pages
+
+    rows, _, _, _ = fixture_web()
+    records = [
+        (url, ts, html, 200) for url, ts, html, _text, _lang in rows
+    ]
+    # one broken + one 404 record interleaved: both must be skipped
+    records.insert(3, ("https://err.test/x", dt.datetime(2024, 1, 1),
+                       b"not found", 404))
+    blob = build_warc(records)
+    # truncated garbage appended: the parser stops cleanly
+    warc_path = tmp_path / "crawl.warc.gz"
+    warc_path.write_bytes(blob + b"\x1f\x8bGARBAGE")
+
+    # kernel-level roundtrip
+    recs = list(parse_warc(blob))
+    assert len(recs) == len(records)
+    assert all(r["warc_type"] == "response" for r in recs)
+
+    pages = read_warc_pages(spark, str(warc_path))
+    got = {r["url"]: r for r in pages.collect()}
+    assert "https://err.test/x" not in got  # non-2xx filtered
+    assert set(got) == {u for u, *_ in rows}
+    for url, ts, html, _t, _l in rows:
+        assert bytes(got[url]["html"]) == html  # byte-exact payloads
+        assert got[url]["warc_ts"] == ts
+
+    # the WARC-derived table drives the crawl exactly like the fixture
+    # df (text/lang empty is fine — the loop never reads them)
+    ckpt = tmp_path / "ckpt"
+    c = Crawler(
+        spark,
+        pages.cache(),
+        rows_from_config(FIXTURE_CONFIG),
+        robots_df(spark, FIXTURE_ROBOTS),
+        CrawlConfig(checkpoint_dir=str(ckpt), partitions=4),
+    )
+    c.run(seeds=FIXTURE_SEEDS)
+    fetched = c.frontier_df().filter(F.col("status") == "fetched").count()
+    assert fetched == 12
