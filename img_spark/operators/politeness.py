@@ -215,36 +215,75 @@ def apply_robots_rules(candidates: DataFrame, compact: DataFrame) -> DataFrame:
     }).drop("__path", "rules")
 
 
+def _order_keys(order: str, score: str | None):
+    """Window ordering for the frontier priority queue. 'dfs': the DFS
+    path (reference visit-order parity). 'bfs': (depth, path) —
+    shallow-first. 'score': a caller SQL expression, HIGHEST first
+    (depth scoring, freshness, quality priors …), with (path, url)
+    tiebreak for determinism."""
+    if order == "score":
+        if not score:
+            raise ValueError("order='score' requires a score expression")
+        return [F.expr(score).desc(), F.col("path"), F.col("url")]
+    if order == "bfs":
+        return [F.col("depth"), F.col("path"), F.col("url")]
+    return [F.col("path"), F.col("url")]
+
+
+def _host_budget_col(
+    host_budget: int, host_budgets: DataFrame | None
+):
+    """(budget Column, prepare(df) fn). With a per-host override table
+    (host, budget) the frontier broadcast-joins it (tiny: one row per
+    configured host) and each host's budget is its override or the
+    default."""
+    if host_budgets is None:
+        return F.lit(host_budget), lambda df: df
+    def prep(df):
+        return df.join(
+            F.broadcast(
+                host_budgets.select("host", F.col("budget").alias("__hb"))
+            ),
+            "host", "left",
+        )
+    return F.coalesce(F.col("__hb"), F.lit(host_budget)), prep
+
+
 def dispatch_top_k(
     pending: DataFrame,
     host_budget: int = 1,
     batch_window_s: float = 60.0,
     order: str = "dfs",
+    score: str | None = None,
+    host_budgets: DataFrame | None = None,
 ) -> DataFrame:
     """Adds ``dispatch`` boolean: the per-host top-K of the priority
-    queue. ``order='dfs'`` ranks by the DFS path (reference visit-order
-    parity); ``order='bfs'`` ranks by (depth, path) — shallow pages
-    first, the frontier shape large crawls usually want. A row-level
-    ``crawl_delay`` (from robots) CAPS the host budget at
-    ``batch_window_s / delay`` (floored at 1) — a robots throttle can
-    only lower the dispatch rate, never raise it above ``host_budget``;
+    queue (north_star: host-budget + depth scoring). Ordering modes:
+    see ``_order_keys`` — 'score' ranks by any SQL expression over the
+    frontier row (e.g. ``'-depth'`` or ``'-depth - 0.1 * size(path)'``)
+    so crawl policy is data, not code. ``host_budgets`` (host, budget)
+    overrides the default per host (big sites get wider budgets, small
+    ones stay polite). A row-level ``crawl_delay`` (from robots) CAPS
+    the effective budget at ``batch_window_s / delay`` (floored at 1) —
+    a robots throttle can only lower the dispatch rate, never raise it;
     rows beyond the budget stay pending and keep their priority
     (carry-over, SURVEY.md §4.3)."""
+    base_budget, prep = _host_budget_col(host_budget, host_budgets)
     budget = F.when(
         F.col("crawl_delay") > 0,
         F.least(
-            F.lit(host_budget),
+            base_budget,
             F.greatest(
                 F.lit(1),
                 F.floor(F.lit(batch_window_s) / F.col("crawl_delay")).cast("int"),
             ),
         ),
-    ).otherwise(F.lit(host_budget))
-    keys = ["depth", "path", "url"] if order == "bfs" else ["path", "url"]
+    ).otherwise(base_budget)
+    keys = _order_keys(order, score)
     w = Window.partitionBy("host").orderBy(*keys)
-    return pending.withColumn(
+    return prep(pending).withColumn(
         "dispatch", F.row_number().over(w) <= budget
-    )
+    ).drop("__hb")
 
 
 def dispatch_top_k_salted(
@@ -253,6 +292,8 @@ def dispatch_top_k_salted(
     batch_window_s: float = 60.0,
     order: str = "dfs",
     salts: int = 32,
+    score: str | None = None,
+    host_budgets: DataFrame | None = None,
 ) -> DataFrame:
     """Skew-safe two-phase variant of ``dispatch_top_k`` with IDENTICAL
     dispatch semantics: the per-host window is the loop's one
@@ -265,8 +306,15 @@ def dispatch_top_k_salted(
     row, so the final dispatch set is exactly ``dispatch_top_k``'s;
     non-survivors are correctly not dispatched (appended back with
     dispatch=false so the held/carry-over contract is unchanged)."""
-    keys = ["depth", "path", "url"] if order == "bfs" else ["path", "url"]
-    budget_cap = F.lit(host_budget)  # phase-1 prune uses the raw budget
+    keys = _order_keys(order, score)
+    # phase-1 prune uses the raw per-host budget ceiling (override or
+    # default) — never less than the final budget, so no survivor loss
+    if host_budgets is None:
+        budget_cap = F.lit(host_budget)
+    else:
+        _, prep0 = _host_budget_col(host_budget, host_budgets)
+        pending = prep0(pending)  # carries __hb through phase 1
+        budget_cap = F.coalesce(F.col("__hb"), F.lit(host_budget))
     salted = pending.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salts))
     )
@@ -274,10 +322,13 @@ def dispatch_top_k_salted(
     survivors = (
         salted.withColumn("__rn1", F.row_number().over(w1))
         .filter(F.col("__rn1") <= budget_cap)
-        .drop("__rn1", "__salt")
+        .drop("__rn1", "__salt", "__hb")
     )
     rest = salted.withColumn("__rn1", F.row_number().over(w1)).filter(
         F.col("__rn1") > budget_cap
-    ).drop("__rn1", "__salt").withColumn("dispatch", F.lit(False))
-    marked = dispatch_top_k(survivors, host_budget, batch_window_s, order)
+    ).drop("__rn1", "__salt", "__hb").withColumn("dispatch", F.lit(False))
+    marked = dispatch_top_k(
+        survivors, host_budget, batch_window_s, order,
+        score=score, host_budgets=host_budgets,
+    )
     return marked.unionByName(rest)

@@ -201,7 +201,10 @@ class CrawlConfig:
     seen_mode: str = "cuckoo"     # 'cuckoo' | 'exact'
     cuckoo_capacity: int = 1 << 16
     max_generations: int = 10_000
-    priority: str = "dfs"         # 'dfs' (reference parity) | 'bfs'
+    priority: str = "dfs"         # 'dfs' (reference parity) | 'bfs' | 'score'
+    # SQL expression over frontier rows for priority='score' (highest
+    # dispatched first), e.g. "-depth" or "-depth - 0.01*length(path)"
+    priority_score: str | None = None
     dispatch_salts: int = 0       # >0 ⇒ skew-safe two-phase dispatch
     compact_every: int = 0        # >0 ⇒ compact(prune=True) every N gens
     # >0 ⇒ the pages table carries tables.PAGES_BUCKET_COL
@@ -220,7 +223,10 @@ class Crawler:
         config_rows: list,
         robots: DataFrame,
         cfg: CrawlConfig,
+        host_budgets: DataFrame | None = None,
     ):
+        # optional (host, budget) overrides — broadcast into dispatch
+        self.host_budgets = host_budgets
         self.spark = spark
         self.pages = pages
         self.config_rows = config_rows
@@ -306,11 +312,15 @@ class Crawler:
             marked = dispatch_top_k_salted(
                 pending, self.cfg.host_budget, self.cfg.batch_window_s,
                 order=self.cfg.priority, salts=self.cfg.dispatch_salts,
+                score=self.cfg.priority_score,
+                host_budgets=self.host_budgets,
             )
         else:
             marked = dispatch_top_k(
                 pending, self.cfg.host_budget, self.cfg.batch_window_s,
                 order=self.cfg.priority,
+                score=self.cfg.priority_score,
+                host_budgets=self.host_budgets,
             )
         # the politeness-window output feeds five plans (fetch
         # broadcast, results join, miss anti-join, held rows in the

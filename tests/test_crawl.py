@@ -776,3 +776,79 @@ def test_warc_source_roundtrip_and_crawl(spark, tmp_path):
     c.run(seeds=FIXTURE_SEEDS)
     fetched = c.frontier_df().filter(F.col("status") == "fetched").count()
     assert fetched == 12
+
+
+def test_score_priority_and_host_budget_overrides(spark, tmp_path_factory):
+    """north_star 'priority-queue frontier driven by host-budget +
+    depth scoring': (a) priority='score' with a depth-scoring
+    expression reproduces BFS exactly (same policy, expressed as
+    data); (b) a per-host budget override widens one host's dispatch
+    while others keep the default."""
+    from img_spark.operators.politeness import (
+        dispatch_top_k,
+        dispatch_top_k_salted,
+    )
+
+    pend = spark.createDataFrame(
+        [
+            (f"u{i:03d}", f"h{i % 4}", f"{i:010d}", i % 6, 0.0)
+            for i in range(240)
+        ],
+        "url string, host string, path string, depth int, crawl_delay double",
+    )
+    bfs = {
+        r["url"]
+        for r in dispatch_top_k(pend, 3, order="bfs").filter("dispatch").collect()
+    }
+    scored = {
+        r["url"]
+        for r in dispatch_top_k(pend, 3, order="score", score="-depth")
+        .filter("dispatch").collect()
+    }
+    assert scored == bfs  # '-depth' highest-first == shallow-first
+    # deeper-first scoring flips the choice
+    deep = {
+        r["url"]
+        for r in dispatch_top_k(pend, 3, order="score", score="depth")
+        .filter("dispatch").collect()
+    }
+    assert deep != bfs
+    # salted variant agrees with the plain one under scoring
+    for salts in (2, 8):
+        got = {
+            r["url"]
+            for r in dispatch_top_k_salted(
+                pend, 3, order="score", score="-depth", salts=salts
+            ).filter("dispatch").collect()
+        }
+        assert got == scored
+
+    budgets = spark.createDataFrame([("h1", 10)], "host string, budget int")
+    over = dispatch_top_k(pend, 2, host_budgets=budgets).filter("dispatch")
+    per_host = {r["host"]: r["n"]
+                for r in over.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert per_host == {"h0": 2, "h1": 10, "h2": 2, "h3": 2}
+    # salted variant honors the override identically
+    over2 = dispatch_top_k_salted(
+        pend, 2, salts=4, host_budgets=budgets
+    ).filter("dispatch")
+    assert {(r["url"]) for r in over2.collect()} == {
+        r["url"] for r in over.collect()
+    }
+
+
+def test_crawler_score_priority_end_to_end(spark, crawl, tmp_path_factory):
+    """priority='score' with '-depth' scoring reproduces the BFS crawl
+    exactly through the full loop."""
+    ckpt_a = tmp_path_factory.mktemp("ckpt_scored")
+    a = make_crawler(spark, ckpt_a, priority="score",
+                     priority_score="-depth")
+    a.run(seeds=FIXTURE_SEEDS)
+    ckpt_b = tmp_path_factory.mktemp("ckpt_bfs2")
+    b = make_crawler(spark, ckpt_b, priority="bfs")
+    b.run(seeds=FIXTURE_SEEDS)
+    fa = {(r["url"], r["status"], r["generation"])
+          for r in a.frontier_df().collect()}
+    fb = {(r["url"], r["status"], r["generation"])
+          for r in b.frontier_df().collect()}
+    assert fa == fb
