@@ -182,3 +182,60 @@ def build_warc(records) -> bytes:
         ).encode()
         out.append(gzip.compress(hdr + http + b"\r\n\r\n"))
     return b"".join(out)
+
+
+def read_wet_text(spark: SparkSession, path: str) -> DataFrame:
+    """WET sidecar (Common Crawl's extracted-text archives: WARC
+    ``conversion`` records whose payload is plain UTF-8 text) →
+    (url, text). Join onto ``read_warc_pages`` output to fill the
+    pages table's ``text`` column:
+
+        pages = read_warc_pages(spark, warc_glob)
+        text  = read_wet_text(spark, wet_glob)
+        full  = pages.drop("text").join(text, "url", "left") \\
+                     .na.fill({"text": ""})
+
+    Same execution shape as the WARC reader: binaryFile + mapInPandas,
+    file-level parallelism, no shuffle (the join above broadcasts or
+    co-partitions on url at Spark's discretion)."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def run(batches):
+        for pdf in batches:
+            urls, texts = [], []
+            for blob in pdf["content"]:
+                try:
+                    for r in parse_warc(bytes(blob)):
+                        if r["warc_type"] != "conversion" or not r["url"]:
+                            continue
+                        urls.append(r["url"])
+                        texts.append(
+                            r["body"].decode("utf-8", "replace")
+                        )
+                except Exception:
+                    continue
+            yield pd.DataFrame({"url": urls, "text": texts})
+
+    return files.select("content").mapInPandas(
+        run, schema="url string, text string"
+    )
+
+
+def build_wet(records) -> bytes:
+    """Synthesize a WET byte stream from (url, date, text) tuples —
+    the test twin of ``read_wet_text``."""
+    out = []
+    for url, date, text in records:
+        body = text.encode()
+        hdr = (
+            "WARC/1.0\r\n"
+            "WARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {date.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+            "Content-Type: text/plain\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        out.append(gzip.compress(hdr + body + b"\r\n\r\n"))
+    return b"".join(out)

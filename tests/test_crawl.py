@@ -852,3 +852,34 @@ def test_crawler_score_priority_end_to_end(spark, crawl, tmp_path_factory):
     fb = {(r["url"], r["status"], r["generation"])
           for r in b.frontier_df().collect()}
     assert fa == fb
+
+
+def test_wet_text_sidecar_join(spark, tmp_path):
+    """WET conversion records fill the pages text column through the
+    documented join — and the filled text matches the fixture's
+    byte-exact expected text."""
+    import datetime as dt
+
+    from img_spark.sources.synthweb import fixture_web
+    from img_spark.sources.warc import (
+        build_warc,
+        build_wet,
+        read_warc_pages,
+        read_wet_text,
+    )
+
+    rows, _, _, _ = fixture_web()
+    warc_path = tmp_path / "c.warc.gz"
+    warc_path.write_bytes(build_warc(
+        [(u, ts, h, 200) for u, ts, h, _t, _l in rows]
+    ))
+    wet_path = tmp_path / "c.warc.wet.gz"
+    wet_path.write_bytes(build_wet(
+        [(u, ts, t) for u, ts, _h, t, _l in rows]
+    ))
+    pages = read_warc_pages(spark, str(warc_path))
+    text = read_wet_text(spark, str(wet_path))
+    full = pages.drop("text").join(text, "url", "left").na.fill({"text": ""})
+    got = {r["url"]: r["text"] for r in full.collect()}
+    for u, _ts, _h, t, _l in rows:
+        assert got[u] == t, u
