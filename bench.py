@@ -348,6 +348,15 @@ deterministic crc32-derived generator) at three parallelism levels:
 
 Supplementary 8→32 efficiency = {eff_8_32}.
 
+## Cross-run variance (shared sandbox host)
+
+Round-3 runs of this exact protocol measured 0.805-0.864 across four
+runs at external host loads of 2-8 (round 2 recorded 0.98 in one quiet
+window). The spread is host-level, not an engine change: per-core rate
+at local[2] tracks the pure single-process kernel rate measured in the
+same window (no framework overhead added), and best-of-5 kernel timing
+itself spreads 1.28× under load. All runs pass the ≥ 0.8 criterion.
+
 ## Why 2→8 is the valid N→4N pair on this box
 
 The extraction workload is Python-string/DOM-parse heavy and becomes
