@@ -20,15 +20,35 @@ from __future__ import annotations
 
 import os
 import posixpath
+from functools import lru_cache
+from urllib.parse import urlsplit
 
 from pyarrow import fs as pafs
 
 
+@lru_cache(maxsize=32)
+def _fs_base(base_uri: str):
+    """One FileSystem client per scheme://authority — building a fresh
+    client per call (S3/HDFS connection setup) would run ~3× per salt
+    per generation inside the cuckoo-probe executors."""
+    return pafs.FileSystem.from_uri(base_uri)
+
+
+@lru_cache(maxsize=1)
+def _local_fs():
+    return pafs.LocalFileSystem()
+
+
 def resolve(path: str):
-    """(FileSystem, fs-local path) for a plain path or URI."""
-    if "://" in path:
-        return pafs.FileSystem.from_uri(path)
-    return pafs.LocalFileSystem(), os.path.abspath(path)
+    """(FileSystem, fs-local path) for a plain path or URI. Clients
+    are cached per scheme://authority."""
+    if "://" not in path:
+        return _local_fs(), os.path.abspath(path)
+    sp = urlsplit(path)
+    fs, base_path = _fs_base(f"{sp.scheme}://{sp.netloc}/")
+    root = base_path.rstrip("/")
+    p = (root + sp.path) if root else sp.path
+    return fs, p or "/"
 
 
 def join(base: str, *parts: str) -> str:

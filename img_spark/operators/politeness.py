@@ -112,6 +112,18 @@ def robots_rules_from_bodies(df: DataFrame, agent: str = "*") -> DataFrame:
     return df.select("host", "body").mapInPandas(run, schema=ROBOTS_DDL)
 
 
+def _url_path(url_col=None):
+    """URL → robots path ('/' when the URL has no path component) —
+    shared by both robots matchers so the parsing can never diverge."""
+    u = url_col if url_col is not None else F.col("url")
+    pos = F.instr(u, "://")
+    rest = F.when(pos > 0, F.substring(u, pos + 3, F.lit(1 << 30))).otherwise(u)
+    slash = F.instr(rest, "/")
+    return F.when(
+        slash > 0, F.substring(rest, slash, F.lit(1 << 30))
+    ).otherwise(F.lit("/"))
+
+
 def apply_robots(
     candidates: DataFrame,
     robots: DataFrame,
@@ -125,15 +137,7 @@ def apply_robots(
     the same url can be discovered by several parents — otherwise the
     first-match window would nondeterministically collapse them).
     """
-    pos = F.instr(F.col("url"), "://")
-    rest = F.when(pos > 0, F.substring(F.col("url"), pos + 3, F.lit(1 << 30))).otherwise(
-        F.col("url")
-    )
-    slash = F.instr(rest, "/")
-    path = F.when(slash > 0, F.substring(rest, slash, F.lit(1 << 30))).otherwise(
-        F.lit("/")
-    )
-    cand = candidates.withColumn("__path", path)
+    cand = candidates.withColumn("__path", _url_path())
     j = cand.join(F.broadcast(robots), "host", "left").withColumn(
         "__match",
         F.col("path_prefix").isNotNull()
@@ -177,15 +181,7 @@ def apply_robots_rules(candidates: DataFrame, compact: DataFrame) -> DataFrame:
     allow=True (deterministic; the window form's tie order is
     arbitrary). Rows whose host has no rules (or no matching prefix)
     default to allowed=True, crawl_delay=0.0."""
-    pos = F.instr(F.col("url"), "://")
-    rest = F.when(
-        pos > 0, F.substring(F.col("url"), pos + 3, F.lit(1 << 30))
-    ).otherwise(F.col("url"))
-    slash = F.instr(rest, "/")
-    path = F.when(
-        slash > 0, F.substring(rest, slash, F.lit(1 << 30))
-    ).otherwise(F.lit("/"))
-    j = candidates.withColumn("__path", path).join(
+    j = candidates.withColumn("__path", _url_path()).join(
         F.broadcast(compact), "host", "left"
     )
     matched = F.filter(

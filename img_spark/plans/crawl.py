@@ -261,8 +261,10 @@ class Crawler:
         return self._p(f"manifest-g{g}.json")
 
     # ---------------------------------------------------------------- init
-    def init(self, seeds: list) -> None:
-        """Generation 0 state: robots-checked seeds, seen-set seeded."""
+    def init(self, seeds: list) -> dict:
+        """Generation 0 state: robots-checked seeds, seen-set seeded.
+        Returns the committed generation-0 status counts (the same
+        shape ``step`` returns — job.py prints it)."""
         sdf = self.spark.createDataFrame(
             [(u, i) for i, u in enumerate(seeds)], "url string, seq int"
         )

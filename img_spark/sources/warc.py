@@ -41,10 +41,13 @@ def _maybe_gunzip(blob: bytes) -> bytes:
     import zlib
 
     out, pos, n = [], 0, len(blob)
+    view = memoryview(blob)  # zero-copy slices: a member-per-record
+    # archive has tens of thousands of members, and bytes-slicing the
+    # remainder per member would be O(n·members) memcpy
     while pos < n and blob[pos:pos + 2] == b"\x1f\x8b":
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         try:
-            out.append(d.decompress(blob[pos:]))
+            out.append(d.decompress(view[pos:]))
             d.flush()
         except zlib.error:
             break  # corrupt member: keep everything before it
@@ -109,21 +112,28 @@ def parse_warc(blob: bytes):
 
 
 def _parse_date(s: str):
-    try:
-        return dt.datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ")
-    except ValueError:
-        return None
+    # WARC/1.0 whole seconds; WARC/1.1 allows fractional seconds
+    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+        try:
+            return dt.datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    return None
 
 
 def read_warc_pages(
     spark: SparkSession,
     path: str,
     status_ok_only: bool = True,
+    dedup_urls: bool = True,
 ) -> DataFrame:
     """WARC file(s)/glob → the engine pages schema (url, warc_ts,
     html binary, text '', lang ''). ``response`` records only;
     ``status_ok_only`` keeps HTTP 2xx (the rows a crawl would have
-    fetched)."""
+    fetched). Real archives carry the same URL repeatedly (revisits,
+    cross-segment duplicates) while the crawl fetch join assumes a
+    unique-url pages table — ``dedup_urls`` keeps the NEWEST capture
+    per url (one shuffle on url; pass False for raw record access)."""
     import pandas as pd
 
     from img_spark.sources.synthweb import PAGES_DDL
@@ -157,7 +167,18 @@ def read_warc_pages(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )
 
-    return files.select("content").mapInPandas(run, schema=PAGES_DDL)
+    out = files.select("content").mapInPandas(run, schema=PAGES_DDL)
+    if dedup_urls:
+        from pyspark.sql import Window, functions as F
+
+        w = Window.partitionBy("url").orderBy(
+            F.desc("warc_ts"), F.desc(F.length("html"))
+        )
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn")
+        )
+    return out
 
 
 # ---------------------------------------------------------------- writer

@@ -52,7 +52,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pages-buckets", type=int, default=0,
                    help=">0: pages table carries url_bucket for scan pruning")
     p.add_argument("--max-generations", type=int, default=10_000)
-    p.add_argument("--priority", choices=("dfs", "bfs"), default="dfs")
+    p.add_argument("--priority", choices=("dfs", "bfs", "score"),
+                   default="dfs")
+    p.add_argument("--priority-score", default=None,
+                   help="SQL expression over frontier rows for "
+                        "--priority score (highest dispatched first), "
+                        "e.g. '-depth'")
+    p.add_argument("--host-budgets", default=None,
+                   help="parquet of (host, budget) per-host overrides")
     p.add_argument("--album-policy", default="all")
     p.add_argument("--seen-mode", choices=("cuckoo", "exact"), default="cuckoo")
     p.add_argument("--cuckoo-capacity", type=int, default=1 << 16)
@@ -91,9 +98,16 @@ def main(argv=None) -> int:
             (".warc", ".warc.gz")
         ) or ".warc" in args.pages.rsplit("/", 1)[-1] else "table"
     if fmt == "warc":
+        from pyspark import StorageLevel
+
         from img_spark.sources.warc import read_warc_pages
 
-        pages = read_warc_pages(spark, args.pages)
+        # persist: every generation's fetch join consumes self.pages —
+        # without this the whole archive set is gunzipped + re-parsed
+        # once per generation (and once more per two-level pass)
+        pages = read_warc_pages(spark, args.pages).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         if args.pages_buckets:
             raise SystemExit(
                 "--pages-buckets requires a bucket-partitioned table; "
@@ -127,11 +141,19 @@ def main(argv=None) -> int:
         cuckoo_capacity=args.cuckoo_capacity,
         max_generations=args.max_generations,
         priority=args.priority,
+        priority_score=args.priority_score,
         dispatch_salts=args.dispatch_salts,
         compact_every=args.compact_every,
         pages_buckets=args.pages_buckets,
     )
-    crawler = Crawler(spark, pages, config_rows, robots, cfg)
+    host_budgets = (
+        spark.read.parquet(args.host_budgets).select("host", "budget")
+        if args.host_budgets
+        else None
+    )
+    crawler = Crawler(
+        spark, pages, config_rows, robots, cfg, host_budgets=host_budgets
+    )
 
     if args.resume:
         g = crawler.resume()

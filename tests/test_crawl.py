@@ -883,3 +883,38 @@ def test_wet_text_sidecar_join(spark, tmp_path):
     got = {r["url"]: r["text"] for r in full.collect()}
     for u, _ts, _h, t, _l in rows:
         assert got[u] == t, u
+
+
+def test_warc_reader_dedups_revisits(spark, tmp_path):
+    """Real archives carry the same URL repeatedly; the reader keeps
+    the NEWEST capture per url so the fetch equi-join's unique-url
+    assumption holds (dedup_urls=False exposes the raw records).
+    WARC/1.1 fractional-second dates parse instead of falling back to
+    the 1970 epoch."""
+    import datetime as dt
+
+    from img_spark.sources.warc import build_warc, parse_warc, read_warc_pages
+
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1)
+    blob = build_warc([
+        ("https://a.test/p", t1, b"<html>old</html>", 200),
+        ("https://a.test/p", t2, b"<html>new</html>", 200),
+        ("https://b.test/q", t1, b"<html>only</html>", 200),
+    ])
+    path = tmp_path / "revisits.warc.gz"
+    path.write_bytes(blob)
+    got = {r["url"]: r for r in read_warc_pages(spark, str(path)).collect()}
+    assert len(got) == 2
+    assert bytes(got["https://a.test/p"]["html"]) == b"<html>new</html>"
+    assert got["https://a.test/p"]["warc_ts"] == t2
+    raw = read_warc_pages(spark, str(path), dedup_urls=False).count()
+    assert raw == 3
+    # WARC/1.1 fractional seconds
+    frac = (
+        b"WARC/1.1\r\nWARC-Type: metadata\r\n"
+        b"WARC-Target-URI: https://c.test/\r\n"
+        b"WARC-Date: 2017-03-06T04:03:53.192Z\r\n"
+        b"Content-Length: 2\r\n\r\nok\r\n\r\n"
+    )
+    rec = next(parse_warc(frac))
+    assert rec["date"] == dt.datetime(2017, 3, 6, 4, 3, 53, 192000)
