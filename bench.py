@@ -398,7 +398,7 @@ def run_crawl_scaling():
 
     spark = _session(CPUS)
     rows = []
-    for albums in (4, 16, 64):
+    for albums in (4, 16, 64, 256):
         fetched, gens, dt, _ = crawl_generations(
             spark, n_hosts=64, albums=albums, ppa=6
         )
