@@ -127,3 +127,59 @@ def test_webjson_sanity():
         assert site
         for sel in (img, nxt, alb):
             assert sel is None or sel.strip() == sel and sel != ""
+
+
+# ---------------------------------------------------------------- WARC
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefghij-._/:", min_size=1, max_size=30),
+            st.binary(max_size=200),
+            st.integers(min_value=200, max_value=599),
+        ),
+        max_size=6,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_warc_roundtrip_survives_adversarial_bodies(recs):
+    """Content-Length framing must carry ANY body bytes — including
+    bodies that contain '\\r\\n\\r\\nWARC/1.0' or gzip magic — without
+    desyncing record boundaries."""
+    import datetime as dt
+
+    from img_spark.sources.warc import build_warc, parse_warc
+
+    poison = b"\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\n\x1f\x8b"
+    records = [
+        (f"https://h.test/{u}", dt.datetime(2024, 1, 2, 3, 4, 5),
+         body + poison, status)
+        for u, body, status in recs
+    ]
+    out = list(parse_warc(build_warc(records)))
+    assert len(out) == len(records)
+    for (url, ts, body, status), r in zip(records, out):
+        assert r["url"] == url
+        assert r["date"] == ts
+        assert r["http_status"] == status
+        assert r["body"] == body
+
+
+@given(st.integers(min_value=0, max_value=400), st.binary(max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_warc_truncation_and_garbage_never_raise(cut, junk):
+    """parse_warc on a truncated archive (any byte position) or with
+    arbitrary junk appended yields a PREFIX of the records and never
+    raises — crawl archives are corrupt by construction."""
+    import datetime as dt
+
+    from img_spark.sources.warc import build_warc, parse_warc
+
+    blob = build_warc([
+        ("https://a.test/1", dt.datetime(2024, 1, 1), b"<html>1</html>", 200),
+        ("https://a.test/2", dt.datetime(2024, 1, 1), b"<html>2</html>", 200),
+    ])
+    full = [r["url"] for r in parse_warc(blob)]
+    got = [r["url"] for r in parse_warc(blob[:cut])]
+    assert got == full[:len(got)]  # always a clean prefix
+    got2 = [r["url"] for r in parse_warc(blob + junk)]
+    assert got2[:2] == full
