@@ -56,8 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default="dfs")
     p.add_argument("--priority-score", default=None,
                    help="SQL expression over frontier rows for "
-                        "--priority score (highest dispatched first), "
-                        "e.g. '-depth'")
+                        "--priority score (highest dispatched first); "
+                        "use = syntax for leading-dash expressions, "
+                        "e.g. --priority-score=-depth")
     p.add_argument("--host-budgets", default=None,
                    help="parquet of (host, budget) per-host overrides")
     p.add_argument("--album-policy", default="all")

@@ -106,3 +106,54 @@ def test_spark_submit_crawl_job(spark, tmp_path_factory):
     }
     assert len(fetched) == 12
     assert "https://site-a.test/" in fetched
+
+
+def test_job_main_resume_and_flags(spark, tmp_path):
+    """job.py's driver logic in-process (the session fixture is reused
+    by getOrCreate): a run capped at 2 generations, then --resume
+    completes the crawl; --priority score and --host-budgets flags are
+    accepted and wired through."""
+    import json as _json
+
+    import job
+    from img_spark.operators.politeness import robots_df
+    from img_spark.plans.crawl import read_frontier
+    from img_spark.sources.synthweb import (
+        FIXTURE_CONFIG,
+        FIXTURE_ROBOTS,
+        FIXTURE_SEEDS,
+        fixture_pages_df,
+    )
+
+    pages_pq = str(tmp_path / "pages")
+    fixture_pages_df(spark).write.parquet(pages_pq)
+    robots_pq = str(tmp_path / "robots")
+    robots_df(spark, FIXTURE_ROBOTS).write.parquet(robots_pq)
+    budgets_pq = str(tmp_path / "budgets")
+    spark.createDataFrame(
+        [("site-a.test", 5)], "host string, budget int"
+    ).write.parquet(budgets_pq)
+    cfg_json = str(tmp_path / "web.json")
+    with open(cfg_json, "w") as f:
+        _json.dump(FIXTURE_CONFIG, f)
+    ckpt = str(tmp_path / "ckpt")
+
+    base = [
+        "--pages", pages_pq, "--checkpoint", ckpt, "--config", cfg_json,
+        "--robots-rules", robots_pq, "--partitions", "4",
+        "--priority", "score", "--priority-score=-depth",
+        "--host-budgets", budgets_pq,
+    ]
+    assert job.main(base + ["--seeds", *FIXTURE_SEEDS,
+                            "--max-generations", "2"]) == 0
+    assert job.main(base + ["--resume"]) == 0
+    frontier = read_frontier(
+        spark, ckpt,
+        max(int(p.name[len("manifest-g"):-len(".json")])
+            for p in tmp_path.glob("ckpt/manifest-g*.json")),
+    )
+    from pyspark.sql import functions as F2
+
+    assert frontier.filter(F2.col("status") == "fetched").count() == 12
+    # no seeds and no resume: argparse-level usage error
+    assert job.main(["--pages", pages_pq, "--checkpoint", ckpt]) == 2
