@@ -25,58 +25,114 @@ from __future__ import annotations
 
 import datetime as dt
 import gzip
-import io
 
 from pyspark.sql import DataFrame, SparkSession
 
 _CRLF2 = b"\r\n\r\n"
 
+# Bounded feed size for the streaming decompressor. Feeding the whole
+# remainder per member makes zlib copy it into d.unused_data each time —
+# O(bytes × members) memcpy on a member-per-record Common-Crawl archive
+# with tens of thousands of members. Every copy a member boundary can
+# trigger (unused_data, the carry re-slice) is bounded by this, so the
+# total cost is O(archive + members · _GZ_CHUNK); 8 KiB ≈ a typical
+# compressed Common-Crawl record, keeping that second term ~ the first.
+_GZ_CHUNK = 8192
 
-def _maybe_gunzip(blob: bytes) -> bytes:
+
+def _gunzip_stream(blob: bytes):
+    """Yield decompressed chunks of a (possibly multi-member) gzip blob.
+
+    Common Crawl ships one gzip member per record; members are walked
+    one by one so a corrupt or truncated TAIL member loses only itself
+    (gzip.GzipFile throws away the whole file). Non-gzip input is
+    yielded as-is. The decompressor is fed bounded slices, and a member
+    boundary mid-slice hands zlib's ``unused_data`` to the next member
+    as its first input — peak memory and per-boundary memcpy are both
+    O(_GZ_CHUNK), independent of member count and archive size.
+    """
     if blob[:2] != b"\x1f\x8b":
-        return blob
-    # gzip with MULTIPLE members (Common Crawl: one member per record),
-    # decompressed member-by-member so a corrupt/truncated TAIL member
-    # loses only itself — gzip.GzipFile would throw away the whole file
+        yield blob
+        return
     import zlib
 
-    out, pos, n = [], 0, len(blob)
-    view = memoryview(blob)  # zero-copy slices: a member-per-record
-    # archive has tens of thousands of members, and bytes-slicing the
-    # remainder per member would be O(n·members) memcpy
-    while pos < n and blob[pos:pos + 2] == b"\x1f\x8b":
+    view = memoryview(blob)
+    pos, n = 0, len(blob)
+    carry = b""  # unconsumed tail of the last fed slice (next member)
+
+    def head2() -> bytes:
+        if len(carry) >= 2:
+            return carry[:2]
+        return bytes(carry) + bytes(view[pos:pos + 2 - len(carry)])
+
+    while (carry or pos < n) and head2() == b"\x1f\x8b":
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         try:
-            out.append(d.decompress(view[pos:]))
-            d.flush()
+            while not d.eof:
+                if carry:
+                    piece, carry = carry[:_GZ_CHUNK], carry[_GZ_CHUNK:]
+                elif pos < n:
+                    piece = view[pos:pos + _GZ_CHUNK]
+                    pos += len(piece)
+                else:
+                    return  # truncated final member: keep partial output
+                out = d.decompress(piece)
+                if out:
+                    yield out
         except zlib.error:
-            break  # corrupt member: keep everything before it
-        if not d.eof:
-            break  # truncated final member
-        consumed = (n - pos) - len(d.unused_data)
-        if consumed <= 0:
-            break
-        pos += consumed
-    return b"".join(out)
+            return  # corrupt member: keep everything before the error
+        carry = d.unused_data
 
 
-def parse_warc(blob: bytes):
-    """Yield dicts for each well-formed record: warc_type, url, date
-    (datetime or None), http_status (int or None), content_type, body
-    (payload bytes; for response records the HTTP body only)."""
-    data = _maybe_gunzip(blob)
-    pos, n = 0, len(data)
-    while pos < n:
+def _iter_records(chunks):
+    """Incremental WARC record parser over an iterator of byte chunks.
+
+    Holds only the bytes of the record currently being framed (plus one
+    read-ahead chunk) — never the whole decompressed archive.
+    """
+    buf = bytearray()
+    chunks = iter(chunks)
+    eof = False
+
+    def pull() -> bool:
+        nonlocal eof
+        if eof:
+            return False
+        try:
+            buf.extend(next(chunks))
+            return True
+        except StopIteration:
+            eof = True
+            return False
+
+    def ensure(k: int) -> bool:
+        while len(buf) < k:
+            if not pull():
+                return False
+        return True
+
+    def find(sub: bytes) -> int:
+        start = 0
+        while True:
+            i = buf.find(sub, start)
+            if i >= 0:
+                return i
+            # overlap window: the delimiter may straddle a chunk edge
+            start = max(0, len(buf) - len(sub) + 1)
+            if not pull():
+                return -1
+
+    while True:
         # skip inter-record padding
-        while pos < n and data[pos:pos + 1] in (b"\r", b"\n"):
-            pos += 1
-        if not data.startswith(b"WARC/", pos):
-            break  # no further records
-        hdr_end = data.find(_CRLF2, pos)
+        while ensure(1) and buf[0:1] in (b"\r", b"\n"):
+            del buf[0:1]
+        if not ensure(5) or not buf.startswith(b"WARC/"):
+            return  # no further records
+        hdr_end = find(_CRLF2)
         if hdr_end < 0:
-            break
+            return
         headers: dict = {}
-        lines = data[pos:hdr_end].split(b"\r\n")
+        lines = bytes(buf[:hdr_end]).split(b"\r\n")
         for line in lines[1:]:  # lines[0] is the WARC/x.y version
             k, sep, v = line.partition(b":")
             if sep:
@@ -86,10 +142,11 @@ def parse_warc(blob: bytes):
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            break  # unframed record: cannot resync safely
+            return  # unframed record: cannot resync safely
         body_start = hdr_end + len(_CRLF2)
-        payload = data[body_start:body_start + length]
-        pos = body_start + length
+        truncated = not ensure(body_start + length)
+        payload = bytes(buf[body_start:body_start + length])
+        del buf[:body_start + length]
         rec = {
             "warc_type": headers.get("warc-type", ""),
             "url": headers.get("warc-target-uri", ""),
@@ -109,6 +166,19 @@ def parse_warc(blob: bytes):
                     rec["http_status"] = int(parts[1])
                 rec["body"] = payload[split + len(_CRLF2):]
         yield rec
+        if truncated:
+            return  # short final record emitted (archive parity), stop
+
+
+def parse_warc(blob: bytes):
+    """Yield dicts for each well-formed record: warc_type, url, date
+    (datetime or None), http_status (int or None), content_type, body
+    (payload bytes; for response records the HTTP body only).
+
+    Streaming end-to-end: gzip members decompress in bounded chunks and
+    only the in-flight record is buffered, so peak memory is O(record),
+    not O(decompressed archive)."""
+    return _iter_records(_gunzip_stream(blob))
 
 
 def _parse_date(s: str):
@@ -119,6 +189,57 @@ def _parse_date(s: str):
         except ValueError:
             continue
     return None
+
+
+# Batch-flush thresholds for the mapInPandas readers: an output batch
+# is emitted whenever it reaches this many rows OR this many payload
+# bytes, whichever first — so per-task peak memory is bounded by the
+# batch size, not by the (multi-GB decompressed) archive size.
+_FLUSH_ROWS = 2048
+_FLUSH_BYTES = 64 << 20
+
+
+def _page_batches(
+    blobs,
+    status_ok_only: bool = True,
+    flush_rows: int = _FLUSH_ROWS,
+    flush_bytes: int = _FLUSH_BYTES,
+):
+    """Per-partition generator: WARC blobs → bounded pandas batches in
+    the pages schema. Module-level so tests can assert the chunked-yield
+    behavior (many batches out of one archive) without a SparkSession."""
+    import pandas as pd
+
+    rows, nbytes = [], 0
+    for blob in blobs:
+        try:
+            for r in parse_warc(bytes(blob)):
+                if r["warc_type"] != "response" or not r["url"]:
+                    continue
+                if status_ok_only and not (
+                    r["http_status"] is not None
+                    and 200 <= r["http_status"] < 300
+                ):
+                    continue
+                rows.append((
+                    r["url"],
+                    r["date"] or dt.datetime(1970, 1, 1),
+                    r["body"],
+                    "",
+                    "",
+                ))
+                nbytes += len(r["body"])
+                if len(rows) >= flush_rows or nbytes >= flush_bytes:
+                    yield pd.DataFrame(
+                        rows,
+                        columns=["url", "warc_ts", "html", "text", "lang"],
+                    )
+                    rows, nbytes = [], 0
+        except Exception:
+            continue  # corrupt archive member: skip the file tail
+    yield pd.DataFrame(
+        rows, columns=["url", "warc_ts", "html", "text", "lang"]
+    )
 
 
 def read_warc_pages(
@@ -134,38 +255,13 @@ def read_warc_pages(
     cross-segment duplicates) while the crawl fetch join assumes a
     unique-url pages table — ``dedup_urls`` keeps the NEWEST capture
     per url (one shuffle on url; pass False for raw record access)."""
-    import pandas as pd
-
     from img_spark.sources.synthweb import PAGES_DDL
 
     files = spark.read.format("binaryFile").load(path)
 
     def run(batches):
         for pdf in batches:
-            rows = []
-            for blob in pdf["content"]:
-                try:
-                    recs = parse_warc(bytes(blob))
-                    for r in recs:
-                        if r["warc_type"] != "response" or not r["url"]:
-                            continue
-                        if status_ok_only and not (
-                            r["http_status"] is not None
-                            and 200 <= r["http_status"] < 300
-                        ):
-                            continue
-                        rows.append((
-                            r["url"],
-                            r["date"] or dt.datetime(1970, 1, 1),
-                            r["body"],
-                            "",
-                            "",
-                        ))
-                except Exception:
-                    continue  # corrupt archive member: skip the file tail
-            yield pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html", "text", "lang"]
-            )
+            yield from _page_batches(pdf["content"], status_ok_only)
 
     out = files.select("content").mapInPandas(run, schema=PAGES_DDL)
     if dedup_urls:
@@ -217,31 +313,43 @@ def read_wet_text(spark: SparkSession, path: str) -> DataFrame:
                      .na.fill({"text": ""})
 
     Same execution shape as the WARC reader: binaryFile + mapInPandas,
-    file-level parallelism, no shuffle (the join above broadcasts or
-    co-partitions on url at Spark's discretion)."""
-    import pandas as pd
-
+    file-level parallelism, bounded-batch output, no shuffle (the join
+    above broadcasts or co-partitions on url at Spark's discretion)."""
     files = spark.read.format("binaryFile").load(path)
 
     def run(batches):
         for pdf in batches:
-            urls, texts = [], []
-            for blob in pdf["content"]:
-                try:
-                    for r in parse_warc(bytes(blob)):
-                        if r["warc_type"] != "conversion" or not r["url"]:
-                            continue
-                        urls.append(r["url"])
-                        texts.append(
-                            r["body"].decode("utf-8", "replace")
-                        )
-                except Exception:
-                    continue
-            yield pd.DataFrame({"url": urls, "text": texts})
+            yield from _text_batches(pdf["content"])
 
     return files.select("content").mapInPandas(
         run, schema="url string, text string"
     )
+
+
+def _text_batches(
+    blobs,
+    flush_rows: int = _FLUSH_ROWS,
+    flush_bytes: int = _FLUSH_BYTES,
+):
+    """Per-partition generator: WET blobs → bounded (url, text) pandas
+    batches; the WARC-reader twin of ``_page_batches``."""
+    import pandas as pd
+
+    urls, texts, nbytes = [], [], 0
+    for blob in blobs:
+        try:
+            for r in parse_warc(bytes(blob)):
+                if r["warc_type"] != "conversion" or not r["url"]:
+                    continue
+                urls.append(r["url"])
+                texts.append(r["body"].decode("utf-8", "replace"))
+                nbytes += len(r["body"])
+                if len(urls) >= flush_rows or nbytes >= flush_bytes:
+                    yield pd.DataFrame({"url": urls, "text": texts})
+                    urls, texts, nbytes = [], [], 0
+        except Exception:
+            continue
+    yield pd.DataFrame({"url": urls, "text": texts})
 
 
 def build_wet(records) -> bytes:
