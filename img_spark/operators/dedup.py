@@ -367,11 +367,23 @@ def connected_components(
 
 
 # ---------------------------------------------------------------- simhash
-def simhash32(text: Column) -> Column:
+# Salt for the high 32-bit word of the 64-bit signature: word 0 hashes
+# the token itself (backward-compatible with the 32-bit form), word 1
+# hashes token||'#2' — an independent 32-bit hash family, shared
+# verbatim with the DuckDB oracles.
+_SIMHASH_HI_SALT = "#2"
+
+
+def simhash32(text: Column, salt: str = "") -> Column:
     """32-bit SimHash over word h32 hashes, as one expression: per-bit
-    weight = Σ(bit? +1 : -1); signature bit j set iff weight > 0."""
+    weight = Σ(bit? +1 : -1); signature bit j set iff weight > 0.
+    ``salt`` is appended to each token before hashing (used to derive
+    the independent high word of the 64-bit signature)."""
     toks = F.array_distinct(tokens(text))
-    hs = F.transform(toks, h32)
+    if salt:
+        hs = F.transform(toks, lambda t: h32(F.concat(t, F.lit(salt))))
+    else:
+        hs = F.transform(toks, h32)
     # bit positions unrolled as literals (shiftright needs an int shift)
     acc = F.aggregate(
         hs,
@@ -431,6 +443,85 @@ def simhash32_agg(
     return agged.select("doc_id", sh.alias("sh"))
 
 
+def simhash64_agg(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash as TWO 32-bit words (doc_id, sh_lo, sh_hi) — two
+    longs instead of one 64-bit value so the sign bit never enters the
+    sum-of-powers arithmetic and the DuckDB oracle stays exact. Word 0
+    uses h32(token) (≡ ``simhash32_agg``), word 1 the independent
+    family h32(token||'#2'). Same shape as the 32-bit aggregate: one
+    explode of the distinct token hashes, 64 map-side-combinable sums.
+    NULL-text docs emit no row (pinned; see ``simhash32_agg``)."""
+    h = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(tokens(F.col(text_col)))
+        ).alias("t"),
+    ).select(
+        "doc_id",
+        h32(F.col("t")).alias("h0"),
+        h32(F.concat(F.col("t"), F.lit(_SIMHASH_HI_SALT))).alias("h1"),
+    )
+    aggs = [
+        F.sum(
+            F.shiftright(F.col(f"h{w}"), j).bitwiseAND(F.lit(1))
+        ).alias(f"c{w}_{j}")
+        for w in range(2) for j in range(32)
+    ] + [F.count("*").alias("n")]
+    agged = h.groupBy("doc_id").agg(*aggs)
+    words = []
+    for w, name in ((0, "sh_lo"), (1, "sh_hi")):
+        sh = None
+        for j in range(32):
+            term = F.when(
+                F.col(f"c{w}_{j}") * 2 > F.col("n"),
+                F.lit(1 << j).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            sh = term if sh is None else sh + term
+        words.append(sh.alias(name))
+    return agged.select("doc_id", *words)
+
+
+def simhash_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+) -> DataFrame:
+    """Banded 64-bit SimHash: (doc_id, sh_lo, sh_hi, band, chunk) with
+    ``64/bands``-bit chunks. At the default 4 bands each chunk is 16
+    bits → 65,536 buckets per band. (Round-3 verdict: the former 32-bit
+    signature gave 8-bit chunks — 256 buckets per band, so at 10⁹ docs
+    every bucket held ~N/256 docs and the per-bucket quadratic join
+    exploded; 16-bit chunks keep the same hamming<bands recall
+    guarantee with a 256× larger bucket space.)"""
+    width = 64 // bands
+    if 32 % width:
+        raise ValueError("band width must divide the 32-bit words")
+    sig = simhash64_agg(df, id_col, text_col)
+    per_word = 32 // width
+    return sig.select(
+        "doc_id",
+        "sh_lo",
+        "sh_hi",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(
+                        F.col("sh_lo") if b < per_word else F.col("sh_hi"),
+                        (b % per_word) * width,
+                    )
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("chunk"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bc"),
+    ).select("doc_id", "sh_lo", "sh_hi", "bc.band", "bc.chunk")
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -438,41 +529,34 @@ def simhash_near_dups(
     bands: int = 4,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """Near-dup candidates: equal 8-bit SimHash chunk in any of 4 bands
-    (guarantees recall for hamming distance < bands), then exact hamming.
-    ``max_bucket`` bounds the quadratic per-chunk join (cap_buckets;
-    drops reportable via bucket_drop_report)."""
-    sig = simhash32_agg(df, id_col, text_col)
-    width = 32 // bands
-    banded = sig.select(
-        "doc_id",
-        "sh",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.shiftright(F.col("sh"), b * width)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    .alias("chunk"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bc"),
-    ).select("doc_id", "sh", "bc.band", "bc.chunk")
+    """Near-dup candidates: equal 16-bit chunk of the 64-bit SimHash in
+    any of 4 bands (guarantees recall for hamming distance < bands),
+    then exact hamming over both words. ``max_bucket`` bounds the
+    quadratic per-chunk join (cap_buckets; drops reportable via
+    bucket_drop_report)."""
+    banded = simhash_bands(df, id_col, text_col, bands)
     if max_bucket is not None:
         banded = cap_buckets(banded, ("band", "chunk"), max_bucket)
-    x = banded.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"),
-                      "band", "chunk")
-    y = banded.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"),
-                      "band", "chunk")
+    x = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh_lo").alias("sha_lo"), F.col("sh_hi").alias("sha_hi"),
+        "band", "chunk",
+    )
+    y = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh_lo").alias("shb_lo"), F.col("sh_hi").alias("shb_hi"),
+        "band", "chunk",
+    )
     pairs = (
         x.join(y, ["band", "chunk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sha", "shb")
+        .select("doc_a", "doc_b", "sha_lo", "sha_hi", "shb_lo", "shb_hi")
         .distinct()
     )
     return pairs.withColumn(
-        "hamming", F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+        "hamming",
+        F.bit_count(F.col("sha_lo").bitwiseXOR(F.col("shb_lo")))
+        + F.bit_count(F.col("sha_hi").bitwiseXOR(F.col("shb_hi"))),
     )
 
 

@@ -9,6 +9,9 @@ reproduce them term-for-term (__spark_entry__.py pairs each with SQL).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints ("pd.Series"
+# strings under __future__.annotations) resolve against module globals
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 # Small fixed stopword lists (shared verbatim with the SQL oracles).
@@ -55,6 +58,76 @@ def token_count_bpe_regex(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), 0))
 
 
+def load_bpe_merges(path: str) -> list:
+    """Read a GPT-2-style ``merges.txt``: one space-separated pair per
+    line, rank = line order; ``#``-prefixed header lines skipped."""
+    merges = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            a, sep, b = line.partition(" ")
+            if sep:
+                merges.append((a, b))
+    return merges
+
+
+def token_count_bpe(text: Column, merges: list | None = None) -> Column:
+    """BPE token count with a pluggable vocab (round-3 verdict item 8):
+    with ``merges`` (e.g. ``load_bpe_merges('merges.txt')``) the REAL
+    greedy lowest-rank merge loop runs per pre-tokenizer piece in an
+    Arrow-batched pandas UDF; without, the expression-only regex
+    estimator (the zero-dependency 100-TB default — identical oracle
+    rows). Use the real path for calibration/sampling, not the hot
+    path: it is Python-per-piece, ~100× the estimator's cost."""
+    if merges is None:
+        return token_count_bpe_regex(text)
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    pat = re.compile(BPE_SPLIT_RE)
+    big = len(ranks) + 1
+
+    def count_one(s):
+        if s is None:
+            return None
+        total = 0
+        for piece in pat.findall(s):
+            word = list(piece)
+            while len(word) > 1:
+                best, bi = None, big
+                for i in range(len(word) - 1):
+                    r = ranks.get((word[i], word[i + 1]), big)
+                    if r < bi:
+                        best, bi = (word[i], word[i + 1]), r
+                if best is None:
+                    break
+                out, i = [], 0
+                while i < len(word):
+                    if (
+                        i < len(word) - 1
+                        and (word[i], word[i + 1]) == best
+                    ):
+                        out.append(word[i] + word[i + 1])
+                        i += 2
+                    else:
+                        out.append(word[i])
+                        i += 1
+                word = out
+            total += len(word)
+        return total
+
+    @pandas_udf("long")
+    def f(s: pd.Series) -> pd.Series:
+        return s.map(count_one)
+
+    return f(text)
+
+
 def stopword_hits(text: Column, lang: str) -> Column:
     words = STOPWORDS[lang]
     return F.size(F.filter(tokens(text), lambda t: t.isin(*words)))
@@ -76,6 +149,23 @@ def lang_id(text: Column) -> Column:
             cond = c if cond is None else (cond & c)
         out = F.when(cond, F.lit(LANG_ORDER[i])).otherwise(out)
     return F.when(text.rlike(CJK_RE), F.lit("zh")).otherwise(out)
+
+
+def lang_id_with_model(text: Column, model_fn) -> Column:
+    """Pluggable language-ID hook (round-3 verdict item 8): plug a real
+    classifier (fastText, CLD3, …) as ``model_fn: list[str] ->
+    list[str]`` — it runs Arrow-batched inside a pandas UDF, one call
+    per batch. The expression-only stopword heuristic (``lang_id``)
+    stays the zero-dependency default; this is the seam a production
+    deployment fills."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def f(s: pd.Series) -> pd.Series:
+        return pd.Series(model_fn(list(s)), index=s.index)
+
+    return f(text)
 
 
 def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:

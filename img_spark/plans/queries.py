@@ -588,21 +588,42 @@ FROM s
 
 
 def q_quality(spark, sf_dir):
-    return quality_signals(_docs(spark, sf_dir))
+    """Gopher-style gates: length/word/punct/stopword signals AND the
+    duplicate-line repetition signals in one row per doc (the repetition
+    branch is exercised by planting repeated lines in every 3rd doc —
+    same planting as the standalone repetition fixture used in r2/r3)."""
+    from img_spark.operators.textquality import repetition_signals
+
+    head = F.substring(F.col("text"), 1, 40)
+    text = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat_ws("\n", F.col("text"), head, head, head, head),
+    ).otherwise(F.concat_ws("\n", F.col("text"), head))
+    d = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return quality_signals(d).join(repetition_signals(d), "doc_id")
 
 
 def _sql_quality():
     words = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     return f"""
-WITH s AS (
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+         THEN text || '\n' || substr(text,1,40) || '\n' || substr(text,1,40)
+              || '\n' || substr(text,1,40) || '\n' || substr(text,1,40)
+         ELSE text || '\n' || substr(text,1,40) END AS text
+  FROM documents),
+s AS (
   SELECT doc_id,
     length(text) AS n_chars,
     len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens,
     length(regexp_replace(text, '\\s+', '', 'g')) AS no_ws,
     length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
     len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-        t -> list_contains([{words}], t))) AS stop_hits
-  FROM documents)
+        t -> list_contains([{words}], t))) AS stop_hits,
+    len(string_split(text, chr(10))) AS n_lines,
+    len(list_distinct(string_split(text, chr(10)))) AS n_distinct_lines
+  FROM t)
 SELECT doc_id, n_chars, n_tokens,
   round(no_ws / n_tokens, 6) AS mean_word_len,
   punct AS punct_chars,
@@ -610,7 +631,10 @@ SELECT doc_id, n_chars, n_tokens,
   stop_hits AS stopword_hits,
   (n_tokens >= 10 AND n_tokens <= 100000
    AND round(no_ws / n_tokens, 6) >= 2.0
-   AND round(no_ws / n_tokens, 6) <= 12.0) AS keep
+   AND round(no_ws / n_tokens, 6) <= 12.0) AS keep,
+  n_lines, n_distinct_lines,
+  round((n_lines - n_distinct_lines) / n_lines, 6) AS dup_line_frac,
+  round((n_lines - n_distinct_lines) / n_lines, 6) <= 0.3 AS keep_repetition
 FROM s
 """
 
@@ -721,18 +745,26 @@ WHERE j.jaccard >= 0.8
 
 
 def q_simhash(spark, sf_dir):
+    """64-bit SimHash as two 32-bit words: sh_lo via the expression
+    form (fold), sh_hi via the '#2'-salted token family — the driver
+    row pins both hash families and both the fold and the banding
+    inputs (the agg form's equivalence to the fold is pinned in
+    tests/test_dataops.py)."""
     return _docs(spark, sf_dir).select(
-        "doc_id", dedup.simhash32(F.col("text")).alias("sh")
+        "doc_id",
+        dedup.simhash32(F.col("text")).alias("sh_lo"),
+        dedup.simhash32(F.col("text"), salt="#2").alias("sh_hi"),
     )
 
 
 def _sql_simhash():
-    terms = " + ".join(
-        f"(CASE WHEN list_sum(list_transform(hs,"
-        f" h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0"
-        f" THEN {1 << j}::bigint ELSE 0::bigint END)"
-        for j in range(32)
-    )
+    def word(hs_col):
+        return " + ".join(
+            f"(CASE WHEN list_sum(list_transform({hs_col},"
+            f" h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0"
+            f" THEN {1 << j}::bigint ELSE 0::bigint END)"
+            for j in range(32)
+        )
     return rf"""
 WITH toks AS (
   SELECT doc_id,
@@ -740,9 +772,10 @@ WITH toks AS (
   FROM documents),
 hs AS (
   SELECT doc_id,
-    list_transform(t, w -> ('0x' || substr(md5(w),1,8))::bigint) AS hs
+    list_transform(t, w -> ('0x' || substr(md5(w),1,8))::bigint) AS h0,
+    list_transform(t, w -> ('0x' || substr(md5(w || '#2'),1,8))::bigint) AS h1
   FROM toks)
-SELECT doc_id, ({terms}) AS sh FROM hs
+SELECT doc_id, ({word("h0")}) AS sh_lo, ({word("h1")}) AS sh_hi FROM hs
 """
 
 
@@ -754,8 +787,12 @@ def q_simhash_near_dups(spark, sf_dir):
 
 def _sql_simhash_near_dups():
     inner = _sql_simhash().strip()
+    # 4 bands × 16-bit chunks over the two 32-bit words (bands 0-1 from
+    # sh_lo, 2-3 from sh_hi) — mirrors dedup.simhash_bands
     bands = " UNION ALL ".join(
-        f"SELECT doc_id, sh, {b} AS band, (sh >> {b * 8}) & 255 AS chunk FROM s"
+        f"SELECT doc_id, sh_lo, sh_hi, {b} AS band,"
+        f" (({'sh_lo' if b < 2 else 'sh_hi'} >> {(b % 2) * 16}) & 65535)"
+        f" AS chunk FROM s"
         for b in range(4)
     )
     return f"""
@@ -763,10 +800,13 @@ WITH s AS ({inner}),
 banded AS ({bands}),
 pairs AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         x.sh AS sha, y.sh AS shb
+         x.sh_lo AS sa_lo, x.sh_hi AS sa_hi,
+         y.sh_lo AS sb_lo, y.sh_hi AS sb_hi
   FROM banded x JOIN banded y
     ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
-SELECT doc_a, doc_b, bit_count(xor(sha, shb)) AS hamming FROM pairs
+SELECT doc_a, doc_b,
+  bit_count(xor(sa_lo, sb_lo)) + bit_count(xor(sa_hi, sb_hi)) AS hamming
+FROM pairs
 """
 
 
@@ -989,7 +1029,6 @@ def all_queries():
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
         "redact_pii": q_redact_pii,
-        "repetition_signals": q_repetition,
     }
 
 
@@ -1045,7 +1084,6 @@ def all_oracles():
         "multimodal_frames": SQL_MULTIMODAL_FRAMES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,
         "redact_pii": _sql_redact_pii(),
-        "repetition_signals": SQL_REPETITION,
     }
 
 
@@ -2088,35 +2126,8 @@ FROM t
 """
 
 
-def q_repetition(spark, sf_dir):
-    """Duplicate-line repetition gates over text with planted repeated
-    lines (every 3rd doc gets its first 40 chars repeated 4x)."""
-    from img_spark.operators.textquality import repetition_signals
-
-    head = F.substring(F.col("text"), 1, 40)
-    text = F.when(
-        F.col("doc_id") % 3 == 0,
-        F.concat_ws("\n", F.col("text"), head, head, head, head),
-    ).otherwise(F.concat_ws("\n", F.col("text"), head))
-    d = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
-    return repetition_signals(d)
-
-
-SQL_REPETITION = """
-WITH t AS (
-  SELECT doc_id,
-    CASE WHEN doc_id % 3 = 0
-         THEN text || '\n' || substr(text,1,40) || '\n' || substr(text,1,40)
-              || '\n' || substr(text,1,40) || '\n' || substr(text,1,40)
-         ELSE text || '\n' || substr(text,1,40) END AS text
-  FROM documents),
-s AS (
-  SELECT doc_id,
-    len(string_split(text, chr(10))) AS n_lines,
-    len(list_distinct(string_split(text, chr(10)))) AS n_distinct_lines
-  FROM t)
-SELECT doc_id, n_lines, n_distinct_lines,
-  round((n_lines - n_distinct_lines) / n_lines, 6) AS dup_line_frac,
-  round((n_lines - n_distinct_lines) / n_lines, 6) <= 0.3 AS keep_repetition
-FROM s
-"""
+# repetition_signals' driver row was folded into quality_signals in
+# round 4 (the driver reports at most 50 queries; r3 carried 51 and the
+# repetition row fell off the report). The operator itself is unchanged
+# (operators/textquality.py:repetition_signals) and is exercised — with
+# planted repeated lines — inside q_quality above.

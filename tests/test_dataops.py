@@ -152,6 +152,86 @@ def test_simhash_python_parity(docs, local_docs):
         assert got[did] == py_simhash(text), did
 
 
+def test_simhash64_agg_matches_expression_form(docs):
+    """The explode+agg 64-bit signature must equal the per-row fold
+    form word-for-word (same property the 32-bit pair had), and sh_lo
+    must equal the legacy 32-bit signature (word-0 compatibility)."""
+    expr = docs.select(
+        "doc_id",
+        dedup.simhash32(F.col("text")).alias("e_lo"),
+        dedup.simhash32(F.col("text"), salt="#2").alias("e_hi"),
+    )
+    agg = dedup.simhash64_agg(docs)
+    j = expr.join(agg, "doc_id")
+    bad = j.filter(
+        (F.col("e_lo") != F.col("sh_lo")) | (F.col("e_hi") != F.col("sh_hi"))
+    ).count()
+    assert bad == 0
+    legacy = dedup.simhash32_agg(docs)
+    assert j.join(legacy, "doc_id").filter(
+        F.col("sh") != F.col("sh_lo")
+    ).count() == 0
+
+
+def test_simhash_band_space_survives_scale(spark):
+    """Round-3 verdict: 8-bit chunks gave 256 buckets/band — every
+    bucket holds N/256 docs at corpus scale and the per-bucket
+    quadratic join explodes. Pin the 16-bit layout: on a skewed-ish
+    2,000-doc corpus each band must spread across ≫256 distinct chunks
+    (near-birthday occupancy of the 65,536-bucket space), and no single
+    bucket may exceed a tiny share of the docs."""
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(4000)]
+    rows = [
+        (i, " ".join(rng.sample(words, 30))) for i in range(2000)
+    ]
+    docs_df = spark.createDataFrame(rows, "doc_id long, text string")
+    banded = dedup.simhash_bands(docs_df).groupBy("band", "chunk").count()
+    stats = banded.groupBy("band").agg(
+        F.count("*").alias("n_chunks"), F.max("count").alias("max_bucket")
+    ).collect()
+    assert len(stats) == 4
+    for r in stats:
+        assert r["n_chunks"] > 1000, r   # impossible with 256 buckets
+        assert r["max_bucket"] <= 20, r  # ≤1% of docs in any bucket
+
+
+def test_simhash_near_dups_recall_on_planted_flips(spark):
+    """Hamming < bands ⇒ a band chunk matches: plant doc pairs whose
+    64-bit signatures differ in ≤3 bits (tiny token edits on long
+    docs) and require every such pair in the candidate set."""
+    import random
+
+    rng = random.Random(11)
+    words = [f"tok{i}" for i in range(3000)]
+    rows = []
+    for i in range(50):
+        base = rng.sample(words, 120)
+        edited = list(base)
+        edited[0] = f"edit{i}"  # one-token edit on a 120-token doc
+        rows.append((i, " ".join(base)))
+        rows.append((1000 + i, " ".join(edited)))
+    docs_df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {
+        r["doc_id"]: (r["sh_lo"], r["sh_hi"])
+        for r in dedup.simhash64_agg(docs_df).collect()
+    }
+    want = set()
+    for i in range(50):
+        (alo, ahi), (blo, bhi) = sig[i], sig[1000 + i]
+        ham = bin(alo ^ blo).count("1") + bin(ahi ^ bhi).count("1")
+        if ham < 4:
+            want.add((i, 1000 + i))
+    assert want  # the fixture must actually produce close pairs
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_near_dups(docs_df).collect()
+    }
+    assert want <= got
+
+
 def test_lang_id(docs):
     """The synthetic docs carry a lang column; the heuristic should get
     the CJK rows right and be deterministic everywhere."""
@@ -160,6 +240,71 @@ def test_lang_id(docs):
     a = {r["doc_id"]: r["pred"] for r in out.collect()}
     b = {r["doc_id"]: r["pred"] for r in out.collect()}
     assert a == b
+
+
+def test_bpe_vocab_real_merges_and_fallback(spark, tmp_path):
+    """token_count_bpe with an on-disk merges file runs the REAL greedy
+    merge loop (hand-derived counts); without a vocab it is exactly the
+    regex estimator (the oracle-checked default)."""
+    from img_spark.operators.textquality import (
+        load_bpe_merges,
+        token_count_bpe,
+        token_count_bpe_regex,
+    )
+
+    p = tmp_path / "merges.txt"
+    p.write_text("#version: test\nl o\nlo w\ne r\nh e\n")
+    merges = load_bpe_merges(str(p))
+    assert merges == [("l", "o"), ("lo", "w"), ("e", "r"), ("h", "e")]
+    df = spark.createDataFrame(
+        [(0, "low lower"), (1, "hhh"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", token_count_bpe(F.col("text"), merges).alias("n")
+        ).collect()
+    }
+    # 'low lower': pieces ['low', ' lower'];
+    #   'low' -> lo w -> low                    = 1 token
+    #   ' lower' -> ' h'? no: [' ','l','o','w','e','r']
+    #     -> merge (l,o) -> [' ','lo','w','e','r']
+    #     -> merge (lo,w) -> [' ','low','e','r']
+    #     -> merge (e,r) -> [' ','low','er']    = 3 tokens
+    assert got[0] == 4
+    # 'hhh': (h,e) never applies; no (h,h) merge -> 3 chars
+    assert got[1] == 3
+    assert got[2] == 0
+    assert got[3] is None
+    # no vocab -> identical to the regex estimator column
+    est = df.select(
+        "doc_id",
+        token_count_bpe(F.col("text")).alias("a"),
+        token_count_bpe_regex(F.col("text")).alias("b"),
+    ).collect()
+    assert all(r["a"] == r["b"] for r in est)
+
+
+def test_lang_id_model_hook(spark):
+    """A plugged batch classifier runs Arrow-batched and its labels
+    come through verbatim; rows reach it in order."""
+    from img_spark.operators.textquality import lang_id_with_model
+
+    def model(texts):
+        return ["zz" if "x" in (t or "") else "en" for t in texts]
+
+    df = spark.createDataFrame(
+        [(0, "hello"), (1, "xylophone"), (2, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in df.select(
+            "doc_id", lang_id_with_model(F.col("text"), model).alias("lang")
+        ).collect()
+    }
+    assert got == {0: "en", 1: "zz", 2: "en"}
 
 
 def test_quality_signals(docs, local_docs):
