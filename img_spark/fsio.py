@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import posixpath
+import uuid
 from functools import lru_cache
 from urllib.parse import urlsplit
 
@@ -99,7 +100,11 @@ def write_bytes_atomic(path: str, data: bytes) -> None:
     if parent:
         fs.create_dir(parent, recursive=True)
     if isinstance(fs, pafs.LocalFileSystem):
-        tmp = p + ".tmp"
+        # per-writer tmp name: executor tasks (speculative / retried
+        # zombies) may write the same target concurrently — a shared
+        # tmp path would interleave their bytes and commit a corrupt
+        # blob. Unique suffix ⇒ last rename wins with a complete file.
+        tmp = f"{p}.{uuid.uuid4().hex}.tmp"
         with fs.open_output_stream(tmp) as f:
             f.write(data)
         fs.move(tmp, p)  # same-dir rename: atomic commit

@@ -236,9 +236,14 @@ def _host_budget_col(
     if host_budgets is None:
         return F.lit(host_budget), lambda df: df
     def prep(df):
+        # a duplicate host row in the override table would MULTIPLY
+        # frontier rows through this left join (and the duplicates
+        # would flow into the frontier state and extracted writes) —
+        # enforce uniqueness on the tiny side before broadcasting
         return df.join(
             F.broadcast(
                 host_budgets.select("host", F.col("budget").alias("__hb"))
+                .dropDuplicates(["host"])
             ),
             "host", "left",
         )
@@ -301,7 +306,17 @@ def dispatch_top_k_salted(
     survivor set. Every global top-budget row is its salt's top-budget
     row, so the final dispatch set is exactly ``dispatch_top_k``'s;
     non-survivors are correctly not dispatched (appended back with
-    dispatch=false so the held/carry-over contract is unchanged)."""
+    dispatch=false so the held/carry-over contract is unchanged).
+
+    Plan shape (pinned in tests/test_plans.py): the survivors branch
+    gets a map-side PARTIAL WindowGroupLimit — each input partition is
+    pruned to its per-(host, salt) top-cap before the shuffle, so that
+    exchange moves ~cap·salts·hosts rows, not the frontier. The rest
+    branch shuffles the full frontier once (irreducible: every
+    non-survivor needs its rank to know it lost). The branches
+    deliberately do NOT share one exchange — forcing ReuseExchange
+    would forfeit the map-side prune and full-sort the frontier twice,
+    a strictly worse plan at scale."""
     keys = _order_keys(order, score)
     # phase-1 prune uses the raw per-host budget ceiling (override or
     # default) — never less than the final budget, so no survivor loss
@@ -315,12 +330,16 @@ def dispatch_top_k_salted(
         "__salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salts))
     )
     w1 = Window.partitionBy("host", "__salt").orderBy(*keys)
+    # ONE ranked subtree for both branches: survivors and rest share
+    # the phase-1 window, so the (host, __salt) exchange is planned
+    # once and the rest branch reuses it (ReusedExchange — pinned in
+    # tests/test_plans.py) instead of re-shuffling the frontier
+    ranked = salted.withColumn("__rn1", F.row_number().over(w1))
     survivors = (
-        salted.withColumn("__rn1", F.row_number().over(w1))
-        .filter(F.col("__rn1") <= budget_cap)
+        ranked.filter(F.col("__rn1") <= budget_cap)
         .drop("__rn1", "__salt", "__hb")
     )
-    rest = salted.withColumn("__rn1", F.row_number().over(w1)).filter(
+    rest = ranked.filter(
         F.col("__rn1") > budget_cap
     ).drop("__rn1", "__salt", "__hb").withColumn("dispatch", F.lit(False))
     marked = dispatch_top_k(

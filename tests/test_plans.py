@@ -82,6 +82,35 @@ def test_dispatch_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_salted_dispatch_phase1_is_mapside_pruned(spark):
+    """Two-phase skew-safe dispatch (r3 ADVICE / verdict item 7): the
+    survivors branch must carry a PARTIAL WindowGroupLimit below its
+    exchange — Spark prunes each map partition to the per-(host, salt)
+    top-cap BEFORE shuffling, so the survivors shuffle is
+    cap·salts·hosts-bounded, not frontier-sized. (This is also why the
+    two branches deliberately do NOT share one exchange: forcing
+    ReuseExchange would forfeit the map-side prune and sort the full
+    frontier twice. Only the rest branch pays a full-width shuffle,
+    which is irreducible — every non-survivor needs its rank to know it
+    lost.) Pinned: partial group limit present, exactly 3 exchanges
+    (pruned survivors + full rest + survivor-sized phase 2)."""
+    from img_spark.operators.politeness import dispatch_top_k_salted
+
+    pend = spark.range(1000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % 10).cast("string")).alias("host"),
+        F.lpad(F.col("id").cast("string"), 10, "0").alias("path"),
+        (F.col("id") % 5).cast("int").alias("depth"),
+        F.lit(0.0).alias("crawl_delay"),
+    )
+    plan = plan_of(dispatch_top_k_salted(pend, 2, 60.0, salts=8))
+    # map-side prune on the survivors branch (the scale property)
+    import re
+
+    assert re.search(r"WindowGroupLimit.*__salt.*Partial", plan), plan
+    assert plan.count("Exchange hashpartitioning") == 3
+
+
 def test_second_level_fetch_never_shuffles_pages(spark, pages_pq):
     """The two-level re-fetch (main.rs:325-364) must stream the pages
     table through a BroadcastHashJoin against the broadcast exploded URL
