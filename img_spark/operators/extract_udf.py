@@ -154,7 +154,10 @@ def resolve_css_imports(
 
 
 def resolve_second_level(
-    extracted: DataFrame, pages: DataFrame, pages_buckets: int = 0
+    extracted: DataFrame,
+    pages: DataFrame,
+    pages_buckets: int = 0,
+    fetch_fn=None,
 ) -> DataFrame:
     """Fill ``imgs`` for two-level pages: explode first-level URLs, join
     the pages table (the sandbox "fetch"), run extraction pass 2 grouped
@@ -170,7 +173,11 @@ def resolve_second_level(
     join feeding html=NULL rows into the kernel. With ``pages_buckets``
     > 0 the pages side must carry ``tables.PAGES_BUCKET_COL`` and the
     scan is partition-pruned to the buckets this batch's fetch URLs can
-    live in (same derivation as the first-level fetch)."""
+    live in (same derivation as the first-level fetch). With
+    ``fetch_fn`` (the live-HTTP seam: (url) batch → (url, html, host))
+    the pages join is replaced by a real fetch of the distinct
+    first-level URLs — same inner-join merge-back, so a failed live
+    fetch degrades to an empty imgs array exactly like a table miss."""
     two = extracted.filter(F.col("second_level_sel") != "").select(
         "url", "second_level_sel", "first_level_urls"
     )
@@ -179,20 +186,28 @@ def resolve_second_level(
         "second_level_sel",
         F.explode("first_level_urls").alias("fetch_url"),
     )
-    if pages_buckets:
-        from img_spark.sources.tables import PAGES_BUCKET_COL
+    if fetch_fn is not None:
+        got = fetch_fn(
+            exploded.select(F.col("fetch_url").alias("url")).distinct()
+        )
+        fetched = got.select(
+            F.col("url").alias("fetch_url"), "html"
+        ).join(F.broadcast(exploded), "fetch_url", "inner")
+    else:
+        if pages_buckets:
+            from img_spark.sources.tables import PAGES_BUCKET_COL
 
-        mods = [
-            r["b"]
-            for r in exploded.select(
-                F.pmod(F.xxhash64(F.col("fetch_url")), F.lit(pages_buckets))
-                .cast("int").alias("b")
-            ).distinct().collect()
-        ]
-        pages = pages.filter(F.col(PAGES_BUCKET_COL).isin(mods))
-    fetched = pages.select(F.col("url").alias("fetch_url"), "html").join(
-        F.broadcast(exploded), "fetch_url", "inner"
-    )
+            mods = [
+                r["b"]
+                for r in exploded.select(
+                    F.pmod(F.xxhash64(F.col("fetch_url")), F.lit(pages_buckets))
+                    .cast("int").alias("b")
+                ).distinct().collect()
+            ]
+            pages = pages.filter(F.col(PAGES_BUCKET_COL).isin(mods))
+        fetched = pages.select(F.col("url").alias("fetch_url"), "html").join(
+            F.broadcast(exploded), "fetch_url", "inner"
+        )
 
     def run(key, pdf):
         page_url, sel = key

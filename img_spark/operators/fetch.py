@@ -1,0 +1,239 @@
+"""Live HTTP fetch: the real-crawl variant of the fetch seam.
+
+The crawl loop's default "fetch" is an equi-join against a pre-built
+pages table (Common-Crawl-style corpus — plans/crawl.py step()). This
+module is the OTHER side of that seam (SURVEY.md §2.1 S2 "real-crawl
+variant"; reference behavior: curl-based fetch, main.rs:83-111): a
+connection-pooled HTTP client inside ``mapInPandas``, returning the
+same (url, html, host) shape so everything downstream — extraction,
+robots, seen-set, frontier state — is identical. A URL that fails
+(non-2xx, timeout, connection error) simply emits no row; the loop's
+existing anti-join then records it as ``fetch_failed``, exactly like a
+miss against the pages table.
+
+Scale shape: the dispatch batch is repartitioned by host so each
+host's URLs land in ONE task — that task reuses a single keep-alive
+connection per host and enforces the robots ``crawl_delay`` serially
+(politeness is a per-host property; co-locating the host makes it
+enforceable without coordination). Different hosts proceed in
+parallel across tasks. Output is yielded in bounded pandas batches so
+task memory is O(batch), not O(dispatch).
+
+Hermetic testing: ``connect_to`` overrides where the TCP connection
+goes (curl's ``--resolve``/proxy pattern) while the request line and
+Host header still carry the URL's real host — tests point it at a
+loopback server serving the fixture site; production leaves it None.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# bounded output batches (mirrors sources/warc.py)
+_FLUSH_ROWS = 1024
+
+FETCH_SCHEMA = "url string, html binary, host string"
+
+
+def _parse_connect_to(connect_to: str):
+    from urllib.parse import urlsplit
+
+    s = urlsplit(connect_to)
+    if not s.scheme or not s.netloc:
+        raise ValueError(f"connect_to must be scheme://host[:port]: {connect_to}")
+    return s.scheme, s.hostname, s.port
+
+
+def _fetch_one(
+    conns: dict,
+    url: str,
+    user_agent: str,
+    timeout_s: float,
+    max_bytes: int,
+    connect_to: str | None,
+    max_redirects: int = 3,
+):
+    """GET one URL over a pooled connection. Returns body bytes for a
+    2xx response, None otherwise (any error closes that connection and
+    returns None — the caller's anti-join turns it into fetch_failed)."""
+    import http.client
+    from urllib.parse import urljoin, urlsplit
+
+    for _ in range(max_redirects + 1):
+        s = urlsplit(url)
+        if s.scheme not in ("http", "https") or not s.netloc:
+            return None
+        if connect_to is not None:
+            cscheme, chost, cport = _parse_connect_to(connect_to)
+        else:
+            cscheme, chost, cport = s.scheme, s.hostname, s.port
+        key = (cscheme, chost, cport, s.netloc)
+        conn = conns.get(key)
+        try:
+            if conn is None:
+                cls = (
+                    http.client.HTTPSConnection
+                    if cscheme == "https"
+                    else http.client.HTTPConnection
+                )
+                conn = cls(chost, cport, timeout=timeout_s)
+                conns[key] = conn
+            path = s.path or "/"
+            if s.query:
+                path += "?" + s.query
+            conn.putrequest("GET", path, skip_host=True,
+                            skip_accept_encoding=True)
+            conn.putheader("Host", s.netloc)
+            conn.putheader("User-Agent", user_agent)
+            conn.putheader("Accept", "*/*")
+            conn.endheaders()
+            r = conn.getresponse()
+            body = r.read(max_bytes + 1)
+            # drain/close handled by read(); connection stays keep-alive
+        except Exception:
+            try:
+                if conn is not None:
+                    conn.close()
+            finally:
+                conns.pop(key, None)
+            return None
+        if 300 <= r.status < 400 and r.getheader("Location"):
+            url = urljoin(url, r.getheader("Location"))
+            continue
+        if 200 <= r.status < 300 and len(body) <= max_bytes:
+            return body
+        return None
+    return None  # redirect loop
+
+
+def fetch_pages_http(
+    dispatch: DataFrame,
+    user_agent: str = "imgbot/1.0",
+    timeout_s: float = 10.0,
+    max_bytes: int = 8 << 20,
+    connect_to: str | None = None,
+    partitions: int | None = None,
+    flush_rows: int = _FLUSH_ROWS,
+) -> DataFrame:
+    """(url, host[, crawl_delay]) dispatch batch → (url, html, host) via
+    pooled HTTP GETs. Per-host serial with the robots ``crawl_delay``
+    honored between same-host requests (rows missing the column fetch
+    with no delay); failed URLs emit no row. Same output shape as the
+    pages-table join, so the two fetch paths are interchangeable."""
+    import time as _time
+
+    import pandas as pd
+
+    cols = [F.col("url"), F.col("host")]
+    if "crawl_delay" in dispatch.columns:
+        cols.append(
+            F.coalesce(F.col("crawl_delay"), F.lit(0.0)).alias("crawl_delay")
+        )
+    else:
+        cols.append(F.lit(0.0).alias("crawl_delay"))
+    batch = dispatch.select(*cols)
+    if partitions:
+        batch = batch.repartition(partitions, "host")
+    else:
+        batch = batch.repartition("host")
+
+    def run(pdfs):
+        conns: dict = {}
+        last: dict = {}
+        out_url, out_html, out_host = [], [], []
+        for pdf in pdfs:
+            rows = sorted(
+                zip(pdf["url"], pdf["host"], pdf["crawl_delay"]),
+                key=lambda r: (r[1], r[0]),
+            )
+            for url, host, delay in rows:
+                if delay and host in last:
+                    wait = last[host] + float(delay) - _time.monotonic()
+                    if wait > 0:
+                        _time.sleep(wait)
+                last[host] = _time.monotonic()
+                body = _fetch_one(
+                    conns, url, user_agent, timeout_s, max_bytes, connect_to
+                )
+                if body is None:
+                    continue
+                out_url.append(url)
+                out_html.append(body)
+                out_host.append(host)
+                if len(out_url) >= flush_rows:
+                    yield pd.DataFrame(
+                        {"url": out_url, "html": out_html, "host": out_host}
+                    )
+                    out_url, out_html, out_host = [], [], []
+        for c in conns.values():
+            try:
+                c.close()
+            except Exception:
+                pass
+        yield pd.DataFrame(
+            {"url": out_url, "html": out_html, "host": out_host}
+        )
+
+    return batch.mapInPandas(run, schema=FETCH_SCHEMA)
+
+
+def robots_http(
+    spark,
+    hosts,
+    user_agent: str = "imgbot/1.0",
+    scheme: str = "https",
+    connect_to: str | None = None,
+    timeout_s: float = 10.0,
+) -> DataFrame:
+    """Live robots.txt: fetch ``https://<host>/robots.txt`` for every
+    host through the pooled fetcher and parse with the engine's RFC
+    9309 subset (``politeness.parse_robots_txt``) into the ROBOTS_DDL
+    rules table the crawler broadcasts. A host whose robots.txt is
+    missing or unreachable gets one allow-all rule — RFC 9309's
+    "no restrictions" for unavailable robots (the 5xx-means-disallow
+    nuance is not distinguishable here because the fetcher folds every
+    failure to no-row; acceptable for a politeness default, documented
+    divergence). ``hosts`` is a list of host strings or a DataFrame
+    with a ``host`` column; fan-out/pooling/connect_to semantics are
+    ``fetch_pages_http``'s."""
+    import pandas as pd
+
+    from img_spark.operators.politeness import ROBOTS_DDL
+
+    if not isinstance(hosts, DataFrame):
+        hosts = spark.createDataFrame(
+            [(h,) for h in hosts], "host string"
+        )
+    hosts = hosts.select("host").distinct()
+    urls = hosts.select(
+        F.concat(
+            F.lit(scheme + "://"), F.col("host"), F.lit("/robots.txt")
+        ).alias("url"),
+        "host",
+    )
+    got = fetch_pages_http(
+        urls, user_agent=user_agent, timeout_s=timeout_s,
+        connect_to=connect_to,
+    )
+    joined = hosts.join(got.select("host", "html"), "host", "left")
+
+    def run(pdfs):
+        from img_spark.operators.politeness import parse_robots_txt
+
+        for pdf in pdfs:
+            out = []
+            for host, body in zip(pdf["host"], pdf["html"]):
+                if body is None:
+                    rules = [("/", True, 0.0)]
+                else:
+                    rules = parse_robots_txt(
+                        bytes(body).decode("utf-8", "replace"), user_agent
+                    ) or [("/", True, 0.0)]
+                for path, allow, delay in rules:
+                    out.append((host, path, allow, delay))
+            yield pd.DataFrame(
+                out,
+                columns=["host", "path_prefix", "allow", "crawl_delay"],
+            )
+
+    return joined.mapInPandas(run, schema=ROBOTS_DDL)

@@ -213,6 +213,20 @@ class CrawlConfig:
     # buckets — without this every generation re-reads the full pages
     # table (the dominant cost at 100 TB)
     pages_buckets: int = 0
+    # 'table' (default): fetch = broadcast join against the pages table.
+    # 'http': fetch = pooled-HTTP mapInPandas over the dispatch batch
+    # (operators/fetch.py — the live-crawl variant, SURVEY §2.1 S2);
+    # per-host keep-alive connections, robots crawl_delay honored
+    # serially per host, failures become fetch_failed via the same
+    # anti-join as table misses. Both levels of a two-level site fetch
+    # through the same path.
+    fetch_mode: str = "table"
+    # scheme://host[:port] connection override for fetch_mode='http'
+    # (curl --resolve pattern): requests keep the URL's Host header but
+    # connect here — hermetic tests point it at a loopback server
+    http_connect_to: str | None = None
+    http_user_agent: str = "imgbot/1.0"
+    http_timeout_s: float = 10.0
 
 
 class Crawler:
@@ -300,6 +314,23 @@ class Crawler:
         self.generation = 0
         return stats
 
+    # ---------------------------------------------------------------- fetch
+    def _fetch_http(self, batch: DataFrame) -> DataFrame:
+        """Pooled-HTTP fetch seam (fetch_mode='http'): a (url[, host,
+        crawl_delay]) batch → (url, html, host). Used for both the
+        first-level dispatch fetch and the two-level second pass."""
+        from img_spark.operators.fetch import fetch_pages_http
+
+        if "host" not in batch.columns:
+            batch = batch.withColumn("host", host_of(F.col("url")))
+        return fetch_pages_http(
+            batch,
+            user_agent=self.cfg.http_user_agent,
+            timeout_s=self.cfg.http_timeout_s,
+            connect_to=self.cfg.http_connect_to,
+            partitions=self.cfg.partitions,
+        )
+
     # ---------------------------------------------------------------- step
     def step(self) -> dict:
         g = self.generation + 1
@@ -339,8 +370,12 @@ class Crawler:
         # big side (a left-outer join could NOT broadcast its outer side
         # and would fall back to a full sort-merge shuffle of pages).
         # Misses are recovered afterwards with a batch-sized anti-join.
+        # fetch_mode='http' swaps the join for the pooled-HTTP
+        # mapInPandas variant — identical (url, html, host) shape, so
+        # everything downstream (including the miss anti-join) is
+        # unchanged (main.rs:83-111 is the reference behavior).
         pages = self.pages
-        if self.cfg.pages_buckets:
+        if self.cfg.pages_buckets and self.cfg.fetch_mode != "http":
             # bucket-pruned scan: dispatch is host_budget-bounded (small
             # enough to cache at any scale); its distinct url-hash
             # buckets become a partition filter so the fetch only opens
@@ -357,9 +392,14 @@ class Crawler:
                 ).distinct().collect()
             ]
             pages = pages.filter(F.col(PAGES_BUCKET_COL).isin(mods))
-        fetched = pages.select("url", "html").join(
-            F.broadcast(dispatch.select("url", "host")), "url", "inner"
-        )
+        if self.cfg.fetch_mode == "http":
+            fetched = self._fetch_http(
+                dispatch.select("url", "host", "crawl_delay")
+            )
+        else:
+            fetched = pages.select("url", "html").join(
+                F.broadcast(dispatch.select("url", "host")), "url", "inner"
+            )
         withcfg = attach_site_config(fetched, self._cfg_col)
 
         results = extract_pages(withcfg, album_policy=self.cfg.album_policy)
@@ -370,7 +410,11 @@ class Crawler:
             # without the cache the Arrow extract UDF would run twice
             first_level = results.persist()
             results = resolve_second_level(
-                first_level, self.pages, pages_buckets=self.cfg.pages_buckets
+                first_level, self.pages, pages_buckets=self.cfg.pages_buckets,
+                fetch_fn=(
+                    self._fetch_http
+                    if self.cfg.fetch_mode == "http" else None
+                ),
             )
         results = results.join(
             F.broadcast(dispatch.select("url", "host", "depth", "path")),
@@ -797,6 +841,12 @@ class Crawler:
         uncommitted compaction."""
         g = self.generation
         floor = _compaction_floor(self.cfg.checkpoint_dir)
+        if floor > g:
+            # already compacted through this generation — a second call
+            # would read compacted/g{g} and overwrite that same path in
+            # one job (AnalysisException at best, loss of the merged
+            # terminal history at worst). Idempotent no-op instead.
+            return self._p("compacted", f"g{floor - 1}")
         parts = []
         if floor > 0:
             parts.append(

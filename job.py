@@ -30,9 +30,21 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="img-spark crawl job")
     p.add_argument("--seeds", nargs="*", default=[],
                    help="seed URLs (required unless --resume)")
-    p.add_argument("--pages", required=True,
+    p.add_argument("--pages", default=None,
                    help="pages table: parquet path, Iceberg identifier, "
-                        "or WARC file/glob")
+                        "or WARC file/glob (required unless "
+                        "--fetch-mode http)")
+    p.add_argument("--fetch-mode", default="table",
+                   choices=("table", "http"),
+                   help="http: live pooled-HTTP fetch of the dispatch "
+                        "batch (operators/fetch.py) instead of the "
+                        "pages-table join; robots.txt is fetched live "
+                        "per seed host unless --robots-rules/"
+                        "--robots-bodies is given")
+    p.add_argument("--connect-to", default=None,
+                   help="scheme://host[:port] connection override for "
+                        "--fetch-mode http (curl --resolve pattern; "
+                        "tests/canaries)")
     p.add_argument("--pages-format", default="auto",
                    choices=("auto", "table", "warc"),
                    help="auto: WARC when the path looks like *.warc[.gz]")
@@ -76,6 +88,10 @@ def main(argv=None) -> int:
     if not args.resume and not args.seeds:
         print("error: --seeds required unless --resume", file=sys.stderr)
         return 2
+    if args.pages is None and args.fetch_mode != "http":
+        print("error: --pages required unless --fetch-mode http",
+              file=sys.stderr)
+        return 2
 
     from pyspark.sql import SparkSession
 
@@ -93,12 +109,20 @@ def main(argv=None) -> int:
         shuffle_partitions=args.partitions,
     ).getOrCreate()
 
-    fmt = args.pages_format
+    if args.fetch_mode == "http" and args.pages is None:
+        from img_spark.sources.synthweb import PAGES_DDL
+
+        pages = spark.createDataFrame([], PAGES_DDL)  # unused seam side
+        fmt = None
+    else:
+        fmt = args.pages_format
     if fmt == "auto":
         fmt = "warc" if args.pages.rstrip("*").rstrip("/").endswith(
             (".warc", ".warc.gz")
         ) or ".warc" in args.pages.rsplit("/", 1)[-1] else "table"
-    if fmt == "warc":
+    if fmt is None:
+        pass  # http mode without a pages table: seam unused
+    elif fmt == "warc":
         from pyspark import StorageLevel
 
         from img_spark.sources.warc import read_warc_pages
@@ -130,6 +154,19 @@ def main(argv=None) -> int:
         robots = robots_rules_from_bodies(
             spark.read.parquet(args.robots_bodies), agent=args.agent
         )
+    elif args.fetch_mode == "http" and args.seeds:
+        # live crawl with no pre-built rules: fetch each seed host's
+        # robots.txt over the same pooled-HTTP path
+        from urllib.parse import urlsplit
+
+        from img_spark.operators.fetch import robots_http
+
+        robots = robots_http(
+            spark,
+            sorted({urlsplit(s).netloc for s in args.seeds}),
+            user_agent=args.agent,
+            connect_to=args.connect_to,
+        )
     else:
         robots = robots_df(spark, [])
 
@@ -146,6 +183,9 @@ def main(argv=None) -> int:
         dispatch_salts=args.dispatch_salts,
         compact_every=args.compact_every,
         pages_buckets=args.pages_buckets,
+        fetch_mode=args.fetch_mode,
+        http_connect_to=args.connect_to,
+        http_user_agent=args.agent,
     )
     host_budgets = (
         spark.read.parquet(args.host_budgets).select("host", "budget")

@@ -335,6 +335,15 @@ def test_compaction_mid_crawl(spark, crawl, tmp_path_factory):
     s3 = {(r["url"], r["status"], r["generation"])
           for r in c.frontier_df().collect()}
     assert s2 == s3
+    # compact again at the SAME generation: must be an idempotent no-op
+    # returning the committed dir (a rewrite would read compacted/g{g}
+    # and overwrite that same path in one job — r3 ADVICE)
+    p1 = c.compact(prune=True)
+    p2 = c.compact(prune=True)
+    assert p1 == p2 and os.path.isdir(p1)
+    s4 = {(r["url"], r["status"], r["generation"])
+          for r in c.frontier_df().collect()}
+    assert s2 == s4
 
 
 def test_parse_robots_txt_kernel():

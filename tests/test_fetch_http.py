@@ -1,0 +1,235 @@
+"""Live HTTP fetch path (operators/fetch.py + fetch_mode='http'):
+hermetic loopback-server tests — pooled fetch correctness, robots
+crawl_delay pacing, and the e2e invariant that a live crawl produces
+byte-identical extracted rows to the pages-table crawl of the same
+fixture web (SURVEY §2.1 S2 real-crawl variant; main.rs:83-111)."""
+
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import urlsplit
+
+import pytest
+from pyspark.sql import functions as F
+
+from img_spark.operators.fetch import fetch_pages_http
+from img_spark.plans.crawl import CrawlConfig, Crawler, read_frontier
+from img_spark.operators.politeness import robots_df
+from img_spark.sources.site_config import rows_from_config
+from img_spark.sources.synthweb import (
+    FIXTURE_CONFIG,
+    FIXTURE_ROBOTS,
+    FIXTURE_SEEDS,
+    PAGES_DDL,
+    fixture_web,
+)
+
+
+@pytest.fixture(scope="module")
+def site_server():
+    """Loopback server for the fixture web: dispatches on the Host
+    header + path (the fetcher connects here via connect_to but sends
+    the URL's real host — the curl --resolve pattern), logs request
+    (host, path, monotonic time) for the pacing test."""
+    rows, _, _, _ = fixture_web()
+    site = {}
+    for url, _ts, html, _text, _lang in rows:
+        s = urlsplit(url)
+        site[(s.netloc, s.path)] = html
+    # robots.txt bodies equivalent to FIXTURE_ROBOTS (site-d omitted on
+    # purpose: a missing robots.txt must default to allow-all)
+    site[("site-a.test", "/robots.txt")] = (
+        b"User-agent: *\nDisallow: /private\nAllow: /\n"
+    )
+    site[("site-b.test", "/robots.txt")] = b"User-agent: *\nAllow: /\n"
+    site[("site-c.test", "/robots.txt")] = b"User-agent: *\nAllow: /\n"
+    log = []
+    lock = threading.Lock()
+
+    class H(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def do_GET(self):
+            host = self.headers.get("Host", "")
+            with lock:
+                log.append((host, self.path, time.monotonic()))
+            if self.path == "/redir":
+                self.send_response(302)
+                self.send_header("Location", "/")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            body = site.get((host, self.path))
+            if body is None:
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}", log
+    srv.shutdown()
+
+
+def test_fetch_pooled_bodies_and_misses(spark, site_server):
+    """Bodies come back byte-identical to what the server serves (the
+    invalid-UTF-8 page included); 404s and bogus hosts yield NO row
+    (they become fetch_failed via the loop's anti-join); redirects are
+    followed."""
+    connect, _log = site_server
+    rows, _, _, _ = fixture_web()
+    want = {url: html for url, _ts, html, _t, _l in rows}
+    batch = spark.createDataFrame(
+        [(u, urlsplit(u).netloc) for u in want]
+        + [("https://site-a.test/404-nope", "site-a.test"),
+           ("https://site-a.test/redir", "site-a.test")],
+        "url string, host string",
+    )
+    got = {
+        r["url"]: bytes(r["html"])
+        for r in fetch_pages_http(batch, connect_to=connect).collect()
+    }
+    assert {u: got[u] for u in want} == want
+    assert "https://site-a.test/404-nope" not in got
+    # the redirect resolved to the site root's body
+    assert got["https://site-a.test/redir"] == want["https://site-a.test/"]
+
+
+def test_fetch_honors_crawl_delay_per_host(spark, site_server):
+    """Three same-host URLs with crawl_delay=0.3 must be spaced ≥~0.3s
+    apart at the server (per-host serial pacing inside the task)."""
+    connect, log = site_server
+    log.clear()
+    batch = spark.createDataFrame(
+        [(f"https://site-a.test/a1/{p}", "site-a.test", 0.3)
+         for p in (1, 2, 3)],
+        "url string, host string, crawl_delay double",
+    )
+    out = fetch_pages_http(batch, connect_to=connect).collect()
+    assert len(out) == 3
+    times = sorted(t for h, _p, t in log if h == "site-a.test")
+    assert len(times) == 3
+    gaps = [b - a for a, b in zip(times, times[1:])]
+    assert all(g >= 0.25 for g in gaps), gaps
+
+
+def test_robots_http_rules_and_missing_default(spark, site_server):
+    """Live robots.txt fetch+parse produces the ROBOTS_DDL rows; a host
+    with no robots.txt (or unreachable) gets one allow-all rule."""
+    from img_spark.operators.fetch import robots_http
+
+    connect, _log = site_server
+    got = {
+        (r["host"], r["path_prefix"], r["allow"], r["crawl_delay"])
+        for r in robots_http(
+            spark, ["site-a.test", "site-d.test", "unreachable.test"],
+            connect_to=connect,
+        ).collect()
+    }
+    assert got == {
+        ("site-a.test", "/private", False, 0.0),
+        ("site-a.test", "/", True, 0.0),
+        ("site-d.test", "/", True, 0.0),
+        ("unreachable.test", "/", True, 0.0),
+    }
+
+
+def test_job_main_http_mode_no_pages_table(spark, site_server, tmp_path):
+    """job.py --fetch-mode http needs NO --pages: the crawl fetches
+    live (connect_to → loopback), robots.txt is fetched per seed host,
+    and the disallowed fixture URL is blocked by those live rules."""
+    import json as _json
+
+    import job
+    from img_spark.plans.crawl import read_frontier
+
+    connect, _log = site_server
+    cfg_json = str(tmp_path / "web.json")
+    with open(cfg_json, "w") as f:
+        _json.dump(FIXTURE_CONFIG, f)
+    ckpt = str(tmp_path / "ckpt")
+    rc = job.main([
+        "--fetch-mode", "http", "--connect-to", connect,
+        "--checkpoint", ckpt, "--config", cfg_json,
+        "--partitions", "4", "--seeds", *FIXTURE_SEEDS,
+    ])
+    assert rc == 0
+    gmax = max(
+        int(p.name[len("manifest-g"):-len(".json")])
+        for p in tmp_path.glob("ckpt/manifest-g*.json")
+    )
+    frontier = read_frontier(spark, ckpt, gmax)
+    assert frontier.filter(F.col("status") == "fetched").count() == 12
+    dis = {
+        r["url"]
+        for r in frontier.filter(F.col("status") == "disallowed").collect()
+    }
+    assert dis == {"https://site-a.test/private/x/1"}
+
+
+def test_live_crawl_byte_identical_to_table_crawl(
+    spark, site_server, tmp_path_factory
+):
+    """The crawl fixture run FULLY live (HTTP fetch + HTTP robots.txt)
+    must produce the SAME frontier statuses and byte-identical
+    extracted rows as the pages-table path with the static robots
+    table — the two sides of the fetch seam are interchangeable
+    (includes the two-level site-d second pass)."""
+    from img_spark.operators.fetch import robots_http
+
+    connect, _log = site_server
+    rows, _, _, _ = fixture_web()
+    pages = spark.createDataFrame(rows, PAGES_DDL).cache()
+    empty_pages = spark.createDataFrame([], PAGES_DDL)
+    robots = robots_df(spark, FIXTURE_ROBOTS)
+    cfgrows = rows_from_config(FIXTURE_CONFIG)
+
+    ck_t = tmp_path_factory.mktemp("ckpt_table")
+    ct = Crawler(
+        spark, pages, cfgrows, robots,
+        CrawlConfig(checkpoint_dir=str(ck_t), partitions=8),
+    )
+    ct.run(seeds=FIXTURE_SEEDS)
+
+    ck_h = tmp_path_factory.mktemp("ckpt_http")
+    live_robots = robots_http(
+        spark,
+        [urlsplit(u).netloc for u in FIXTURE_SEEDS],
+        connect_to=connect,
+    )
+    ch = Crawler(
+        spark, empty_pages, cfgrows, live_robots,
+        CrawlConfig(
+            checkpoint_dir=str(ck_h), partitions=8,
+            fetch_mode="http", http_connect_to=connect,
+        ),
+    )
+    ch.run(seeds=FIXTURE_SEEDS)
+
+    assert ch.generation == ct.generation
+    ft = read_frontier(spark, str(ck_t), ct.generation)
+    fh = read_frontier(spark, str(ck_h), ch.generation)
+    key = lambda df: {
+        (r["url"], r["status"], r["generation"]) for r in df.collect()
+    }
+    assert key(fh) == key(ft)
+
+    for g in range(1, ct.generation + 1):
+        cols = [
+            "page_url", "status", "dir_title", "title", "extracted_text",
+            "img_url", "origin", "filename",
+        ]
+        et = spark.read.parquet(f"{ck_t}/extracted/g{g}")
+        eh = spark.read.parquet(f"{ck_h}/extracted/g{g}")
+        sel = lambda df: {tuple(r) for r in df.select(*cols).collect()}
+        assert sel(eh) == sel(et), f"generation {g}"
