@@ -115,6 +115,80 @@ def parse_throughput(spark, corpus_path: str, limit: int | None = None,
     return agg["pages"], agg["imgs"], dt
 
 
+def _kernel_chunk(rows):
+    """Bare-kernel worker: parse each (url, html, img_sel, next_sel,
+    album_sel) with the SAME kernel the Arrow UDF runs. Module-level so
+    multiprocessing can pickle it."""
+    from img_spark.functions.extract import parse_page
+
+    n = 0
+    for url, html, img_sel, next_sel, album_sel in rows:
+        parse_page(bytes(html), url, img_sel, next_sel, album_sel)
+        n += 1
+    return n
+
+
+def kernel_control(spark, corpus_path, n_hosts, sample=96_000, procs=None):
+    """Same-window bare-multiprocessing control (round-3 verdict item 5):
+    the identical parse kernel over a slice of the same corpus with NO
+    Spark. Engine urls/s ÷ this control's pages/s = host-load-normalized
+    throughput — separates engine drift from shared-host noise (raw
+    numbers on this box swing ±40% with external load; the ratio
+    doesn't). Selector attach + collect happen OUTSIDE the timed
+    region; the pool is warmed before timing."""
+    import multiprocessing as mp
+
+    from pyspark.sql import functions as F
+
+    from img_spark.operators.urlexprs import host_of
+    from img_spark.sources.site_config import (
+        attach_site_config, rows_from_config,
+    )
+    from img_spark.sources.synthweb import bench_config
+
+    procs = procs or CPUS
+    df = spark.read.parquet(corpus_path).limit(sample)
+    df = attach_site_config(
+        df.withColumn("host", host_of(F.col("url"))),
+        rows_from_config(bench_config(n_hosts)),
+    )
+    rows = [
+        (r["url"], bytes(r["html"]), r["img_sel"], r["next_sel"],
+         r["album_sel"])
+        for r in df.select(
+            "url", "html", "img_sel", "next_sel", "album_sel"
+        ).collect()
+    ]
+    chunks = [rows[i::procs] for i in range(procs)]
+    with mp.Pool(procs) as pool:
+        pool.map(_kernel_chunk, [rows[:8]] * procs)  # warm the workers
+        t0 = time.time()
+        done = sum(pool.map(_kernel_chunk, chunks))
+        dt = time.time() - t0
+    return done, dt
+
+
+def _prev_normalized() -> float | None:
+    """Newest recorded normalized_throughput from the driver's
+    BENCH_r{N}.json files (absent before round 4)."""
+    import glob
+    import re
+
+    best_round, val = -1, None
+    for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            data = json.load(open(p))
+        except Exception:
+            continue
+        v = data.get("normalized_throughput")
+        if v is not None and int(m.group(1)) > best_round:
+            best_round, val = int(m.group(1)), v
+    return val
+
+
 def crawl_generations(spark, n_hosts=64, albums=16, ppa=6):
     """Multi-generation frontier loop timing (politeness + seen-set +
     checkpointing included)."""
@@ -251,6 +325,16 @@ def main():
     queries["fetch_parse"] = round(dt, 3)
     urls_per_sec = round(pages_n / dt, 1)
 
+    # same-window bare-kernel control → normalized throughput (the
+    # cross-round comparison metric; raw urls/s swings with host load)
+    kn, kdt = kernel_control(spark, corpus, SCALING_PARAMS["hosts"])
+    kernel_pps = round(kn / kdt, 1)
+    normalized = round(urls_per_sec / kernel_pps, 3)
+    prev_norm = _prev_normalized()
+    norm_regressed = (
+        prev_norm is not None and normalized < 0.9 * prev_norm
+    )
+
     # albums=64 → ~3.6k pages/generation: the amortized regime a real
     # frontier runs in (see BENCH/CRAWL_SCALING.md for the sweep)
     fetched, gens, dt_crawl, skew = crawl_generations(spark, albums=64)
@@ -274,6 +358,15 @@ def main():
         "urls_per_sec": urls_per_sec,
         "parsed_pages": int(pages_n),
         "extracted_imgs": int(imgs_n),
+        # engine ÷ same-window bare-kernel: the host-noise-free series.
+        # (engine adds scan+attach+Arrow+agg on top of the kernel, so
+        # ~0.7-0.9 is healthy; a >10% drop round-over-round flags a
+        # real regression where raw urls/s cannot.)
+        "kernel_control": {"pages": int(kn), "sec": round(kdt, 3),
+                           "pages_per_sec": kernel_pps},
+        "normalized_throughput": normalized,
+        "normalized_prev": prev_norm,
+        "normalized_regressed_gt_10pct": bool(norm_regressed),
         "crawl": {"fetched": int(fetched), "generations": int(gens),
                   "pages_per_sec": round(fetched / dt_crawl, 1)},
         "crawl_two_level": {
@@ -356,6 +449,19 @@ window). The spread is host-level, not an engine change: per-core rate
 at local[2] tracks the pure single-process kernel rate measured in the
 same window (no framework overhead added), and best-of-5 kernel timing
 itself spreads 1.28× under load. All runs pass the ≥ 0.8 criterion.
+
+## Kernel-normalized throughput (round-4 guardrail)
+
+Raw urls/s swings ±40% with external load, so from round 4 the default
+`bench.py` run also times a bare-multiprocessing control of the SAME
+parse kernel in the same window (`kernel_control`) and reports
+`normalized_throughput = engine urls/s ÷ kernel pages/s` — the series
+that separates engine drift from host noise (a >10% round-over-round
+drop sets `normalized_regressed_gt_10pct`). Rounds 1-3 recorded no
+same-window control; against the (different-window) round-1 kernel
+table below, r2's 41,016 and r3's 36,474 urls/s would be ~0.77 and
+~0.68 — consistent with host-load spread, but not comparable enough to
+call either way. The discriminating series starts at BENCH_r04.
 
 ## Why 2→8 is the valid N→4N pair on this box
 
