@@ -209,14 +209,34 @@ def resolve_second_level(
             F.broadcast(exploded), "fetch_url", "inner"
         )
 
-    def run(key, pdf):
-        page_url, sel = key
-        bodies = [bytes(h) for h in pdf["html"] if h is not None]
-        imgs = extract_second_level(bodies, sel, page_url)
-        return pd.DataFrame({"url": [page_url], "second_imgs": [imgs]})
+    # pass 2 kernel runs PER FETCHED ROW in batched mapInPandas (the
+    # kernel's result is a sorted deduped set, so per-body extraction +
+    # flatten/distinct/sort composes exactly); an applyInPandas keyed
+    # by page here would make one pandas group — one task's worth of
+    # scheduling — per origin page, which collapses at real batch
+    # sizes. The only shuffle is the tiny (page, urls) aggregation.
+    def run(batches):
+        for pdf in batches:
+            out_page, out_urls = [], []
+            for page_url, sel, html in zip(
+                pdf["page_url"], pdf["second_level_sel"], pdf["html"]
+            ):
+                out_page.append(page_url)
+                out_urls.append(
+                    extract_second_level(
+                        [bytes(html)] if html is not None else [],
+                        sel, page_url,
+                    )
+                )
+            yield pd.DataFrame({"url": out_page, "second_imgs": out_urls})
 
-    second = fetched.groupBy("page_url", "second_level_sel").applyInPandas(
-        run, schema="url string, second_imgs array<string>"
+    per_row = fetched.select(
+        "page_url", "second_level_sel", "html"
+    ).mapInPandas(run, schema="url string, second_imgs array<string>")
+    second = per_row.groupBy("url").agg(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("second_imgs")))
+        ).alias("second_imgs")
     )
     # `second` holds one row per two-level origin page (≤ dispatch
     # batch) — broadcast it so the merge-back never sort-merge-shuffles
