@@ -277,6 +277,49 @@ def read_warc_pages(
     return out
 
 
+def stream_warc_pages(
+    spark: SparkSession,
+    path: str,
+    status_ok_only: bool = True,
+    glob: str = "*.warc*",
+) -> DataFrame:
+    """Structured Streaming twin of ``read_warc_pages``: watch a
+    landing directory for new WARC archives and emit pages rows
+    incrementally — the continuous-ingest path for a crawl drop zone
+    (new Common-Crawl segments appear → rows flow without re-reading
+    old files). The streaming file source's checkpointed log gives
+    exactly-once per FILE; pair with ``writeStream.foreachBatch`` into
+    the engine's dedup/seen operators (this source is stateless, so
+    revisit dedup belongs downstream — the batch reader's newest-
+    capture window needs global state a stream cannot hold).
+
+        q = (stream_warc_pages(spark, landing)
+             .writeStream.trigger(availableNow=True)
+             .foreachBatch(lambda df, _id: sink(df))
+             .option("checkpointLocation", ckpt).start())
+
+    Same parser and bounded batches as the batch reader: per-task peak
+    memory is O(batch) regardless of archive size."""
+    files = (
+        spark.readStream.format("binaryFile")
+        # streaming sources require an explicit schema; binaryFile's is
+        # fixed by the format
+        .schema(
+            "path string, modificationTime timestamp,"
+            " length long, content binary"
+        )
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    from img_spark.sources.synthweb import PAGES_DDL
+
+    def run(batches):
+        for pdf in batches:
+            yield from _page_batches(pdf["content"], status_ok_only)
+
+    return files.select("content").mapInPandas(run, schema=PAGES_DDL)
+
+
 # ---------------------------------------------------------------- writer
 def build_warc(records) -> bytes:
     """Synthesize a WARC byte stream (one gzip member per record, the

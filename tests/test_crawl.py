@@ -863,6 +863,52 @@ def test_crawler_score_priority_end_to_end(spark, crawl, tmp_path_factory):
     assert fa == fb
 
 
+def test_warc_streaming_ingest_exactly_once_per_file(spark, tmp_path):
+    """stream_warc_pages: an availableNow pass over a landing dir emits
+    every archive's rows; dropping a NEW archive and re-running with
+    the same checkpoint emits ONLY the new file's rows (the streaming
+    file source's exactly-once-per-file log)."""
+    import datetime as dt
+
+    from img_spark.sources.warc import build_warc, stream_warc_pages
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "stream_ckpt")
+
+    def drop(name, urls):
+        (landing / name).write_bytes(build_warc([
+            (u, dt.datetime(2024, 1, 1), f"<html>{u}</html>".encode(), 200)
+            for u in urls
+        ]))
+
+    drop("a.warc.gz", ["https://s.test/1", "https://s.test/2"])
+    drop("b.warc.gz", ["https://s.test/3"])
+    got = []
+
+    def run_once():
+        q = (
+            stream_warc_pages(spark, str(landing))
+            .writeStream.trigger(availableNow=True)
+            .foreachBatch(lambda df, _id: got.extend(
+                (r["url"], bytes(r["html"])) for r in df.collect()
+            ))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run_once()
+    assert sorted(u for u, _ in got) == [
+        "https://s.test/1", "https://s.test/2", "https://s.test/3"
+    ]
+    assert dict(got)["https://s.test/2"] == b"<html>https://s.test/2</html>"
+    got.clear()
+    drop("c.warc.gz", ["https://s.test/4"])
+    run_once()
+    assert [u for u, _ in got] == ["https://s.test/4"]
+
+
 def test_wet_text_sidecar_join(spark, tmp_path):
     """WET conversion records fill the pages text column through the
     documented join — and the filled text matches the fixture's
