@@ -89,7 +89,6 @@ def _fetch_one(
             conn.endheaders()
             r = conn.getresponse()
             body = r.read(max_bytes + 1)
-            # drain/close handled by read(); connection stays keep-alive
         except Exception:
             try:
                 if conn is not None:
@@ -97,10 +96,19 @@ def _fetch_one(
             finally:
                 conns.pop(key, None)
             return None
+        if len(body) > max_bytes or not r.isclosed():
+            # oversized / not fully drained: unread bytes would poison
+            # the keep-alive stream — the NEXT same-host request would
+            # see this response's tail. Retire the connection.
+            try:
+                conn.close()
+            finally:
+                conns.pop(key, None)
+            return None
         if 300 <= r.status < 400 and r.getheader("Location"):
             url = urljoin(url, r.getheader("Location"))
             continue
-        if 200 <= r.status < 300 and len(body) <= max_bytes:
+        if 200 <= r.status < 300:
             return body
         return None
     return None  # redirect loop

@@ -239,11 +239,15 @@ def _host_budget_col(
         # a duplicate host row in the override table would MULTIPLY
         # frontier rows through this left join (and the duplicates
         # would flow into the frontier state and extracted writes) —
-        # enforce uniqueness on the tiny side before broadcasting
+        # reduce to one row per host BEFORE broadcasting. min():
+        # conflicting overrides resolve deterministically to the more
+        # polite budget (dropDuplicates would keep an arbitrary row,
+        # making dispatch partition-dependent)
         return df.join(
             F.broadcast(
-                host_budgets.select("host", F.col("budget").alias("__hb"))
-                .dropDuplicates(["host"])
+                host_budgets.groupBy("host").agg(
+                    F.min("budget").alias("__hb")
+                )
             ),
             "host", "left",
         )
@@ -330,10 +334,10 @@ def dispatch_top_k_salted(
         "__salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salts))
     )
     w1 = Window.partitionBy("host", "__salt").orderBy(*keys)
-    # ONE ranked subtree for both branches: survivors and rest share
-    # the phase-1 window, so the (host, __salt) exchange is planned
-    # once and the rest branch reuses it (ReusedExchange — pinned in
-    # tests/test_plans.py) instead of re-shuffling the frontier
+    # ONE ranked subtree feeds both branches at the DataFrame level;
+    # physically they still plan separately ON PURPOSE — see the
+    # docstring's plan-shape paragraph (survivors keep the map-side
+    # WindowGroupLimit prune; pinned in tests/test_plans.py)
     ranked = salted.withColumn("__rn1", F.row_number().over(w1))
     survivors = (
         ranked.filter(F.col("__rn1") <= budget_cap)

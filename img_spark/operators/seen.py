@@ -65,6 +65,11 @@ class CuckooFilter:
 
     def insert_hash(self, h: int) -> None:
         fp, i1, i2 = self._derive(h)
+        # set semantics: re-inserting a present fingerprint is a no-op
+        # (a seen-set stores membership, not counts — repeated inserts
+        # of one hot URL must not fill its buckets with duplicates)
+        if (self.table[i1] == fp).any() or (self.table[i2] == fp).any():
+            return
         # deterministic eviction chain (no RNG → resumable/replayable)
         self._place(fp, i1, i2)
 

@@ -85,7 +85,6 @@ def token_count_bpe(text: Column, merges: list | None = None) -> Column:
         return token_count_bpe_regex(text)
     import re
 
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     ranks = {tuple(m): i for i, m in enumerate(merges)}
@@ -158,7 +157,6 @@ def lang_id_with_model(text: Column, model_fn) -> Column:
     per batch. The expression-only stopword heuristic (``lang_id``)
     stays the zero-dependency default; this is the seam a production
     deployment fills."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")

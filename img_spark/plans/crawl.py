@@ -318,11 +318,22 @@ class Crawler:
     def _fetch_http(self, batch: DataFrame) -> DataFrame:
         """Pooled-HTTP fetch seam (fetch_mode='http'): a (url[, host,
         crawl_delay]) batch → (url, html, host). Used for both the
-        first-level dispatch fetch and the two-level second pass."""
+        first-level dispatch fetch and the two-level second pass; a
+        batch arriving without crawl_delay (the second pass sends bare
+        URLs) gets it from the compacted robots rules so the per-host
+        pacing holds on BOTH levels. Disallow rules are deliberately
+        NOT applied here: the table path fetches whatever first-level
+        URL exists in the pages table, and the two paths are pinned
+        byte-identical — robots admission for frontier URLs happens at
+        enqueue time instead."""
         from img_spark.operators.fetch import fetch_pages_http
 
         if "host" not in batch.columns:
             batch = batch.withColumn("host", host_of(F.col("url")))
+        if "crawl_delay" not in batch.columns:
+            batch = apply_robots_rules(
+                batch, self._robots_rules
+            ).drop("allowed")
         return fetch_pages_http(
             batch,
             user_agent=self.cfg.http_user_agent,

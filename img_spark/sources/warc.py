@@ -46,13 +46,22 @@ def _gunzip_stream(blob: bytes):
     Common Crawl ships one gzip member per record; members are walked
     one by one so a corrupt or truncated TAIL member loses only itself
     (gzip.GzipFile throws away the whole file). Non-gzip input is
-    yielded as-is. The decompressor is fed bounded slices, and a member
-    boundary mid-slice hands zlib's ``unused_data`` to the next member
-    as its first input — peak memory and per-boundary memcpy are both
-    O(_GZ_CHUNK), independent of member count and archive size.
+    yielded in bounded slices (one whole-archive chunk would make the
+    record parser's buffer-trim quadratic). The decompressor is fed
+    bounded slices, and a member boundary mid-slice hands zlib's
+    ``unused_data`` to the next member as its first input — peak
+    memory and per-boundary memcpy are O(_GZ_CHUNK + member),
+    independent of member count and archive size. A member's output is
+    withheld until the member decompresses CLEANLY: a mid-archive
+    corrupt member contributes nothing (its partial prefix would
+    otherwise frame as a valid record with a silently truncated body);
+    a member cut short by plain input truncation keeps its partial
+    output — the download just stopped there.
     """
     if blob[:2] != b"\x1f\x8b":
-        yield blob
+        view = memoryview(blob)
+        for i in range(0, len(blob), _GZ_CHUNK):
+            yield view[i:i + _GZ_CHUNK]
         return
     import zlib
 
@@ -67,6 +76,7 @@ def _gunzip_stream(blob: bytes):
 
     while (carry or pos < n) and head2() == b"\x1f\x8b":
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        member: list = []  # this member's output, held until clean eof
         try:
             while not d.eof:
                 if carry:
@@ -75,12 +85,17 @@ def _gunzip_stream(blob: bytes):
                     piece = view[pos:pos + _GZ_CHUNK]
                     pos += len(piece)
                 else:
-                    return  # truncated final member: keep partial output
+                    # truncated final member: the archive ends mid-
+                    # member — keep the partial output (no corruption,
+                    # the input just stops)
+                    yield from member
+                    return
                 out = d.decompress(piece)
                 if out:
-                    yield out
+                    member.append(out)
         except zlib.error:
-            return  # corrupt member: keep everything before the error
+            return  # corrupt member: drop its partial output entirely
+        yield from member
         carry = d.unused_data
 
 

@@ -154,16 +154,35 @@ def main(argv=None) -> int:
         robots = robots_rules_from_bodies(
             spark.read.parquet(args.robots_bodies), agent=args.agent
         )
-    elif args.fetch_mode == "http" and args.seeds:
-        # live crawl with no pre-built rules: fetch each seed host's
-        # robots.txt over the same pooled-HTTP path
+    elif args.fetch_mode == "http":
+        # live crawl with no pre-built rules: fetch robots.txt over the
+        # same pooled-HTTP path — for the seed hosts, and on --resume
+        # for every host still pending in the checkpoint (a resumed run
+        # has no seeds; silently dropping the rules would crawl with no
+        # delays and nothing ever disallowed)
         from urllib.parse import urlsplit
 
         from img_spark.operators.fetch import robots_http
 
+        host_set = {urlsplit(s).netloc for s in args.seeds}
+        if args.resume:
+            from img_spark import fsio
+            from img_spark.plans.crawl import read_pending
+
+            gens = [
+                int(fn[len("manifest-g"):-len(".json")])
+                for fn in fsio.listdir(args.checkpoint)
+                if fn.startswith("manifest-g") and fn.endswith(".json")
+            ]
+            if gens:
+                pending = read_pending(spark, args.checkpoint, max(gens))
+                host_set |= {
+                    r["host"]
+                    for r in pending.select("host").distinct().collect()
+                }
         robots = robots_http(
             spark,
-            sorted({urlsplit(s).netloc for s in args.seeds}),
+            sorted(host_set),
             user_agent=args.agent,
             connect_to=args.connect_to,
         )

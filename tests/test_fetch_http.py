@@ -43,6 +43,9 @@ def site_server():
     )
     site[("site-b.test", "/robots.txt")] = b"User-agent: *\nAllow: /\n"
     site[("site-c.test", "/robots.txt")] = b"User-agent: *\nAllow: /\n"
+    # oversized page for the connection-poisoning test ('/a-huge' sorts
+    # before '/a1/1', so it is fetched first on its host)
+    site[("site-a.test", "/a-huge")] = b"<html>" + b"x" * 65536 + b"</html>"
     log = []
     lock = threading.Lock()
 
@@ -123,6 +126,59 @@ def test_fetch_honors_crawl_delay_per_host(spark, site_server):
     assert all(g >= 0.25 for g in gaps), gaps
 
 
+def test_oversized_body_does_not_poison_next_same_host_fetch(
+    spark, site_server
+):
+    """A response larger than max_bytes is rejected AND its connection
+    retired — the unread tail must not make the next same-host URL
+    fail (the fetch order puts the huge page first)."""
+    connect, _log = site_server
+    rows, _, _, _ = fixture_web()
+    want = {u: h for u, _t, h, _x, _l in rows}
+    batch = spark.createDataFrame(
+        [("https://site-a.test/a-huge", "site-a.test"),
+         ("https://site-a.test/a1/1", "site-a.test")],
+        "url string, host string",
+    )
+    got = {
+        r["url"]: bytes(r["html"])
+        for r in fetch_pages_http(
+            batch, connect_to=connect, max_bytes=1000, partitions=1
+        ).collect()
+    }
+    assert "https://site-a.test/a-huge" not in got
+    assert got["https://site-a.test/a1/1"] == want["https://site-a.test/a1/1"]
+
+
+def test_second_level_live_fetch_honors_robots_delay(
+    spark, site_server, tmp_path
+):
+    """The two-level second pass sends bare URLs through the fetch
+    seam; the Crawler must attach crawl_delay from the robots rules so
+    per-host pacing holds on BOTH levels (r4 review finding)."""
+    connect, log = site_server
+    c = Crawler(
+        spark,
+        spark.createDataFrame([], PAGES_DDL),
+        rows_from_config(FIXTURE_CONFIG),
+        robots_df(spark, [("site-a.test", "/", True, 0.3)]),
+        CrawlConfig(
+            checkpoint_dir=str(tmp_path / "ck"), partitions=2,
+            fetch_mode="http", http_connect_to=connect,
+        ),
+    )
+    log.clear()
+    batch = spark.createDataFrame(
+        [(f"https://site-a.test/a1/{p}",) for p in (1, 2, 3)],
+        "url string",
+    )
+    out = c._fetch_http(batch).collect()
+    assert len(out) == 3
+    times = sorted(t for h, p, t in log if p.startswith("/a1/"))
+    gaps = [b - a for a, b in zip(times, times[1:])]
+    assert all(g >= 0.25 for g in gaps), gaps
+
+
 def test_robots_http_rules_and_missing_default(spark, site_server):
     """Live robots.txt fetch+parse produces the ROBOTS_DDL rows; a host
     with no robots.txt (or unreachable) gets one allow-all rule."""
@@ -158,11 +214,17 @@ def test_job_main_http_mode_no_pages_table(spark, site_server, tmp_path):
     with open(cfg_json, "w") as f:
         _json.dump(FIXTURE_CONFIG, f)
     ckpt = str(tmp_path / "ckpt")
-    rc = job.main([
+    base = [
         "--fetch-mode", "http", "--connect-to", connect,
-        "--checkpoint", ckpt, "--config", cfg_json,
-        "--partitions", "4", "--seeds", *FIXTURE_SEEDS,
-    ])
+        "--checkpoint", ckpt, "--config", cfg_json, "--partitions", "4",
+    ]
+    rc = job.main(base + ["--seeds", *FIXTURE_SEEDS,
+                          "--max-generations", "2"])
+    assert rc == 0
+    # --resume with NO seeds: live robots must be rebuilt from the
+    # checkpoint's pending hosts (r4 review finding — a resumed live
+    # crawl used to fall through to an empty rules table)
+    rc = job.main(base + ["--resume"])
     assert rc == 0
     gmax = max(
         int(p.name[len("manifest-g"):-len(".json")])

@@ -231,6 +231,64 @@ def test_warc_many_member_archive_decompresses_in_linear_time():
     assert wall < 3.0, f"{wall:.2f}s for {n} members — quadratic regression?"
 
 
+def test_warc_uncompressed_archive_parses_in_bounded_chunks():
+    """Plain (non-gzip) WARC input must stream through the same
+    bounded-slice path — one whole-archive chunk would make the record
+    framer's buffer trim quadratic — and parse identically to the
+    gzipped form."""
+    import datetime as dt
+    import gzip as _gz
+    import time
+
+    from img_spark.sources.warc import build_warc, parse_warc
+
+    n = 20000
+    records = [
+        (f"https://u.test/{i}", dt.datetime(2024, 1, 1), b"<html>u</html>",
+         200)
+        for i in range(n)
+    ]
+    raw = b"".join(_gz.decompress(m) for m in (
+        build_warc([r]) for r in records
+    ))
+    assert raw[:5] == b"WARC/"
+    t0 = time.perf_counter()
+    got = [r["url"] for r in parse_warc(raw)]
+    wall = time.perf_counter() - t0
+    assert got == [u for u, _, _, _ in records]
+    # quadratic buffer-trim on a ~4.7MB raw archive would take minutes
+    assert wall < 5.0, f"{wall:.2f}s — quadratic buffer trim?"
+
+
+def test_warc_corrupt_mid_member_drops_record_not_truncates():
+    """A bit-flipped gzip member must contribute NO record (its partial
+    decompressed prefix would otherwise frame as a valid record with a
+    silently truncated body) — everything before the corrupt member
+    survives."""
+    import datetime as dt
+
+    from img_spark.sources.warc import build_warc, parse_warc
+
+    recs = [
+        (f"https://c.test/{i}", dt.datetime(2024, 1, 1),
+         (b"<html>" + bytes(str(i), "ascii") * 2000 + b"</html>"), 200)
+        for i in range(3)
+    ]
+    m = [build_warc([r]) for r in recs]
+    # flip bytes deep inside member 1's deflate stream (past the header)
+    bad = bytearray(m[1])
+    for off in range(len(bad) // 2, len(bad) // 2 + 8):
+        bad[off] ^= 0xFF
+    blob = m[0] + bytes(bad) + m[2]
+    out = list(parse_warc(blob))
+    urls = [r["url"] for r in out]
+    assert "https://c.test/1" not in urls  # dropped, never truncated
+    assert urls[0] == "https://c.test/0"
+    assert out[0]["body"] == recs[0][2]
+    for r in out:  # no record may carry a short body
+        assert r["body"].endswith(b"</html>")
+
+
 def test_warc_reader_yields_bounded_batches():
     """The pages-batch generator must flush every flush_rows records
     (peak task memory O(batch), not O(archive)) and the concatenation
