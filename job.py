@@ -80,16 +80,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compact-every", type=int, default=0)
     p.add_argument("--resume", action="store_true",
                    help="continue from the newest committed manifest")
+    p.add_argument("--wet", default=None,
+                   help="WET sidecar file/glob: fills the pages text "
+                        "column by url join (Common Crawl's extracted-"
+                        "text archives)")
+    p.add_argument("--materialize-pages", default=None, metavar="OUT",
+                   help="one-shot ETL: read the pages input (table or "
+                        "WARC, --wet honored), write it bucket-"
+                        "partitioned to OUT for --pages-buckets scan "
+                        "pruning, print a JSON summary, and exit "
+                        "(no crawl; --seeds not required)")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    if not args.resume and not args.seeds:
+    if not args.resume and not args.seeds and not args.materialize_pages:
         print("error: --seeds required unless --resume", file=sys.stderr)
         return 2
     if args.pages is None and args.fetch_mode != "http":
         print("error: --pages required unless --fetch-mode http",
+              file=sys.stderr)
+        return 2
+    if args.materialize_pages and args.pages is None:
+        print("error: --materialize-pages requires --pages",
               file=sys.stderr)
         return 2
 
@@ -133,16 +147,40 @@ def main(argv=None) -> int:
         pages = read_warc_pages(spark, args.pages).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        if args.pages_buckets:
+        if args.pages_buckets and not args.materialize_pages:
             raise SystemExit(
                 "--pages-buckets requires a bucket-partitioned table; "
                 "materialize the WARC input first "
-                "(sources.tables.write_pages_bucketed)"
+                "(job.py --materialize-pages OUT)"
             )
-    elif args.pages_buckets:
+    elif args.pages_buckets and not args.materialize_pages:
         pages = read_pages_bucketed(spark, args.pages)
     else:
         pages = read_pages(spark, args.pages)
+    if args.wet:
+        from img_spark.sources.tables import PAGES_BUCKET_COL
+        from img_spark.sources.warc import read_wet_text
+
+        keep = ["url", "warc_ts", "html", "text", "lang"] + (
+            [PAGES_BUCKET_COL] if PAGES_BUCKET_COL in pages.columns else []
+        )
+        pages = (
+            pages.drop("text")
+            .join(read_wet_text(spark, args.wet), "url", "left")
+            .na.fill({"text": ""})
+            .select(*keep)
+        )
+    if args.materialize_pages:
+        from img_spark.sources.tables import write_pages_bucketed
+
+        n_buckets = args.pages_buckets or 1024
+        write_pages_bucketed(pages, args.materialize_pages, n_buckets)
+        n = spark.read.parquet(args.materialize_pages).count()
+        print(json.dumps({
+            "materialized": args.materialize_pages,
+            "rows": n, "buckets": n_buckets, "done": True,
+        }), flush=True)
+        return 0
     config_rows = (
         load_site_config_rows(args.config) if args.config else []
     )

@@ -863,6 +863,46 @@ def test_crawler_score_priority_end_to_end(spark, crawl, tmp_path_factory):
     assert fa == fb
 
 
+def test_job_materialize_warc_to_bucketed_pages(spark, tmp_path):
+    """job.py --materialize-pages: WARC (+WET text sidecar) → bucketed
+    parquet pages table in one command; the output loads through
+    read_pages_bucketed (so --pages-buckets scan pruning works on the
+    next run) with the text column filled from the sidecar."""
+    import datetime as dt
+    import json as _json
+
+    import job
+    from img_spark.sources.tables import read_pages_bucketed
+    from img_spark.sources.warc import build_warc, build_wet
+
+    urls = [f"https://m.test/{i}" for i in range(6)]
+    ts = dt.datetime(2024, 1, 1)
+    (tmp_path / "in.warc.gz").write_bytes(build_warc([
+        (u, ts, f"<html>{u}</html>".encode(), 200) for u in urls
+    ]))
+    (tmp_path / "in.warc.wet.gz").write_bytes(build_wet([
+        (u, ts, f"text of {u}") for u in urls[:4]  # 2 urls: no sidecar
+    ]))
+    out = str(tmp_path / "pages_bucketed")
+    rc = job.main([
+        "--pages", str(tmp_path / "in.warc.gz"),
+        "--wet", str(tmp_path / "in.warc.wet.gz"),
+        "--materialize-pages", out, "--pages-buckets", "8",
+        "--checkpoint", str(tmp_path / "unused_ck"),
+    ])
+    assert rc == 0
+    got = {r["url"]: r for r in read_pages_bucketed(spark, out).collect()}
+    assert set(got) == set(urls)
+    assert got[urls[0]]["text"] == f"text of {urls[0]}"
+    assert got[urls[5]]["text"] == ""  # no sidecar row → empty, not null
+    assert bytes(got[urls[2]]["html"]) == f"<html>{urls[2]}</html>".encode()
+    import os
+
+    assert any(
+        d.startswith("url_bucket=") for d in os.listdir(out)
+    )
+
+
 def test_warc_streaming_ingest_exactly_once_per_file(spark, tmp_path):
     """stream_warc_pages: an availableNow pass over a landing dir emits
     every archive's rows; dropping a NEW archive and re-running with
