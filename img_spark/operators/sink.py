@@ -119,3 +119,50 @@ def magic_extension(bin_col: F.Column) -> F.Column:
         .when(avif, F.lit("avif"))
         .otherwise(out)
     )
+
+
+def write_warc_archives(
+    pages: DataFrame,
+    out_dir: str,
+    status: int = 200,
+    content_type: str = "text/html",
+) -> int:
+    """Archive a (url, warc_ts, html[, ...]) DataFrame as WARC files —
+    the write side of ``sources/warc.py`` (a live crawl that only
+    extracts and discards the fetched bodies cannot be re-processed;
+    Common Crawl itself ships exactly this layout). One
+    ``part-<uuid>.warc.gz`` per non-empty partition, each record its
+    own gzip member (the Common-Crawl layout the reader's
+    member-by-member recovery expects); files land atomically through
+    fsio (write to a unique tmp name, rename), so a retried task
+    cannot interleave with a finished one and a killed task leaves
+    only a tmp file the reader's glob never matches. Returns the
+    number of records archived.
+
+    Scale shape: pure per-partition work, zero shuffle; file count =
+    partition count (repartition upstream to size archives)."""
+    import uuid as _uuid
+
+    from img_spark import fsio
+    from img_spark.sources.warc import build_warc
+
+    def run(batches):
+        rows = []
+        for pdf in batches:
+            for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+                if html is None:
+                    continue
+                rows.append((url, ts.to_pydatetime(), bytes(html), status))
+        if rows:
+            name = f"part-{_uuid.uuid4().hex}.warc.gz"
+            fsio.write_bytes_atomic(
+                fsio.join(out_dir, name), build_warc(rows)
+            )
+        yield pd.DataFrame({"n": [len(rows)]})
+
+    counts = (
+        pages.select("url", "warc_ts", "html")
+        .mapInPandas(run, schema="n long")
+        .agg(F.sum("n").alias("n")).collect()[0]["n"]
+    )
+    return int(counts or 0)

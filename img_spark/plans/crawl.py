@@ -227,6 +227,12 @@ class CrawlConfig:
     http_connect_to: str | None = None
     http_user_agent: str = "imgbot/1.0"
     http_timeout_s: float = 10.0
+    # fetch_mode='http' only: archive each generation's fetched bodies
+    # as WARC files under {archive_dir}/g{g}/ (operators.sink.
+    # write_warc_archives) — a live crawl that extracts and discards
+    # its fetches cannot be re-processed; with this set, the crawl
+    # PRODUCES the same archives the WARC source consumes
+    archive_dir: str | None = None
 
 
 class Crawler:
@@ -403,10 +409,22 @@ class Crawler:
                 ).distinct().collect()
             ]
             pages = pages.filter(F.col(PAGES_BUCKET_COL).isin(mods))
+        fetched_cache = None
         if self.cfg.fetch_mode == "http":
             fetched = self._fetch_http(
                 dispatch.select("url", "host", "crawl_delay")
             )
+            if self.cfg.archive_dir:
+                # persist: the archive write materializes the HTTP
+                # fetch; extraction below reuses the cache (ONE fetch
+                # per URL per generation, archived or not)
+                from img_spark.operators.sink import write_warc_archives
+
+                fetched = fetched_cache = fetched.persist()
+                write_warc_archives(
+                    fetched.withColumn("warc_ts", F.current_timestamp()),
+                    fsio.join(self.cfg.archive_dir, f"g{g}"),
+                )
         else:
             fetched = pages.select("url", "html").join(
                 F.broadcast(dispatch.select("url", "host")), "url", "inner"
@@ -585,6 +603,8 @@ class Crawler:
         results.unpersist()
         if first_level is not None:
             first_level.unpersist()
+        if fetched_cache is not None:
+            fetched_cache.unpersist()
         marked.unpersist()
         # per-phase wall times ride in the manifest (S8 lineage + the
         # feedback loop for tuning per-generation overhead)

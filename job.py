@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="scheme://host[:port] connection override for "
                         "--fetch-mode http (curl --resolve pattern; "
                         "tests/canaries)")
+    p.add_argument("--archive-dir", default=None,
+                   help="--fetch-mode http: archive each generation's "
+                        "fetched bodies as WARC under DIR/g{g}/ "
+                        "(re-processable crawl output, the layout the "
+                        "WARC source reads)")
     p.add_argument("--pages-format", default="auto",
                    choices=("auto", "table", "warc"),
                    help="auto: WARC when the path looks like *.warc[.gz]")
@@ -243,6 +248,7 @@ def main(argv=None) -> int:
         fetch_mode=args.fetch_mode,
         http_connect_to=args.connect_to,
         http_user_agent=args.agent,
+        archive_dir=args.archive_dir,
     )
     host_budgets = (
         spark.read.parquet(args.host_budgets).select("host", "budget")

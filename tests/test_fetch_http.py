@@ -179,6 +179,50 @@ def test_second_level_live_fetch_honors_robots_delay(
     assert all(g >= 0.25 for g in gaps), gaps
 
 
+def test_live_crawl_archives_fetched_pages_as_warc(
+    spark, site_server, tmp_path
+):
+    """With archive_dir set, a live crawl writes every generation's
+    fetched bodies as WARC — byte-identical to what the server served,
+    so the crawl's own output can seed a pages-table crawl later."""
+    from img_spark.operators.fetch import robots_http
+    from img_spark.sources.warc import read_warc_pages
+
+    connect, _log = site_server
+    rows, _, _, _ = fixture_web()
+    want = {u: h for u, _t, h, _x, _l in rows}
+    arch = str(tmp_path / "archives")
+    c = Crawler(
+        spark,
+        spark.createDataFrame([], PAGES_DDL),
+        rows_from_config(FIXTURE_CONFIG),
+        robots_df(spark, FIXTURE_ROBOTS),
+        CrawlConfig(
+            checkpoint_dir=str(tmp_path / "ck"), partitions=4,
+            fetch_mode="http", http_connect_to=connect,
+            archive_dir=arch,
+        ),
+    )
+    c.run(seeds=FIXTURE_SEEDS)
+    got = {
+        r["url"]: bytes(r["html"])
+        for r in read_warc_pages(
+            spark, arch + "/g*/*.warc.gz"
+        ).collect()
+    }
+    fetched = {
+        r["url"]
+        for r in read_frontier(spark, str(tmp_path / "ck"), c.generation)
+        .filter(F.col("status") == "fetched").collect()
+    }
+    # every (first-level) fetch archived byte-identically; the
+    # two-level photo-page fetches resolve inside the generation and
+    # are not frontier rows, so they are not part of the archive
+    assert set(got) == fetched
+    for u in got:
+        assert got[u] == want[u], u
+
+
 def test_robots_http_rules_and_missing_default(spark, site_server):
     """Live robots.txt fetch+parse produces the ROBOTS_DDL rows; a host
     with no robots.txt (or unreachable) gets one allow-all rule."""
