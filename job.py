@@ -29,7 +29,14 @@ import time
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="img-spark crawl job")
     p.add_argument("--seeds", nargs="*", default=[],
-                   help="seed URLs (required unless --resume)")
+                   help="seed URLs (required unless --resume or "
+                        "--seeds-from-sitemaps)")
+    p.add_argument("--seeds-from-sitemaps", nargs="*", default=[],
+                   metavar="SITEMAP_URL",
+                   help="bootstrap the frontier from sitemaps: fetch "
+                        "these sitemap URLs (following <sitemapindex> "
+                        "indirections), union the page URLs into "
+                        "--seeds")
     p.add_argument("--pages", default=None,
                    help="pages table: parquet path, Iceberg identifier, "
                         "or WARC file/glob (required unless "
@@ -100,7 +107,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    if not args.resume and not args.seeds and not args.materialize_pages:
+    if (
+        not args.resume and not args.seeds
+        and not args.seeds_from_sitemaps and not args.materialize_pages
+    ):
         print("error: --seeds required unless --resume", file=sys.stderr)
         return 2
     if args.pages is None and args.fetch_mode != "http":
@@ -127,6 +137,19 @@ def main(argv=None) -> int:
         SparkSession.builder.appName("img-spark-crawl"),
         shuffle_partitions=args.partitions,
     ).getOrCreate()
+
+    if args.seeds_from_sitemaps:
+        from img_spark.operators.fetch import sitemap_seeds
+
+        discovered = [
+            r["url"]
+            for r in sitemap_seeds(
+                spark, args.seeds_from_sitemaps,
+                user_agent=args.agent, connect_to=args.connect_to,
+            ).collect()
+        ]
+        print(json.dumps({"sitemap_seeds": len(discovered)}), flush=True)
+        args.seeds = sorted(set(args.seeds) | set(discovered))
 
     if args.fetch_mode == "http" and args.pages is None:
         from img_spark.sources.synthweb import PAGES_DDL

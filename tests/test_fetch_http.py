@@ -46,6 +46,24 @@ def site_server():
     # oversized page for the connection-poisoning test ('/a-huge' sorts
     # before '/a1/1', so it is fetched first on its host)
     site[("site-a.test", "/a-huge")] = b"<html>" + b"x" * 65536 + b"</html>"
+    # sitemap tree: index → plain urlset + gzipped urlset
+    import gzip as _gz
+
+    site[("site-a.test", "/sitemap.xml")] = (
+        b'<?xml version="1.0"?><sitemapindex>'
+        b"<sitemap><loc>https://site-a.test/sm1.xml</loc></sitemap>"
+        b"<sitemap><loc> https://site-a.test/sm2.xml.gz </loc></sitemap>"
+        b"</sitemapindex>"
+    )
+    site[("site-a.test", "/sm1.xml")] = (
+        b"<urlset><url><loc>https://site-a.test/</loc></url>"
+        b"<url><loc>https://site-a.test/a1/1?x=1&amp;y=2</loc></url>"
+        b"</urlset>"
+    )
+    site[("site-a.test", "/sm2.xml.gz")] = _gz.compress(
+        b"<urlset><url><loc>https://site-b.test/gallery</loc></url>"
+        b"<url><loc>https://site-c.test/g/1</loc></url></urlset>"
+    )
     log = []
     lock = threading.Lock()
 
@@ -124,6 +142,30 @@ def test_fetch_honors_crawl_delay_per_host(spark, site_server):
     assert len(times) == 3
     gaps = [b - a for a, b in zip(times, times[1:])]
     assert all(g >= 0.25 for g in gaps), gaps
+
+
+def test_sitemap_seed_discovery(spark, site_server):
+    """sitemap_seeds follows the index, reads plain AND gzipped
+    urlsets, unescapes entities, and returns the distinct page URLs;
+    an unreachable sitemap contributes nothing."""
+    from img_spark.operators.fetch import sitemap_seeds
+
+    connect, _log = site_server
+    got = {
+        r["url"]
+        for r in sitemap_seeds(
+            spark,
+            ["https://site-a.test/sitemap.xml",
+             "https://nosuch.test/sitemap.xml"],
+            connect_to=connect,
+        ).collect()
+    }
+    assert got == {
+        "https://site-a.test/",
+        "https://site-a.test/a1/1?x=1&y=2",
+        "https://site-b.test/gallery",
+        "https://site-c.test/g/1",
+    }
 
 
 def test_oversized_body_does_not_poison_next_same_host_fetch(

@@ -289,6 +289,28 @@ def test_warc_corrupt_mid_member_drops_record_not_truncates():
         assert r["body"].endswith(b"</html>")
 
 
+def test_parse_sitemap_kernel():
+    import gzip as _gz
+
+    from img_spark.operators.fetch import parse_sitemap
+
+    subs, pages = parse_sitemap(
+        b"<sitemapindex><sitemap><loc>https://a/s.xml</loc></sitemap>"
+        b"</sitemapindex>"
+    )
+    assert subs == ["https://a/s.xml"] and pages == []
+    subs, pages = parse_sitemap(
+        b"<urlset><url><loc>\n https://a/p?x=1&amp;y=2 </loc></url></urlset>"
+    )
+    assert subs == [] and pages == ["https://a/p?x=1&y=2"]
+    assert parse_sitemap(_gz.compress(
+        b"<urlset><url><loc>https://a/z</loc></url></urlset>"
+    )) == ([], ["https://a/z"])
+    # corrupt gzip / junk bodies: empty result, never a raise
+    assert parse_sitemap(b"\x1f\x8bjunk") == ([], [])
+    assert parse_sitemap(b"not xml at all") == ([], [])
+
+
 def test_warc_reader_yields_bounded_batches():
     """The pages-batch generator must flush every flush_rows records
     (peak task memory O(batch), not O(archive)) and the concatenation
