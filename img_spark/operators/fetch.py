@@ -122,12 +122,19 @@ def fetch_pages_http(
     connect_to: str | None = None,
     partitions: int | None = None,
     flush_rows: int = _FLUSH_ROWS,
+    host_concurrency: int = 8,
 ) -> DataFrame:
     """(url, host[, crawl_delay]) dispatch batch → (url, html, host) via
-    pooled HTTP GETs. Per-host serial with the robots ``crawl_delay``
-    honored between same-host requests (rows missing the column fetch
-    with no delay); failed URLs emit no row. Same output shape as the
-    pages-table join, so the two fetch paths are interchangeable."""
+    pooled HTTP GETs. Each HOST fetches serially with the robots
+    ``crawl_delay`` honored between its requests (rows missing the
+    column fetch with no delay), but up to ``host_concurrency``
+    DIFFERENT hosts proceed concurrently inside one task — a live
+    crawl is latency-bound, and a partition holding many hosts would
+    otherwise pay sum-of-hosts wall time instead of max (with per-host
+    politeness delays, the sum includes every sleep). Failed URLs emit
+    no row. Same output shape as the pages-table join, so the two
+    fetch paths are interchangeable."""
+    import concurrent.futures
     import time as _time
 
     import pandas as pd
@@ -145,42 +152,64 @@ def fetch_pages_http(
     else:
         batch = batch.repartition("host")
 
-    def run(pdfs):
+    def fetch_host(host, rows):
+        # one serial loop per host: own connection pool (http.client
+        # objects are not thread-safe — never shared across hosts),
+        # own pacing clock. Buffer bounded by the host's dispatch
+        # budget.
         conns: dict = {}
-        last: dict = {}
-        out_url, out_html, out_host = [], [], []
-        for pdf in pdfs:
-            rows = sorted(
-                zip(pdf["url"], pdf["host"], pdf["crawl_delay"]),
-                key=lambda r: (r[1], r[0]),
+        out = []
+        last = None
+        for url, delay in rows:
+            if delay and last is not None:
+                wait = last + float(delay) - _time.monotonic()
+                if wait > 0:
+                    _time.sleep(wait)
+            last = _time.monotonic()
+            body = _fetch_one(
+                conns, url, user_agent, timeout_s, max_bytes, connect_to
             )
-            for url, host, delay in rows:
-                if delay and host in last:
-                    wait = last[host] + float(delay) - _time.monotonic()
-                    if wait > 0:
-                        _time.sleep(wait)
-                last[host] = _time.monotonic()
-                body = _fetch_one(
-                    conns, url, user_agent, timeout_s, max_bytes, connect_to
-                )
-                if body is None:
-                    continue
-                out_url.append(url)
-                out_html.append(body)
-                out_host.append(host)
-                if len(out_url) >= flush_rows:
-                    yield pd.DataFrame(
-                        {"url": out_url, "html": out_html, "host": out_host}
-                    )
-                    out_url, out_html, out_host = [], [], []
+            if body is not None:
+                out.append((url, body))
         for c in conns.values():
             try:
                 c.close()
             except Exception:
                 pass
-        yield pd.DataFrame(
-            {"url": out_url, "html": out_html, "host": out_host}
-        )
+        return host, out
+
+    def run(pdfs):
+        for pdf in pdfs:
+            by_host: dict = {}
+            for url, host, delay in sorted(
+                zip(pdf["url"], pdf["host"], pdf["crawl_delay"]),
+                key=lambda r: (r[1], r[0]),
+            ):
+                by_host.setdefault(host, []).append((url, delay))
+            if not by_host:
+                continue
+            out_url, out_html, out_host = [], [], []
+            workers = min(host_concurrency, len(by_host))
+            with concurrent.futures.ThreadPoolExecutor(workers) as pool:
+                futs = [
+                    pool.submit(fetch_host, h, rows)
+                    for h, rows in by_host.items()
+                ]
+                for fut in concurrent.futures.as_completed(futs):
+                    host, fetched = fut.result()
+                    for url, body in fetched:
+                        out_url.append(url)
+                        out_html.append(body)
+                        out_host.append(host)
+                    if len(out_url) >= flush_rows:
+                        yield pd.DataFrame({
+                            "url": out_url, "html": out_html,
+                            "host": out_host,
+                        })
+                        out_url, out_html, out_host = [], [], []
+            yield pd.DataFrame(
+                {"url": out_url, "html": out_html, "host": out_host}
+            )
 
     return batch.mapInPandas(run, schema=FETCH_SCHEMA)
 

@@ -144,6 +144,36 @@ def test_fetch_honors_crawl_delay_per_host(spark, site_server):
     assert all(g >= 0.25 for g in gaps), gaps
 
 
+def test_hosts_fetch_concurrently_within_one_task(spark, site_server):
+    """Different hosts in ONE partition must fetch concurrently while
+    each host stays serial with its crawl_delay: two hosts x 3 URLs at
+    0.3s delay take ~0.6s wall (max over hosts), not ~1.2s (sum)."""
+    import time
+
+    connect, log = site_server
+    log.clear()
+    batch = spark.createDataFrame(
+        [(f"https://site-a.test/a1/{p}", "site-a.test", 0.3)
+         for p in (1, 2, 3)]
+        + [(f"https://site-c.test/g/{p}", "site-c.test", 0.3)
+           for p in (1, 2, 3)],
+        "url string, host string, crawl_delay double",
+    )
+    t0 = time.monotonic()
+    out = fetch_pages_http(
+        batch, connect_to=connect, partitions=1
+    ).collect()
+    wall = time.monotonic() - t0
+    assert len(out) == 6
+    for h in ("site-a.test", "site-c.test"):
+        times = sorted(t for hh, _p, t in log if hh == h)
+        gaps = [b - a for a, b in zip(times, times[1:])]
+        assert all(g >= 0.25 for g in gaps), (h, gaps)
+    # serial across hosts would be >= 1.2s of sleeps alone; allow
+    # generous scheduling overhead on the shared host
+    assert wall < 1.6, wall
+
+
 def test_sitemap_seed_discovery(spark, site_server):
     """sitemap_seeds follows the index, reads plain AND gzipped
     urlsets, unescapes entities, and returns the distinct page URLs;
