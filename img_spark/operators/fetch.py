@@ -179,37 +179,44 @@ def fetch_pages_http(
         return host, out
 
     def run(pdfs):
+        # group across the WHOLE partition before fetching: Arrow caps
+        # input batches (~1024 rows), and per-batch state would reset a
+        # host's pacing clock and connection pool at every batch
+        # boundary — a >1024-URL host would fire one request with zero
+        # delay per boundary. Buffered state is (url, delay) STRINGS,
+        # not bodies: O(partition's dispatch rows), fine.
+        by_host: dict = {}
         for pdf in pdfs:
-            by_host: dict = {}
-            for url, host, delay in sorted(
-                zip(pdf["url"], pdf["host"], pdf["crawl_delay"]),
-                key=lambda r: (r[1], r[0]),
+            for url, host, delay in zip(
+                pdf["url"], pdf["host"], pdf["crawl_delay"]
             ):
                 by_host.setdefault(host, []).append((url, delay))
-            if not by_host:
-                continue
-            out_url, out_html, out_host = [], [], []
-            workers = min(host_concurrency, len(by_host))
-            with concurrent.futures.ThreadPoolExecutor(workers) as pool:
-                futs = [
-                    pool.submit(fetch_host, h, rows)
-                    for h, rows in by_host.items()
-                ]
-                for fut in concurrent.futures.as_completed(futs):
-                    host, fetched = fut.result()
-                    for url, body in fetched:
-                        out_url.append(url)
-                        out_html.append(body)
-                        out_host.append(host)
-                    if len(out_url) >= flush_rows:
-                        yield pd.DataFrame({
-                            "url": out_url, "html": out_html,
-                            "host": out_host,
-                        })
-                        out_url, out_html, out_host = [], [], []
-            yield pd.DataFrame(
-                {"url": out_url, "html": out_html, "host": out_host}
-            )
+        if not by_host:
+            return  # empty partition: yield nothing
+        for rows in by_host.values():
+            rows.sort()
+        out_url, out_html, out_host = [], [], []
+        workers = min(host_concurrency, len(by_host))
+        with concurrent.futures.ThreadPoolExecutor(workers) as pool:
+            futs = [
+                pool.submit(fetch_host, h, rows)
+                for h, rows in sorted(by_host.items())
+            ]
+            for fut in concurrent.futures.as_completed(futs):
+                host, fetched = fut.result()
+                for url, body in fetched:
+                    out_url.append(url)
+                    out_html.append(body)
+                    out_host.append(host)
+                if len(out_url) >= flush_rows:
+                    yield pd.DataFrame({
+                        "url": out_url, "html": out_html,
+                        "host": out_host,
+                    })
+                    out_url, out_html, out_host = [], [], []
+        yield pd.DataFrame(
+            {"url": out_url, "html": out_html, "host": out_host}
+        )
 
     return batch.mapInPandas(run, schema=FETCH_SCHEMA)
 
@@ -232,11 +239,15 @@ def parse_sitemap(body: bytes):
         except (OSError, EOFError):  # BadGzipFile / truncated stream
             return [], []
     text = body.decode("utf-8", "replace")
+    # optional namespace prefix (<ns0:loc>) — prefixed serializations
+    # are common and must not silently yield zero URLs
     locs = [
         _html.unescape(m.strip())
-        for m in re.findall(r"<loc>\s*(.*?)\s*</loc>", text, re.S)
+        for m in re.findall(
+            r"<(?:\w+:)?loc[^>]*>\s*(.*?)\s*</(?:\w+:)?loc>", text, re.S
+        )
     ]
-    is_index = re.search(r"<\s*sitemapindex[\s>]", text) is not None
+    is_index = re.search(r"<\s*(?:\w+:)?sitemapindex[\s>]", text) is not None
     return (locs, []) if is_index else ([], locs)
 
 
@@ -256,14 +267,21 @@ def sitemap_seeds(
     URLs as a one-column ``url`` DataFrame — feed it to
     ``Crawler.init``/job.py as the frontier's generation 0.
 
-    Scale shape: sitemap BODIES parse in executors (mapInPandas over
-    the pooled fetcher's output — a 50k-URL, 50 MB sitemap never
-    touches the driver); only child-INDEX locations are collected
-    driver-side per level, capped at ``max_index_fanout`` (an index of
-    indexes is small by the protocol's own 50k-entry limit)."""
+    Scale shape: sitemap BODIES (up to 50 MB each) parse in executors
+    — only the parsed LOCATION STRINGS reach the driver, once per
+    level, so each sitemap is fetched exactly once and the result is
+    deterministic (leaving the fetch lineage lazy would re-fetch every
+    sitemap on every downstream action). The seed list ends up
+    driver-sized by contract — ``Crawler.init(seeds)`` takes a list.
+    Child-index fan-out is capped at ``max_index_fanout`` per level
+    (an index of indexes is small by the protocol's own 50k-entry
+    limit)."""
     import pandas as pd
 
     from img_spark.operators.urlexprs import host_of
+
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
 
     def parse_udf(pdfs):
         for pdf in pdfs:
@@ -274,36 +292,27 @@ def sitemap_seeds(
                 locs.extend(subs + pages)
             yield pd.DataFrame({"kind": kinds, "loc": locs})
 
-    current = spark.createDataFrame(
-        [(u,) for u in sitemap_urls], "url string"
-    )
-    page_parts = []
+    current = list(dict.fromkeys(sitemap_urls))
+    pages: set = set()
     for _depth in range(max_depth):
+        if not current:
+            break
         got = fetch_pages_http(
-            current.withColumn("host", host_of(F.col("url"))),
+            spark.createDataFrame([(u,) for u in current], "url string")
+            .withColumn("host", host_of(F.col("url"))),
             user_agent=user_agent, timeout_s=timeout_s,
             connect_to=connect_to,
         )
         parsed = got.select("html").mapInPandas(
             parse_udf, schema="kind string, loc string"
-        )
-        page_parts.append(
-            parsed.filter(F.col("kind") == "page")
-            .select(F.col("loc").alias("url"))
-        )
-        subs = [
-            r["url"]
-            for r in parsed.filter(F.col("kind") == "sitemap")
-            .select(F.col("loc").alias("url")).distinct()
-            .limit(max_index_fanout).collect()
-        ]
-        if not subs:
-            break
-        current = spark.createDataFrame([(u,) for u in subs], "url string")
-    out = page_parts[0]
-    for p in page_parts[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+        ).collect()  # ONE fetch per level; loc strings only
+        pages.update(r["loc"] for r in parsed if r["kind"] == "page")
+        current = list(dict.fromkeys(
+            r["loc"] for r in parsed if r["kind"] == "sitemap"
+        ))[:max_index_fanout]
+    return spark.createDataFrame(
+        [(u,) for u in sorted(pages)], "url string"
+    )
 
 
 def robots_http(

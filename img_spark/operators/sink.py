@@ -139,12 +139,24 @@ def write_warc_archives(
     only a tmp file the reader's glob never matches. Returns the
     number of records archived.
 
+    WARC-Date is written in UTC per the spec: the timestamp column is
+    converted from the session timezone before the UDF sees it (Spark
+    hands pandas NAIVE timestamps in ``spark.sql.session.timeZone`` —
+    stamping those with a ``Z`` suffix would mislabel local wall time
+    as UTC for any non-UTC session). ``read_warc_pages`` applies the
+    inverse conversion, so write→read roundtrips are identity in any
+    session timezone.
+
     Scale shape: pure per-partition work, zero shuffle; file count =
     partition count (repartition upstream to size archives)."""
     import uuid as _uuid
 
     from img_spark import fsio
     from img_spark.sources.warc import build_warc
+
+    tz = pages.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC"
+    ) or "UTC"
 
     def run(batches):
         rows = []
@@ -156,12 +168,17 @@ def write_warc_archives(
         if rows:
             name = f"part-{_uuid.uuid4().hex}.warc.gz"
             fsio.write_bytes_atomic(
-                fsio.join(out_dir, name), build_warc(rows)
+                fsio.join(out_dir, name),
+                build_warc(rows, content_type=content_type),
             )
         yield pd.DataFrame({"n": [len(rows)]})
 
     counts = (
-        pages.select("url", "warc_ts", "html")
+        pages.select(
+            "url",
+            F.to_utc_timestamp(F.col("warc_ts"), tz).alias("warc_ts"),
+            "html",
+        )
         .mapInPandas(run, schema="n long")
         .agg(F.sum("n").alias("n")).collect()[0]["n"]
     )

@@ -279,6 +279,16 @@ def read_warc_pages(
             yield from _page_batches(pdf["content"], status_ok_only)
 
     out = files.select("content").mapInPandas(run, schema=PAGES_DDL)
+    # WARC-Date is UTC by spec; the parser yields naive UTC datetimes,
+    # which Spark would otherwise interpret as session-local. Convert
+    # so the column means the same instant in any session timezone
+    # (inverse of the archive sink's to_utc_timestamp).
+    from pyspark.sql import functions as F
+
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
+    out = out.withColumn(
+        "warc_ts", F.from_utc_timestamp(F.col("warc_ts"), tz)
+    )
     if dedup_urls:
         from pyspark.sql import Window, functions as F
 
@@ -326,25 +336,32 @@ def stream_warc_pages(
         .option("pathGlobFilter", glob)
         .load(path)
     )
+    from pyspark.sql import functions as F
+
     from img_spark.sources.synthweb import PAGES_DDL
 
     def run(batches):
         for pdf in batches:
             yield from _page_batches(pdf["content"], status_ok_only)
 
-    return files.select("content").mapInPandas(run, schema=PAGES_DDL)
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
+    return files.select("content").mapInPandas(
+        run, schema=PAGES_DDL
+    ).withColumn("warc_ts", F.from_utc_timestamp(F.col("warc_ts"), tz))
 
 
 # ---------------------------------------------------------------- writer
-def build_warc(records) -> bytes:
+def build_warc(records, content_type: str = "text/html") -> bytes:
     """Synthesize a WARC byte stream (one gzip member per record, the
     Common Crawl layout) from (url, date, html_bytes, status) tuples —
-    the test/fixture twin of the reader."""
+    the test/fixture twin of the reader and the kernel of the archive
+    sink. ``date`` must be UTC (WARC-Date is written with the spec's
+    ``Z`` suffix)."""
     out = []
     for url, date, html, status in records:
         http = (
             f"HTTP/1.1 {status} OK\r\n"
-            "Content-Type: text/html\r\n"
+            f"Content-Type: {content_type}\r\n"
             f"Content-Length: {len(html)}\r\n\r\n"
         ).encode() + html
         hdr = (

@@ -186,18 +186,33 @@ def main(argv=None) -> int:
     else:
         pages = read_pages(spark, args.pages)
     if args.wet:
+        from pyspark.sql import functions as F
+
         from img_spark.sources.tables import PAGES_BUCKET_COL
         from img_spark.sources.warc import read_wet_text
 
         keep = ["url", "warc_ts", "html", "text", "lang"] + (
             [PAGES_BUCKET_COL] if PAGES_BUCKET_COL in pages.columns else []
         )
+        # one text row per url: WET globs spanning segments carry
+        # revisit duplicates, and a fan-out here would break the
+        # unique-url pages-table invariant the fetch join assumes
+        # (deterministic winner: lexicographic max)
+        text = read_wet_text(spark, args.wet).groupBy("url").agg(
+            F.max("text").alias("text")
+        )
         pages = (
             pages.drop("text")
-            .join(read_wet_text(spark, args.wet), "url", "left")
+            .join(text, "url", "left")
             .na.fill({"text": ""})
             .select(*keep)
         )
+        if not args.materialize_pages:
+            # crawl mode: without this, every generation's fetch join
+            # re-reads and re-parses the full WET archive set
+            from pyspark import StorageLevel
+
+            pages = pages.persist(StorageLevel.MEMORY_AND_DISK)
     if args.materialize_pages:
         from img_spark.sources.tables import write_pages_bucketed
 

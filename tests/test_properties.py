@@ -309,6 +309,16 @@ def test_parse_sitemap_kernel():
     # corrupt gzip / junk bodies: empty result, never a raise
     assert parse_sitemap(b"\x1f\x8bjunk") == ([], [])
     assert parse_sitemap(b"not xml at all") == ([], [])
+    # namespace-prefixed serialization (ElementTree default output)
+    assert parse_sitemap(
+        b'<ns0:sitemapindex xmlns:ns0="http://www.sitemaps.org/schemas/'
+        b'sitemap/0.9"><ns0:sitemap><ns0:loc>https://a/s.xml</ns0:loc>'
+        b"</ns0:sitemap></ns0:sitemapindex>"
+    ) == (["https://a/s.xml"], [])
+    assert parse_sitemap(
+        b"<ns0:urlset><ns0:url><ns0:loc>https://a/p</ns0:loc></ns0:url>"
+        b"</ns0:urlset>"
+    ) == ([], ["https://a/p"])
 
 
 def test_warc_reader_yields_bounded_batches():
