@@ -227,6 +227,11 @@ class CrawlConfig:
     http_connect_to: str | None = None
     http_user_agent: str = "imgbot/1.0"
     http_timeout_s: float = 10.0
+    # >0 ⇒ per-host failure circuit breaker: a host with this many
+    # fetch_failed rows in the previous generation's delta gets budget
+    # 0 for one generation (pending rows held, not lost; self-clearing
+    # — see Crawler._backoff_budgets)
+    backoff_failures: int = 0
     # fetch_mode='http' only: archive each generation's fetched bodies
     # as WARC files under {archive_dir}/g{g}/ (operators.sink.
     # write_warc_archives) — a live crawl that extracts and discards
@@ -348,6 +353,36 @@ class Crawler:
             partitions=self.cfg.partitions,
         )
 
+    # ------------------------------------------------------------- backoff
+    def _backoff_budgets(self) -> DataFrame | None:
+        """Per-host failure circuit breaker (``backoff_failures`` > 0):
+        hosts with that many fetch_failed rows in the PREVIOUS
+        generation's delta get budget 0 for this generation (their
+        pending rows are held, not lost). Self-clearing pulse: a host
+        skipped in generation g produces no g-failures, so it resumes
+        in g+1 — a failing host degrades to half dispatch pressure
+        with zero extra state (the signal is the one status=
+        fetch_failed subdir the loop just wrote, a delta-sized read).
+        Merged with the static ``host_budgets`` overrides through the
+        same broadcast; the politer (minimum) budget wins."""
+        n = self.cfg.backoff_failures
+        if not n or self.generation < 1:
+            return self.host_budgets
+        p = self._p(
+            "frontier", f"g{self.generation}", "status=fetch_failed"
+        )
+        if not fsio.isdir(p):
+            return self.host_budgets
+        bad = (
+            self.spark.read.schema(_DDL_NO_STATUS).parquet(p)
+            .groupBy("host").count()
+            .filter(F.col("count") >= n)
+            .select("host", F.lit(0).alias("budget"))
+        )
+        if self.host_budgets is None:
+            return bad
+        return self.host_budgets.select("host", "budget").unionByName(bad)
+
     # ---------------------------------------------------------------- step
     def step(self) -> dict:
         g = self.generation + 1
@@ -356,6 +391,7 @@ class Crawler:
         pending = read_pending(
             self.spark, self.cfg.checkpoint_dir, self.generation
         )
+        host_budgets = self._backoff_budgets()
         if self.cfg.dispatch_salts:
             from img_spark.operators.politeness import dispatch_top_k_salted
 
@@ -363,14 +399,14 @@ class Crawler:
                 pending, self.cfg.host_budget, self.cfg.batch_window_s,
                 order=self.cfg.priority, salts=self.cfg.dispatch_salts,
                 score=self.cfg.priority_score,
-                host_budgets=self.host_budgets,
+                host_budgets=host_budgets,
             )
         else:
             marked = dispatch_top_k(
                 pending, self.cfg.host_budget, self.cfg.batch_window_s,
                 order=self.cfg.priority,
                 score=self.cfg.priority_score,
-                host_budgets=self.host_budgets,
+                host_budgets=host_budgets,
             )
         # the politeness-window output feeds five plans (fetch
         # broadcast, results join, miss anti-join, held rows in the

@@ -89,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seen-mode", choices=("cuckoo", "exact"), default="cuckoo")
     p.add_argument("--cuckoo-capacity", type=int, default=1 << 16)
     p.add_argument("--dispatch-salts", type=int, default=0)
+    p.add_argument("--backoff-failures", type=int, default=0,
+                   help=">0: a host with this many fetch failures in "
+                        "the previous generation is skipped for one "
+                        "generation (per-host circuit breaker)")
     p.add_argument("--compact-every", type=int, default=0)
     p.add_argument("--resume", action="store_true",
                    help="continue from the newest committed manifest")
@@ -282,6 +286,7 @@ def main(argv=None) -> int:
         priority_score=args.priority_score,
         dispatch_salts=args.dispatch_salts,
         compact_every=args.compact_every,
+        backoff_failures=args.backoff_failures,
         pages_buckets=args.pages_buckets,
         fetch_mode=args.fetch_mode,
         http_connect_to=args.connect_to,

@@ -903,6 +903,49 @@ def test_job_materialize_warc_to_bucketed_pages(spark, tmp_path):
     )
 
 
+def test_backoff_skips_failing_host_every_other_generation(
+    spark, tmp_path_factory
+):
+    """backoff_failures=1: a host whose fetches keep failing is given
+    budget 0 for the generation after each failure (pending rows held,
+    not lost), so it dispatches on generations 1, 3, 5 instead of
+    1, 2, 3 — a healthy host is unaffected. Self-clearing: no failures
+    while skipped ⇒ the breaker resets by itself."""
+    import datetime as dt
+
+    from img_spark.operators.politeness import robots_df
+    from img_spark.plans.crawl import CrawlConfig, Crawler, read_frontier
+    from img_spark.sources.synthweb import PAGES_DDL
+
+    pages = spark.createDataFrame(
+        [(f"https://h1.test/p{i}", dt.datetime(2024, 1, 1),
+          b"<html><title>t</title></html>", "t", "en") for i in (1, 2, 3)],
+        PAGES_DDL,
+    )  # hx.test pages deliberately absent: every hx fetch fails
+    seeds = [f"https://{h}.test/p{i}" for h in ("h1", "hx")
+             for i in (1, 2, 3)]
+    robots = robots_df(spark, [("h1.test", "/", True, 0.0),
+                               ("hx.test", "/", True, 0.0)])
+    ckpt = tmp_path_factory.mktemp("ckpt_backoff")
+    c = Crawler(
+        spark, pages, [], robots,
+        CrawlConfig(checkpoint_dir=str(ckpt), partitions=4,
+                    host_budget=1, backoff_failures=1),
+    )
+    c.run(seeds=seeds)
+    rows = read_frontier(spark, str(ckpt), c.generation).collect()
+    gens = {
+        h: sorted(r["generation"] for r in rows
+                  if r["host"] == f"{h}.test" and r["status"] != "pending")
+        for h in ("h1", "hx")
+    }
+    assert gens["h1"] == [1, 2, 3]          # healthy host unaffected
+    assert gens["hx"] == [1, 3, 5]          # breaker pulses the bad host
+    assert all(r["status"] == "fetch_failed" for r in rows
+               if r["host"] == "hx.test")
+    assert c.generation == 5
+
+
 def test_write_warc_archives_roundtrip(spark, tmp_path):
     """The WARC sink is the write twin of the source: archives written
     from a pages frame read back byte-identical through
