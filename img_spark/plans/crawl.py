@@ -364,7 +364,10 @@ class Crawler:
         with zero extra state (the signal is the one status=
         fetch_failed subdir the loop just wrote, a delta-sized read).
         Merged with the static ``host_budgets`` overrides through the
-        same broadcast; the politer (minimum) budget wins."""
+        same broadcast; the politer (minimum) budget wins. A
+        compaction directly after a generation folds that delta away
+        and the breaker skips one pulse — benign (one extra dispatch
+        attempt), noted so the gap isn't mistaken for a bug."""
         n = self.cfg.backoff_failures
         if not n or self.generation < 1:
             return self.host_budgets
