@@ -183,7 +183,10 @@ def _prev_normalized() -> float | None:
             data = json.load(open(p))
         except Exception:
             continue
+        # the round driver nests bench.py's JSON line under "parsed"
         v = data.get("normalized_throughput")
+        if v is None and isinstance(data.get("parsed"), dict):
+            v = data["parsed"].get("normalized_throughput")
         if v is not None and int(m.group(1)) > best_round:
             best_round, val = int(m.group(1)), v
     return val

@@ -44,6 +44,72 @@ def _parse_connect_to(connect_to: str):
     return s.scheme, s.hostname, s.port
 
 
+def _request_once(
+    conns: dict,
+    s,
+    user_agent: str,
+    timeout_s: float,
+    max_bytes: int,
+    connect_to: str | None,
+):
+    """One GET over the pooled connection for a split URL. Returns
+    (status, body, location): status None means a transport error
+    (connect/reset/timeout — the connection is retired), status -1
+    means oversized/undrained (connection retired, NOT retryable)."""
+    import http.client
+
+    if connect_to is not None:
+        cscheme, chost, cport = _parse_connect_to(connect_to)
+    else:
+        cscheme, chost, cport = s.scheme, s.hostname, s.port
+    key = (cscheme, chost, cport, s.netloc)
+    conn = conns.get(key)
+    try:
+        if conn is None:
+            cls = (
+                http.client.HTTPSConnection
+                if cscheme == "https"
+                else http.client.HTTPConnection
+            )
+            conn = cls(chost, cport, timeout=timeout_s)
+            conns[key] = conn
+        path = s.path or "/"
+        if s.query:
+            path += "?" + s.query
+        conn.putrequest("GET", path, skip_host=True,
+                        skip_accept_encoding=True)
+        conn.putheader("Host", s.netloc)
+        conn.putheader("User-Agent", user_agent)
+        conn.putheader("Accept", "*/*")
+        conn.endheaders()
+        r = conn.getresponse()
+        body = r.read(max_bytes + 1)
+    except Exception:
+        try:
+            if conn is not None:
+                conn.close()
+        finally:
+            conns.pop(key, None)
+        return None, None, None
+    if len(body) > max_bytes or not r.isclosed():
+        # oversized / not fully drained: unread bytes would poison
+        # the keep-alive stream — the NEXT same-host request would
+        # see this response's tail. Retire the connection.
+        try:
+            conn.close()
+        finally:
+            conns.pop(key, None)
+        return -1, None, None
+    if 500 <= r.status < 600:
+        # a 5xx may leave the server-side connection wedged; retire it
+        # so the retry (and the next same-host URL) starts clean
+        try:
+            conn.close()
+        finally:
+            conns.pop(key, None)
+    return r.status, body, r.getheader("Location")
+
+
 def _fetch_one(
     conns: dict,
     url: str,
@@ -52,63 +118,45 @@ def _fetch_one(
     max_bytes: int,
     connect_to: str | None,
     max_redirects: int = 3,
+    retries: int = 1,
+    backoff_s: float = 0.5,
 ):
-    """GET one URL over a pooled connection. Returns body bytes for a
-    2xx response, None otherwise (any error closes that connection and
-    returns None — the caller's anti-join turns it into fetch_failed)."""
-    import http.client
+    """GET one URL over a pooled connection, following ≤ max_redirects
+    redirects. TRANSIENT failures — transport errors (connect/reset/
+    timeout) and 5xx — are retried up to ``retries`` times per hop on
+    a fresh connection after a ``backoff_s`` sleep (the sleep runs
+    inside the host's serial loop, so it only ever ADDS to the
+    politeness spacing). Definitive answers (2xx/3xx/4xx, oversized
+    body) are never retried. Returns body bytes for a 2xx, None
+    otherwise — the caller's anti-join turns None into fetch_failed.
+
+    Politeness notes (documented divergences, POLITENESS.md): redirect
+    hops are followed immediately without crawl_delay and without
+    robots admission for the target (curl -L reference parity,
+    main.rs:83-111 — robots admission happens at enqueue time); with
+    ``retries=0`` the behavior is single-attempt curl parity."""
+    import time as _time
     from urllib.parse import urljoin, urlsplit
 
-    for _ in range(max_redirects + 1):
+    for _hop in range(max_redirects + 1):
         s = urlsplit(url)
         if s.scheme not in ("http", "https") or not s.netloc:
             return None
-        if connect_to is not None:
-            cscheme, chost, cport = _parse_connect_to(connect_to)
-        else:
-            cscheme, chost, cport = s.scheme, s.hostname, s.port
-        key = (cscheme, chost, cport, s.netloc)
-        conn = conns.get(key)
-        try:
-            if conn is None:
-                cls = (
-                    http.client.HTTPSConnection
-                    if cscheme == "https"
-                    else http.client.HTTPConnection
-                )
-                conn = cls(chost, cport, timeout=timeout_s)
-                conns[key] = conn
-            path = s.path or "/"
-            if s.query:
-                path += "?" + s.query
-            conn.putrequest("GET", path, skip_host=True,
-                            skip_accept_encoding=True)
-            conn.putheader("Host", s.netloc)
-            conn.putheader("User-Agent", user_agent)
-            conn.putheader("Accept", "*/*")
-            conn.endheaders()
-            r = conn.getresponse()
-            body = r.read(max_bytes + 1)
-        except Exception:
-            try:
-                if conn is not None:
-                    conn.close()
-            finally:
-                conns.pop(key, None)
+        status = None
+        for attempt in range(retries + 1):
+            if attempt:
+                _time.sleep(backoff_s)
+            status, body, location = _request_once(
+                conns, s, user_agent, timeout_s, max_bytes, connect_to
+            )
+            if status is not None and not 500 <= status < 600:
+                break
+        if status is None or status == -1:
             return None
-        if len(body) > max_bytes or not r.isclosed():
-            # oversized / not fully drained: unread bytes would poison
-            # the keep-alive stream — the NEXT same-host request would
-            # see this response's tail. Retire the connection.
-            try:
-                conn.close()
-            finally:
-                conns.pop(key, None)
-            return None
-        if 300 <= r.status < 400 and r.getheader("Location"):
-            url = urljoin(url, r.getheader("Location"))
+        if 300 <= status < 400 and location:
+            url = urljoin(url, location)
             continue
-        if 200 <= r.status < 300:
+        if 200 <= status < 300:
             return body
         return None
     return None  # redirect loop
@@ -123,6 +171,8 @@ def fetch_pages_http(
     partitions: int | None = None,
     flush_rows: int = _FLUSH_ROWS,
     host_concurrency: int = 8,
+    retries: int = 1,
+    backoff_s: float = 0.5,
 ) -> DataFrame:
     """(url, host[, crawl_delay]) dispatch batch → (url, html, host) via
     pooled HTTP GETs. Each HOST fetches serially with the robots
@@ -131,9 +181,12 @@ def fetch_pages_http(
     DIFFERENT hosts proceed concurrently inside one task — a live
     crawl is latency-bound, and a partition holding many hosts would
     otherwise pay sum-of-hosts wall time instead of max (with per-host
-    politeness delays, the sum includes every sleep). Failed URLs emit
-    no row. Same output shape as the pages-table join, so the two
-    fetch paths are interchangeable."""
+    politeness delays, the sum includes every sleep). Transient
+    failures (transport errors, 5xx) retry up to ``retries`` times on
+    a fresh connection after ``backoff_s`` (retries=0 restores the
+    single-attempt curl parity); definitively failed URLs emit no row.
+    Same output shape as the pages-table join, so the two fetch paths
+    are interchangeable."""
     import concurrent.futures
     import time as _time
 
@@ -167,7 +220,8 @@ def fetch_pages_http(
                     _time.sleep(wait)
             last = _time.monotonic()
             body = _fetch_one(
-                conns, url, user_agent, timeout_s, max_bytes, connect_to
+                conns, url, user_agent, timeout_s, max_bytes, connect_to,
+                retries=retries, backoff_s=backoff_s,
             )
             if body is not None:
                 out.append((url, body))

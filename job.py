@@ -45,8 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("table", "http"),
                    help="http: live pooled-HTTP fetch of the dispatch "
                         "batch (operators/fetch.py) instead of the "
-                        "pages-table join; robots.txt is fetched live "
-                        "per seed host unless --robots-rules/"
+                        "pages-table join; robots.txt is fetched "
+                        "lazily per host — seeds and hosts discovered "
+                        "mid-crawl — and persisted under the "
+                        "checkpoint, unless --robots-rules/"
                         "--robots-bodies is given")
     p.add_argument("--connect-to", default=None,
                    help="scheme://host[:port] connection override for "
@@ -70,6 +72,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="parquet of (host, body) raw robots.txt bodies")
     p.add_argument("--agent", default="imgbot",
                    help="user-agent for robots group selection")
+    p.add_argument("--http-retries", type=int, default=1,
+                   help="--fetch-mode http: retries per request on "
+                        "transient failures (transport error / 5xx); "
+                        "0 = single-attempt curl parity")
+    p.add_argument("--robots-ttl", type=float, default=86400.0,
+                   help="--fetch-mode http: re-fetch a host's live "
+                        "robots.txt when its stored rules are older "
+                        "than this many seconds")
     p.add_argument("--host-budget", type=int, default=1)
     p.add_argument("--partitions", type=int, default=32,
                    help="seen-set salt shards / state write width")
@@ -239,40 +249,20 @@ def main(argv=None) -> int:
         robots = robots_rules_from_bodies(
             spark.read.parquet(args.robots_bodies), agent=args.agent
         )
-    elif args.fetch_mode == "http":
-        # live crawl with no pre-built rules: fetch robots.txt over the
-        # same pooled-HTTP path — for the seed hosts, and on --resume
-        # for every host still pending in the checkpoint (a resumed run
-        # has no seeds; silently dropping the rules would crawl with no
-        # delays and nothing ever disallowed)
-        from urllib.parse import urlsplit
-
-        from img_spark.operators.fetch import robots_http
-
-        host_set = {urlsplit(s).netloc for s in args.seeds}
-        if args.resume:
-            from img_spark import fsio
-            from img_spark.plans.crawl import read_pending
-
-            gens = [
-                int(fn[len("manifest-g"):-len(".json")])
-                for fn in fsio.listdir(args.checkpoint)
-                if fn.startswith("manifest-g") and fn.endswith(".json")
-            ]
-            if gens:
-                pending = read_pending(spark, args.checkpoint, max(gens))
-                host_set |= {
-                    r["host"]
-                    for r in pending.select("host").distinct().collect()
-                }
-        robots = robots_http(
-            spark,
-            sorted(host_set),
-            user_agent=args.agent,
-            connect_to=args.connect_to,
-        )
     else:
+        # fetch_mode='http' with no pre-built rules: the crawler
+        # fetches robots.txt LAZILY, executor-side, for seed hosts at
+        # init and for hosts discovered mid-crawl at enqueue time, and
+        # persists the rules under {checkpoint}/robots/ — so --resume
+        # needs no re-fetch and no driver-side host collection (the
+        # old bootstrap collected every pending host to the driver:
+        # unbounded at a 10^10-URL frontier)
         robots = robots_df(spark, [])
+    live_robots = (
+        args.fetch_mode == "http"
+        and not args.robots_rules
+        and not args.robots_bodies
+    )
 
     cfg = CrawlConfig(
         checkpoint_dir=args.checkpoint,
@@ -292,6 +282,9 @@ def main(argv=None) -> int:
         http_connect_to=args.connect_to,
         http_user_agent=args.agent,
         archive_dir=args.archive_dir,
+        live_robots=live_robots,
+        robots_ttl_s=args.robots_ttl,
+        http_retries=args.http_retries,
     )
     host_budgets = (
         spark.read.parquet(args.host_budgets).select("host", "budget")

@@ -64,6 +64,12 @@ def site_server():
         b"<urlset><url><loc>https://site-b.test/gallery</loc></url>"
         b"<url><loc>https://site-c.test/g/1</loc></url></urlset>"
     )
+    # flaky endpoints: fail the FIRST hit (500 / abrupt close), then
+    # serve normally — the per-request retry tests
+    site[("site-a.test", "/flaky-500")] = b"<html>flaky ok</html>"
+    site[("site-a.test", "/flaky-drop")] = b"<html>drop ok</html>"
+    site[("site-a.test", "/flaky-noretry")] = b"<html>nr</html>"
+    flaky_hits = {"/flaky-500": 0, "/flaky-drop": 0, "/flaky-noretry": 0}
     log = []
     lock = threading.Lock()
 
@@ -74,6 +80,17 @@ def site_server():
             host = self.headers.get("Host", "")
             with lock:
                 log.append((host, self.path, time.monotonic()))
+                if self.path in flaky_hits:
+                    flaky_hits[self.path] += 1
+                    if flaky_hits[self.path] == 1:
+                        if self.path == "/flaky-500":
+                            self.send_response(500)
+                            self.send_header("Content-Length", "0")
+                            self.end_headers()
+                        else:  # transport-level failure: no response
+                            self.close_connection = True
+                            self.connection.close()
+                        return
             if self.path == "/redir":
                 self.send_response(302)
                 self.send_header("Location", "/")
@@ -220,6 +237,56 @@ def test_oversized_body_does_not_poison_next_same_host_fetch(
     }
     assert "https://site-a.test/a-huge" not in got
     assert got["https://site-a.test/a1/1"] == want["https://site-a.test/a1/1"]
+
+
+def test_transient_failures_retry_once_definitive_do_not(
+    spark, site_server
+):
+    """A first-hit 500 and a first-hit connection drop both succeed on
+    the in-request retry (fresh connection); a 404 is definitive and is
+    NOT retried; already-succeeded URLs are not re-fetched (exactly one
+    server hit each)."""
+    connect, log = site_server
+    log.clear()
+    batch = spark.createDataFrame(
+        [("https://site-a.test/flaky-500", "site-a.test"),
+         ("https://site-a.test/flaky-drop", "site-a.test"),
+         ("https://site-a.test/a1/1", "site-a.test"),
+         ("https://site-a.test/404-nope", "site-a.test")],
+        "url string, host string",
+    )
+    got = {
+        r["url"]: bytes(r["html"])
+        for r in fetch_pages_http(
+            batch, connect_to=connect, partitions=1, backoff_s=0.05
+        ).collect()
+    }
+    assert got["https://site-a.test/flaky-500"] == b"<html>flaky ok</html>"
+    assert got["https://site-a.test/flaky-drop"] == b"<html>drop ok</html>"
+    assert "https://site-a.test/404-nope" not in got
+    hits = {}
+    for _h, p, _t in log:
+        hits[p] = hits.get(p, 0) + 1
+    assert hits["/flaky-500"] == 2      # failed once, retried once
+    assert hits["/flaky-drop"] == 2
+    assert hits["/a1/1"] == 1           # success never re-fetched
+    assert hits["/404-nope"] == 1       # definitive: no retry
+
+
+def test_retries_zero_is_single_attempt_curl_parity(spark, site_server):
+    """retries=0 restores the reference's single-attempt behavior: the
+    first-hit failure becomes a miss (→ fetch_failed downstream)."""
+    connect, log = site_server
+    log.clear()
+    batch = spark.createDataFrame(
+        [("https://site-a.test/flaky-noretry", "site-a.test")],
+        "url string, host string",
+    )
+    out = fetch_pages_http(
+        batch, connect_to=connect, retries=0, partitions=1
+    ).collect()
+    assert out == []
+    assert [p for _h, p, _t in log] == ["/flaky-noretry"]
 
 
 def test_second_level_live_fetch_honors_robots_delay(

@@ -1,0 +1,236 @@
+"""Live-mode lazy robots.txt (round-4 verdict item 1): a host
+discovered mid-crawl must have its robots.txt fetched before admission
+— its Disallow honored, its Crawl-delay pacing the dispatch — and the
+fetched rules must persist under the checkpoint (resume re-fetches
+nothing), with TTL-based refresh for long crawls."""
+
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from img_spark.operators.politeness import apply_robots_rules, robots_df
+from img_spark.plans.crawl import CrawlConfig, Crawler, read_frontier
+from img_spark.sources.site_config import rows_from_config
+from img_spark.sources.synthweb import PAGES_DDL
+
+CONFIG = rows_from_config([
+    {"Site": "host-x.test", "Img": "div.photo img", "Album": "div.alb a"},
+    {"Site": "host-y.test", "Img": "div.photo img"},
+])
+
+X_INDEX = (
+    b"<html><head><title>X Index</title></head><body>"
+    b'<div class="alb">'
+    b'<a href="https://host-y.test/p/1" title="P1">one</a>'
+    b'<a href="https://host-y.test/p/2" title="P2">two</a>'
+    b'<a href="https://host-y.test/p/3" title="P3">three</a>'
+    b'<a href="https://host-y.test/secret/1" title="S">secret</a>'
+    b"</div></body></html>"
+)
+
+
+def _y_page(n: int) -> bytes:
+    return (
+        b"<html><head><title>Y %d</title></head><body>"
+        b'<div class="photo"><img src="/img%d.jpg"></div>'
+        b"</body></html>" % (n, n)
+    )
+
+
+@pytest.fixture()
+def xy_server():
+    """Two-host loopback web: host-x links cross-host into host-y,
+    whose robots.txt (Disallow + Crawl-delay) only exists server-side —
+    the crawler can only learn it by fetching live. The ``site`` dict
+    is yielded mutable so tests can flip robots bodies mid-test."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    site = {
+        ("host-x.test", "/robots.txt"): b"User-agent: *\nAllow: /\n",
+        ("host-x.test", "/"): X_INDEX,
+        ("host-y.test", "/robots.txt"): (
+            b"User-agent: *\nDisallow: /secret\nAllow: /\nCrawl-delay: 0.4\n"
+        ),
+        ("host-y.test", "/p/1"): _y_page(1),
+        ("host-y.test", "/p/2"): _y_page(2),
+        ("host-y.test", "/p/3"): _y_page(3),
+        ("host-y.test", "/secret/1"): b"<html>never fetched</html>",
+    }
+    log = []
+    lock = threading.Lock()
+
+    class H(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def do_GET(self):
+            host = self.headers.get("Host", "")
+            with lock:
+                log.append((host, self.path, time.monotonic()))
+            body = site.get((host, self.path))
+            if body is None:
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}", site, log
+    srv.shutdown()
+
+
+def _crawler(spark, ckpt, connect, **cfg_kw):
+    kw = dict(
+        checkpoint_dir=ckpt, partitions=4, host_budget=5,
+        fetch_mode="http", http_connect_to=connect, live_robots=True,
+    )
+    kw.update(cfg_kw)
+    return Crawler(
+        spark,
+        spark.createDataFrame([], PAGES_DDL),
+        CONFIG,
+        robots_df(spark, []),  # no static rules: everything is live
+        CrawlConfig(**kw),
+    )
+
+
+def _robots_hits(log, host):
+    return [t for h, p, t in log if h == host and p == "/robots.txt"]
+
+
+def test_mid_crawl_host_gets_robots_disallow_and_pacing(
+    spark, xy_server, tmp_path
+):
+    """host-y is only discoverable via host-x's album links at
+    generation 1; its live-fetched rules must (a) mark /secret/1
+    disallowed at enqueue, (b) pace the generation-2 dispatch at
+    Crawl-delay 0.4, and (c) be fetched exactly once per host."""
+    connect, _site, log = xy_server
+    ckpt = str(tmp_path / "ck")
+    c = _crawler(spark, ckpt, connect)
+    c.run(seeds=["https://host-x.test/"])
+
+    assert len(_robots_hits(log, "host-x.test")) == 1
+    assert len(_robots_hits(log, "host-y.test")) == 1
+
+    frontier = read_frontier(spark, ckpt, c.generation)
+    by_status = {
+        s: {r["url"] for r in rows.collect()}
+        for s, rows in (
+            (s, frontier.filter(F.col("status") == s))
+            for s in ("fetched", "disallowed")
+        )
+    }
+    assert by_status["disallowed"] == {"https://host-y.test/secret/1"}
+    assert by_status["fetched"] == {
+        "https://host-x.test/",
+        "https://host-y.test/p/1",
+        "https://host-y.test/p/2",
+        "https://host-y.test/p/3",
+    }
+    # the pending rows host-y produced carried the live crawl_delay
+    # into dispatch: server-side spacing of the /p/* fetches ≥ ~0.4s
+    times = sorted(t for h, p, t in log if p.startswith("/p/"))
+    assert len(times) == 3
+    gaps = [b - a for a, b in zip(times, times[1:])]
+    assert all(g >= 0.3 for g in gaps), gaps
+
+
+def test_rules_persist_in_checkpoint_and_resume_refetches_nothing(
+    spark, xy_server, tmp_path
+):
+    """The lazily fetched rules are checkpoint state: a NEW Crawler on
+    the same checkpoint rebuilds the broadcast table from the robots
+    store — zero robots.txt re-fetches, Disallow still enforced."""
+    connect, _site, log = xy_server
+    ckpt = str(tmp_path / "ck")
+    c = _crawler(spark, ckpt, connect)
+    c.run(seeds=["https://host-x.test/"])
+    n_robots = len([1 for _h, p, _t in log if p == "/robots.txt"])
+
+    c2 = _crawler(spark, ckpt, connect)  # fresh process, same checkpoint
+    probe = spark.createDataFrame(
+        [("https://host-y.test/secret/9", "host-y.test"),
+         ("https://host-y.test/p/9", "host-y.test")],
+        "url string, host string",
+    )
+    out = {
+        r["url"]: (r["allowed"], r["crawl_delay"])
+        for r in apply_robots_rules(probe, c2._robots_rules).collect()
+    }
+    assert out["https://host-y.test/secret/9"] == (False, 0.4)
+    assert out["https://host-y.test/p/9"] == (True, 0.4)
+    assert len([1 for _h, p, _t in log if p == "/robots.txt"]) == n_robots
+
+
+def test_ttl_expiry_refetches_and_newest_rules_win(
+    spark, xy_server, tmp_path
+):
+    """robots_ttl_s=0 makes every stored rule stale: a second ensure
+    re-fetches, and a server-side rule flip (allow-all → disallow-all)
+    is picked up — newest delta wins in the rebuilt broadcast table.
+    With the default TTL the same call is a no-op (freshness index)."""
+    connect, site, log = xy_server
+    c = _crawler(
+        spark, str(tmp_path / "ck"), connect, robots_ttl_s=0.0
+    )
+    hosts = spark.createDataFrame([("host-y.test",)], "host string")
+    c._ensure_robots(hosts)
+    assert len(_robots_hits(log, "host-y.test")) == 1
+
+    site[("host-y.test", "/robots.txt")] = b"User-agent: *\nDisallow: /\n"
+    c._ensure_robots(hosts)
+    assert len(_robots_hits(log, "host-y.test")) == 2
+    probe = spark.createDataFrame(
+        [("https://host-y.test/p/1", "host-y.test")], "url string, host string"
+    )
+    row = apply_robots_rules(probe, c._robots_rules).collect()[0]
+    assert row["allowed"] is False
+
+    # same store, fresh-rules regime: no third fetch
+    c.cfg.robots_ttl_s = 86400.0
+    c._reload_robots()
+    c._ensure_robots(hosts)
+    assert len(_robots_hits(log, "host-y.test")) == 2
+
+
+def test_static_rules_are_authoritative_over_live(
+    spark, xy_server, tmp_path
+):
+    """A host present in the static robots table is never fetched live
+    and its static rules win even after other hosts' deltas land."""
+    connect, _site, log = xy_server
+    c = Crawler(
+        spark,
+        spark.createDataFrame([], PAGES_DDL),
+        CONFIG,
+        robots_df(spark, [("host-y.test", "/", True, 9.9)]),
+        CrawlConfig(
+            checkpoint_dir=str(tmp_path / "ck"), partitions=4,
+            fetch_mode="http", http_connect_to=connect, live_robots=True,
+        ),
+    )
+    c._ensure_robots(
+        spark.createDataFrame(
+            [("host-y.test",), ("host-x.test",)], "host string"
+        )
+    )
+    assert _robots_hits(log, "host-y.test") == []  # static: not fetched
+    assert len(_robots_hits(log, "host-x.test")) == 1
+    probe = spark.createDataFrame(
+        [("https://host-y.test/secret/1", "host-y.test")],
+        "url string, host string",
+    )
+    row = apply_robots_rules(probe, c._robots_rules).collect()[0]
+    assert (row["allowed"], row["crawl_delay"]) == (True, 9.9)
