@@ -313,6 +313,7 @@ def sitemap_seeds(
     timeout_s: float = 10.0,
     max_depth: int = 3,
     max_index_fanout: int = 10_000,
+    max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Seed discovery from sitemaps: fetch the given sitemap URLs
     (``https://<host>/sitemap.xml`` is the conventional entry; robots
@@ -320,6 +321,10 @@ def sitemap_seeds(
     indirections up to ``max_depth``, and return the distinct page
     URLs as a one-column ``url`` DataFrame — feed it to
     ``Crawler.init``/job.py as the frontier's generation 0.
+
+    ``max_bytes`` defaults to 64 MB — above the protocol's own 50 MB
+    sitemap limit (the page fetcher's 8 MB default would silently turn
+    every large sitemap into zero seeds).
 
     Scale shape: sitemap BODIES (up to 50 MB each) parse in executors
     — only the parsed LOCATION STRINGS reach the driver, once per
@@ -355,7 +360,7 @@ def sitemap_seeds(
             spark.createDataFrame([(u,) for u in current], "url string")
             .withColumn("host", host_of(F.col("url"))),
             user_agent=user_agent, timeout_s=timeout_s,
-            connect_to=connect_to,
+            connect_to=connect_to, max_bytes=max_bytes,
         )
         parsed = got.select("html").mapInPandas(
             parse_udf, schema="kind string, loc string"

@@ -126,6 +126,7 @@ def write_warc_archives(
     out_dir: str,
     status: int = 200,
     content_type: str = "text/html",
+    roll_bytes: int = 64 << 20,
 ) -> int:
     """Archive a (url, warc_ts, html[, ...]) DataFrame as WARC files —
     the write side of ``sources/warc.py`` (a live crawl that only
@@ -147,8 +148,13 @@ def write_warc_archives(
     inverse conversion, so write→read roundtrips are identity in any
     session timezone.
 
-    Scale shape: pure per-partition work, zero shuffle; file count =
-    partition count (repartition upstream to size archives)."""
+    Scale shape: pure per-partition work, zero shuffle; a partition
+    ROLLS to a fresh ``part-<uuid>.warc.gz`` whenever the buffered
+    payload passes ``roll_bytes`` (mirroring the readers' bounded-batch
+    discipline — without this, peak task memory is ~2× the partition's
+    total payload: the row buffer plus build_warc's concatenation), so
+    file count = partitions + payload/roll_bytes and task memory is
+    O(roll_bytes), not O(partition)."""
     import uuid as _uuid
 
     from img_spark import fsio
@@ -159,19 +165,30 @@ def write_warc_archives(
     ) or "UTC"
 
     def run(batches):
-        rows = []
+        rows, buffered, n = [], 0, 0
+
+        def flush():
+            nonlocal rows, buffered
+            if rows:
+                name = f"part-{_uuid.uuid4().hex}.warc.gz"
+                fsio.write_bytes_atomic(
+                    fsio.join(out_dir, name),
+                    build_warc(rows, content_type=content_type),
+                )
+            rows, buffered = [], 0
+
         for pdf in batches:
             for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
                 if html is None:
                     continue
-                rows.append((url, ts.to_pydatetime(), bytes(html), status))
-        if rows:
-            name = f"part-{_uuid.uuid4().hex}.warc.gz"
-            fsio.write_bytes_atomic(
-                fsio.join(out_dir, name),
-                build_warc(rows, content_type=content_type),
-            )
-        yield pd.DataFrame({"n": [len(rows)]})
+                body = bytes(html)
+                rows.append((url, ts.to_pydatetime(), body, status))
+                buffered += len(body)
+                n += 1
+                if buffered >= roll_bytes:
+                    flush()
+        flush()
+        yield pd.DataFrame({"n": [n]})
 
     counts = (
         pages.select(

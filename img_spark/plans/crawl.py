@@ -243,11 +243,13 @@ class CrawlConfig:
     # 0 for one generation (pending rows held, not lost; self-clearing
     # — see Crawler._backoff_budgets)
     backoff_failures: int = 0
-    # fetch_mode='http' only: archive each generation's fetched bodies
-    # as WARC files under {archive_dir}/g{g}/ (operators.sink.
-    # write_warc_archives) — a live crawl that extracts and discards
-    # its fetches cannot be re-processed; with this set, the crawl
-    # PRODUCES the same archives the WARC source consumes
+    # archive each generation's fetched bodies as WARC files under
+    # {archive_dir}/g{g}/ (operators.sink.write_warc_archives) — a live
+    # crawl that extracts and discards its fetches cannot be
+    # re-processed; with this set, the crawl PRODUCES the same archives
+    # the WARC source consumes. Works in BOTH fetch modes: live fetches
+    # are stamped with the fetch time, table-mode re-crawls keep the
+    # pages table's original warc_ts capture timestamps.
     archive_dir: str | None = None
     # fetch_mode='http': fetch robots.txt LAZILY (executor-side, pooled)
     # for every host with no stored rules — seed hosts at init, hosts
@@ -595,24 +597,45 @@ class Crawler:
             pages = pages.filter(F.col(PAGES_BUCKET_COL).isin(mods))
         fetched_cache = None
         if self.cfg.fetch_mode == "http":
+            from pyspark import StorageLevel
+
             fetched = self._fetch_http(
                 dispatch.select("url", "host", "crawl_delay")
             )
-            if self.cfg.archive_dir:
-                # persist: the archive write materializes the HTTP
-                # fetch; extraction below reuses the cache (ONE fetch
-                # per URL per generation, archived or not)
-                from img_spark.operators.sink import write_warc_archives
-
-                fetched = fetched_cache = fetched.persist()
-                write_warc_archives(
-                    fetched.withColumn("warc_ts", F.current_timestamp()),
-                    fsio.join(self.cfg.archive_dir, f"g{g}"),
-                )
+            # persist UNCONDITIONALLY (disk-backed): the extracted and
+            # state sinks are two concurrent consumers, and a task
+            # retry or cache eviction must never re-execute a live
+            # fetch mid-generation — re-hitting hosts breaks pacing
+            # and a replayed fetch can return different rows on
+            # shuffle replay (ONE fetch per URL per generation,
+            # archived or not)
+            fetched = fetched_cache = fetched.persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
         else:
-            fetched = pages.select("url", "html").join(
+            # the scan reads warc_ts only when archiving needs it —
+            # otherwise column pruning keeps the fetch join two-column
+            cols = ["url", "html"] + (
+                ["warc_ts"] if self.cfg.archive_dir else []
+            )
+            fetched = pages.select(*cols).join(
                 F.broadcast(dispatch.select("url", "host")), "url", "inner"
             )
+        if self.cfg.archive_dir:
+            from img_spark.operators.sink import write_warc_archives
+
+            if fetched_cache is None:
+                # table mode: the archive write and the extraction are
+                # two consumers — persist so pages is scanned once
+                fetched = fetched_cache = fetched.persist()
+            arch = fetched
+            if "warc_ts" not in arch.columns:
+                # live fetch: capture time IS the fetch time
+                arch = arch.withColumn("warc_ts", F.current_timestamp())
+            write_warc_archives(
+                arch, fsio.join(self.cfg.archive_dir, f"g{g}")
+            )
+            fetched = fetched.drop("warc_ts")
         withcfg = attach_site_config(fetched, self._cfg_col)
 
         results = extract_pages(withcfg, album_policy=self.cfg.album_policy)

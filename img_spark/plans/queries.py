@@ -1195,18 +1195,44 @@ FROM e
 
 
 def q_token_count_bpe(spark, sf_dir):
-    """BPE-ish pre-tokenizer token count (training-budget estimator)."""
-    from img_spark.operators.textquality import token_count_bpe_regex
+    """BPE token counting, BOTH branches under the driver gate: the
+    expression-only pre-tokenizer estimator (n_bpe_tokens) AND the
+    REAL greedy lowest-rank merge loop (n_bpe_real) with the demo
+    merges file [("e","r"), ("er","s")] loaded from disk (round-4
+    verdict item 7). The oracle reproduces the real branch in closed
+    form: with exactly these two rules, every literal "er" merges (an
+    "er" match cannot be shadowed by an overlapping earlier match —
+    the pattern's first char 'e' differs from its last char 'r') and
+    every literal "ers" then merges (er,s); both pairs only ever form
+    from those literals, and letters never split across pre-tokenizer
+    pieces, so tokens = chars − count("er") − count("ers"). Pinned
+    against the merge loop on adversarial strings in
+    tests/test_dataops.py."""
+    import os
 
+    from img_spark.operators.textquality import (
+        load_bpe_merges,
+        token_count_bpe,
+        token_count_bpe_regex,
+    )
+
+    merges = load_bpe_merges(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "resources", "bpe_merges_demo.txt",
+    ))
     return _docs(spark, sf_dir).select(
-        "doc_id", token_count_bpe_regex(F.col("text")).alias("n_bpe_tokens")
+        "doc_id",
+        token_count_bpe_regex(F.col("text")).alias("n_bpe_tokens"),
+        token_count_bpe(F.col("text"), merges).alias("n_bpe_real"),
     )
 
 
 SQL_TOKEN_COUNT_BPE = r"""
 SELECT doc_id,
   len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+'))
-    AS n_bpe_tokens
+    AS n_bpe_tokens,
+  length(text) - len(regexp_extract_all(text, 'er'))
+               - len(regexp_extract_all(text, 'ers')) AS n_bpe_real
 FROM documents
 """
 

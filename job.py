@@ -55,9 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "--fetch-mode http (curl --resolve pattern; "
                         "tests/canaries)")
     p.add_argument("--archive-dir", default=None,
-                   help="--fetch-mode http: archive each generation's "
-                        "fetched bodies as WARC under DIR/g{g}/ "
-                        "(re-processable crawl output, the layout the "
+                   help="archive each generation's fetched bodies as "
+                        "WARC under DIR/g{g}/ (both fetch modes; "
+                        "re-processable crawl output, the layout the "
                         "WARC source reads)")
     p.add_argument("--pages-format", default="auto",
                    choices=("auto", "table", "warc"),

@@ -737,6 +737,37 @@ def test_seen_blob_gc_on_compaction(spark, tmp_path_factory):
             c3.resume(generation=min(pruned_gens))
 
 
+def test_table_mode_crawl_archives_warc(spark, tmp_path):
+    """``archive_dir`` works for TABLE-mode crawls too (a re-crawl of
+    an existing pages table can re-archive what it fetched): bodies
+    byte-identical to the pages table, the table's ORIGINAL warc_ts
+    capture timestamps preserved, and the output round-trips through
+    the WARC source."""
+    from img_spark.sources.warc import read_warc_pages
+
+    arch = str(tmp_path / "arch")
+    c = make_crawler(spark, tmp_path / "ck", archive_dir=arch)
+    c.run(seeds=FIXTURE_SEEDS)
+    pages = {
+        r["url"]: (bytes(r["html"]), r["warc_ts"])
+        for r in fixture_pages_df(spark).collect()
+    }
+    got = {
+        r["url"]: (bytes(r["html"]), r["warc_ts"])
+        for r in read_warc_pages(spark, arch + "/g*/*.warc.gz").collect()
+    }
+    fetched = {
+        r["url"]
+        for r in read_frontier(
+            spark, c.cfg.checkpoint_dir, c.generation
+        ).filter(F.col("status") == "fetched").collect()
+    }
+    assert set(got) == fetched and len(fetched) > 0
+    for u, (html, ts) in got.items():
+        assert html == pages[u][0], u
+        assert ts == pages[u][1], u
+
+
 def test_warc_source_roundtrip_and_crawl(spark, tmp_path):
     """WARC connector: a multi-member-gzip archive (the Common Crawl
     layout) reads back into the pages schema byte-exactly — and the

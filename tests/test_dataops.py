@@ -286,6 +286,37 @@ def test_bpe_vocab_real_merges_and_fallback(spark, tmp_path):
     assert all(r["a"] == r["b"] for r in est)
 
 
+def test_bpe_demo_merges_closed_form_equivalence(spark):
+    """The driver query's oracle rests on a closed form: with merges
+    [("e","r"), ("er","s")] the REAL greedy loop's token count equals
+    chars − count("er") − count("ers") (non-overlapping counts). Pin
+    the equivalence on the adversarial shapes the proof worries about
+    (overlap, rank ordering, piece boundaries, repeated runs)."""
+    import re
+
+    from img_spark.operators.textquality import token_count_bpe
+
+    merges = [("e", "r"), ("er", "s")]
+    texts = [
+        "er", "ers", "erser", "serser", "erers", "eers", "errs", "rer",
+        "erse", "ererer", "eererr", "the worker reuses erasers",
+        "ER er Er", "e r s", "ers!ers? er-s", "  er   ers ", "", "sss",
+        "user's browsers err; versers rehearse", "ersersers",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", token_count_bpe(F.col("text"), merges).alias("n")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        want = len(t) - len(re.findall("er", t)) - len(re.findall("ers", t))
+        assert got[i] == want, (t, got[i], want)
+
+
 def test_lang_id_model_hook(spark):
     """A plugged batch classifier runs Arrow-batched and its labels
     come through verbatim; rows reach it in order."""
