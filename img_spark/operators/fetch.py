@@ -374,6 +374,56 @@ def sitemap_seeds(
     )
 
 
+def robots_sitemap_urls(
+    spark,
+    hosts,
+    user_agent: str = "imgbot/1.0",
+    scheme: str = "https",
+    connect_to: str | None = None,
+    timeout_s: float = 10.0,
+) -> DataFrame:
+    """Discover sitemap entry points from robots.txt ``Sitemap:`` lines
+    (the sitemaps protocol's own discovery mechanism): fetch each
+    host's robots.txt through the pooled path and return the declared
+    sitemap URLs as a one-column ``url`` DataFrame — feed it to
+    ``sitemap_seeds`` to bootstrap a frontier from nothing but a host
+    list. Hosts without robots.txt (or without Sitemap lines)
+    contribute nothing. Parsing runs executor-side."""
+    import pandas as pd
+
+    if not isinstance(hosts, DataFrame):
+        hosts = spark.createDataFrame(
+            [(h,) for h in hosts], "host string"
+        )
+    urls = hosts.select("host").distinct().select(
+        F.concat(
+            F.lit(scheme + "://"), F.col("host"), F.lit("/robots.txt")
+        ).alias("url"),
+        "host",
+    )
+    got = fetch_pages_http(
+        urls, user_agent=user_agent, timeout_s=timeout_s,
+        connect_to=connect_to,
+    )
+
+    def run(pdfs):
+        from img_spark.operators.politeness import parse_robots_sitemaps
+
+        for pdf in pdfs:
+            out = []
+            for body in pdf["html"]:
+                if body is None:
+                    continue
+                out.extend(
+                    parse_robots_sitemaps(
+                        bytes(body).decode("utf-8", "replace")
+                    )
+                )
+            yield pd.DataFrame({"url": out})
+
+    return got.select("html").mapInPandas(run, schema="url string").distinct()
+
+
 def robots_http(
     spark,
     hosts,

@@ -86,6 +86,22 @@ def parse_robots_txt(body: str, agent: str = "*") -> list:
     return [(p, allow, best[1]) for p, allow in best[0]]
 
 
+def parse_robots_sitemaps(body: str) -> list:
+    """Extract ``Sitemap:`` URLs from a robots.txt body. Per the
+    sitemaps protocol these lines are global (not scoped to any
+    user-agent group), so this is a plain line scan — the crawler's
+    seed-discovery entry (``Sitemap:`` in robots → sitemap_seeds)."""
+    out = []
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, _, val = line.partition(":")
+        if key.strip().lower() == "sitemap":
+            val = val.strip()
+            if val:
+                out.append(val)
+    return out
+
+
 def robots_rules_from_bodies(df: DataFrame, agent: str = "*") -> DataFrame:
     """Arrow mapInPandas over a (host, body) table of fetched robots.txt
     files → the ROBOTS_DDL rules table that apply_robots broadcasts.

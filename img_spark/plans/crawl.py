@@ -417,6 +417,35 @@ class Crawler:
         fsio.write_bytes_atomic(fsio.join(out, "_SUCCESS"), b"")
         self._reload_robots()
 
+    def _compact_robots_store(self) -> None:
+        """Fold the live-robots delta dirs into ONE dir (newest rules
+        per host, original fetched_at preserved so TTL semantics are
+        unchanged) and prune the superseded deltas — without this a
+        10^4-generation live crawl accumulates O(generations) delta
+        dirs that every ``_reload_robots`` must list and open. Crash
+        safety mirrors the frontier compaction: the merged dir commits
+        (with _SUCCESS) before anything is deleted, and a crash
+        between commit and prune only leaves duplicate rows that the
+        newest-per-host selection collapses on the next reload."""
+        if not self._live_robots:
+            return
+        dirs = self._robots_store_dirs()
+        if len(dirs) <= 1:
+            return
+        store = self.spark.read.schema(ROBOTS_STORE_DDL).parquet(
+            *[p for _, p in dirs]
+        )
+        newest = store.groupBy("host").agg(
+            F.max("fetched_at").alias("fetched_at")
+        )
+        merged = store.join(newest, ["host", "fetched_at"], "left_semi")
+        out = self._p("robots", f"d{dirs[-1][0] + 1}")
+        merged.write.mode("overwrite").parquet(out)
+        fsio.write_bytes_atomic(fsio.join(out, "_SUCCESS"), b"")
+        for _, p in dirs:
+            fsio.rmtree(p)
+        self._reload_robots()
+
     def _manifest_path(self, g: int) -> str:
         return self._p(f"manifest-g{g}.json")
 
@@ -1084,6 +1113,7 @@ class Crawler:
         overwrites; nothing is ever pruned on the strength of an
         uncommitted compaction."""
         g = self.generation
+        self._compact_robots_store()
         floor = _compaction_floor(self.cfg.checkpoint_dir)
         if floor > g:
             # already compacted through this generation — a second call

@@ -27,8 +27,13 @@ def engine_defaults(builder, shuffle_partitions: int | None = None):
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # html blobs dominate bytes; keep Arrow batches modest so a batch of
-        # pages fits comfortably in the Python worker (SURVEY.md §7.8)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # pages fits comfortably in the Python worker (SURVEY.md §7.8).
+        # Round-5 sweep on the 772k-page corpus at local[32], 3 reps each:
+        # 10000→~52k urls/s, 4096→~54k, 2048→~68k, 1024→~65k (and 2048
+        # beats 10000 ~27.1k vs ~23.6k at local[8]) — ~6 MB of html per
+        # batch pipelines the Arrow transfer against the parse kernel
+        # without the memory pressure of 30 MB default-sized batches
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("IMG_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -37,6 +37,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "these sitemap URLs (following <sitemapindex> "
                         "indirections), union the page URLs into "
                         "--seeds")
+    p.add_argument("--seeds-from-robots", nargs="*", default=[],
+                   metavar="HOST",
+                   help="discover sitemap entry points from these "
+                        "hosts' robots.txt Sitemap: lines and union "
+                        "them into --seeds-from-sitemaps (frontier "
+                        "bootstrap from nothing but a host list)")
     p.add_argument("--pages", default=None,
                    help="pages table: parquet path, Iceberg identifier, "
                         "or WARC file/glob (required unless "
@@ -123,7 +129,8 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if (
         not args.resume and not args.seeds
-        and not args.seeds_from_sitemaps and not args.materialize_pages
+        and not args.seeds_from_sitemaps and not args.seeds_from_robots
+        and not args.materialize_pages
     ):
         print("error: --seeds required unless --resume", file=sys.stderr)
         return 2
@@ -151,6 +158,21 @@ def main(argv=None) -> int:
         SparkSession.builder.appName("img-spark-crawl"),
         shuffle_partitions=args.partitions,
     ).getOrCreate()
+
+    if args.seeds_from_robots:
+        from img_spark.operators.fetch import robots_sitemap_urls
+
+        sm = [
+            r["url"]
+            for r in robots_sitemap_urls(
+                spark, args.seeds_from_robots,
+                user_agent=args.agent, connect_to=args.connect_to,
+            ).collect()
+        ]
+        print(json.dumps({"robots_sitemaps": len(sm)}), flush=True)
+        args.seeds_from_sitemaps = sorted(
+            set(args.seeds_from_sitemaps) | set(sm)
+        )
 
     if args.seeds_from_sitemaps:
         from img_spark.operators.fetch import sitemap_seeds

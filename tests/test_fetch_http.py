@@ -42,7 +42,10 @@ def site_server():
         b"User-agent: *\nDisallow: /private\nAllow: /\n"
     )
     site[("site-b.test", "/robots.txt")] = b"User-agent: *\nAllow: /\n"
-    site[("site-c.test", "/robots.txt")] = b"User-agent: *\nAllow: /\n"
+    site[("site-c.test", "/robots.txt")] = (
+        b"User-agent: *\nAllow: /\n"
+        b"Sitemap: https://site-a.test/sitemap.xml  # discovery entry\n"
+    )
     # oversized page for the connection-poisoning test ('/a-huge' sorts
     # before '/a1/1', so it is fetched first on its host)
     site[("site-a.test", "/a-huge")] = b"<html>" + b"x" * 65536 + b"</html>"
@@ -213,6 +216,37 @@ def test_sitemap_seed_discovery(spark, site_server):
         "https://site-b.test/gallery",
         "https://site-c.test/g/1",
     }
+
+
+def test_robots_sitemap_discovery_feeds_sitemap_seeds(spark, site_server):
+    """robots.txt ``Sitemap:`` lines (the protocol's own discovery
+    mechanism) surface as sitemap entry points — composed with
+    sitemap_seeds, a frontier bootstraps from nothing but a host list;
+    hosts without robots.txt (or without Sitemap lines) contribute
+    nothing, and comments/spacing are tolerated."""
+    from img_spark.operators.fetch import robots_sitemap_urls, sitemap_seeds
+    from img_spark.operators.politeness import parse_robots_sitemaps
+
+    assert parse_robots_sitemaps(
+        "User-agent: *\n# c\nSITEMAP:  https://h/x.xml \nSitemap:\nAllow: /\n"
+    ) == ["https://h/x.xml"]
+
+    connect, _log = site_server
+    entries = robots_sitemap_urls(
+        spark,
+        ["site-c.test", "site-b.test", "site-d.test", "unreachable.test"],
+        connect_to=connect,
+    )
+    got = {r["url"] for r in entries.collect()}
+    assert got == {"https://site-a.test/sitemap.xml"}
+    seeds = {
+        r["url"]
+        for r in sitemap_seeds(
+            spark, sorted(got), connect_to=connect
+        ).collect()
+    }
+    assert "https://site-a.test/a1/1?x=1&y=2" in seeds
+    assert "https://site-b.test/gallery" in seeds
 
 
 def test_oversized_body_does_not_poison_next_same_host_fetch(

@@ -205,6 +205,45 @@ def test_ttl_expiry_refetches_and_newest_rules_win(
     assert len(_robots_hits(log, "host-y.test")) == 2
 
 
+def test_robots_store_compaction_folds_deltas_newest_wins(
+    spark, xy_server, tmp_path
+):
+    """_compact_robots_store merges the per-fetch delta dirs into one
+    (a 10^4-generation live crawl must not accumulate O(generations)
+    dirs): newest rules per host survive with their original
+    fetched_at, superseded deltas are pruned, and the freshness index
+    still prevents re-fetches afterwards."""
+    connect, site, log = xy_server
+    c = _crawler(spark, str(tmp_path / "ck"), connect, robots_ttl_s=0.0)
+    hosts_y = spark.createDataFrame([("host-y.test",)], "host string")
+    hosts_x = spark.createDataFrame([("host-x.test",)], "host string")
+    c._ensure_robots(hosts_y)                                    # d0
+    site[("host-y.test", "/robots.txt")] = b"User-agent: *\nDisallow: /\n"
+    c._ensure_robots(hosts_y)                                    # d1
+    c._ensure_robots(hosts_x)                                    # d2
+    assert len(c._robots_store_dirs()) == 3
+
+    c.cfg.robots_ttl_s = 86400.0
+    c._compact_robots_store()
+    assert len(c._robots_store_dirs()) == 1
+
+    probe = spark.createDataFrame(
+        [("https://host-y.test/p/1", "host-y.test"),
+         ("https://host-x.test/", "host-x.test")],
+        "url string, host string",
+    )
+    out = {
+        r["url"]: r["allowed"]
+        for r in apply_robots_rules(probe, c._robots_rules).collect()
+    }
+    assert out["https://host-y.test/p/1"] is False   # newest delta won
+    assert out["https://host-x.test/"] is True
+    n = len([1 for _h, p, _t in log if p == "/robots.txt"])
+    c._ensure_robots(hosts_y)
+    c._ensure_robots(hosts_x)
+    assert len([1 for _h, p, _t in log if p == "/robots.txt"]) == n
+
+
 def test_static_rules_are_authoritative_over_live(
     spark, xy_server, tmp_path
 ):
