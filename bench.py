@@ -435,11 +435,15 @@ def run_scaling():
         # count: the hardware parse ceiling measured next to the
         # engine number it normalizes — the per-level engine/kernel
         # ratio is what attributes efficiency loss to the machine
-        # (DRAM bandwidth) vs the engine (round-4 verdict item 5)
-        kn, kdt = kernel_control(
-            spark, corpus, SCALING_PARAMS_BIG["hosts"], procs=cpus
-        )
-        kernel_pps = round(kn / kdt, 1)
+        # (DRAM bandwidth) vs the engine (round-4 verdict item 5).
+        # Best-of-2, matching the engine's best-of-2 above — an
+        # asymmetric single kernel run would bias the ratio upward.
+        kernel_pps = 0.0
+        for _ in range(2):
+            kn, kdt = kernel_control(
+                spark, corpus, SCALING_PARAMS_BIG["hosts"], procs=cpus
+            )
+            kernel_pps = max(kernel_pps, round(kn / kdt, 1))
         results[cpus] = {
             "pages": int(pages_n), "sec": round(dt, 2),
             "urls_per_sec": round(pages_n / dt, 1),
@@ -461,6 +465,21 @@ def run_scaling():
         (results[32]["kernel_pages_per_sec"]
          / results[8]["kernel_pages_per_sec"]) / 4.0, 3
     )
+    # data-dependent narrative: only claim the engine outruns the
+    # bare-kernel control when this window actually measured it
+    ratio_note = ""
+    if results[32]["engine_over_kernel"] > 1.0:
+        ratio_note = (
+            " The >1.0 ratio at 32 cores is real, not an artifact: the"
+            " engine's scan/decompress/Arrow-encode work runs in JVM"
+            " threads alongside the Python parse workers, so the"
+            " engine taps compute the pure-Python control cannot —"
+            " at 32 cores the engine is past the bare-kernel ceiling"
+            " and the residual 8→32 loss is machine bandwidth, not"
+            " framework overhead. (The control's own 32-proc rate"
+            " swings more run-to-run than the engine's — treat the"
+            " @32 ratio as directional, not precise.)"
+        )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling evidence (sandbox protocol, BASELINE.md)
@@ -486,12 +505,7 @@ Supplementary 8→32 efficiency = {eff_8_32} (engine) vs {keff_8_32}
 (bare kernel, the DRAM-bandwidth ceiling measured in the same
 window) — the engine-attributable share of the 8→32 loss is the gap
 between those two columns, and the per-level engine÷kernel ratio
-above shows where it opens. A ratio above 1.0 at high core counts is
-real, not an artifact: the engine's scan/decompress/Arrow-encode work
-runs in JVM threads alongside the Python parse workers, so the engine
-taps compute the pure-Python control cannot — i.e. at 32 cores the
-engine is past the bare-kernel ceiling and the residual 8→32 loss is
-machine bandwidth, not framework overhead.
+above shows where it opens.{ratio_note}
 
 ## Cross-run variance (shared sandbox host)
 
@@ -521,13 +535,14 @@ The extraction workload is Python-string/DOM-parse heavy and becomes
 DRAM-bandwidth-bound before 32 processes. The same-window kernel
 columns in the table above ARE the hardware ceiling (bare
 ``multiprocessing`` of the identical kernel, pre-collected pages,
-parse-only timing): kernel 2→8 = {keff} vs 8→32 = {keff_8_32} — even
-with zero framework overhead, 8→32 on this machine is capped well
-below 1.0; the ceiling is physical, not architectural. In the 2→8
-regime (below bandwidth saturation) the engine's measured Spark
-efficiency is the architectural signal; on a real multi-executor
-cluster each executor brings its own memory bandwidth, so the
-per-node regime is the representative one.
+parse-only timing): this window measured kernel 2→8 = {keff} and
+8→32 = {keff_8_32} — the kernel's own 8→32 number is what zero
+framework overhead achieves on this machine in this window, so any
+engine 8→32 shortfall beyond it is physical, not architectural. In
+the 2→8 regime (below bandwidth saturation) the engine's measured
+Spark efficiency is the architectural signal; on a real
+multi-executor cluster each executor brings its own memory
+bandwidth, so the per-node regime is the representative one.
 
 Input is host-salted at generation time (host 0 carries a bounded
 skewed share; AQE skew handling enabled as defense in depth). The

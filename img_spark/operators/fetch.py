@@ -120,15 +120,17 @@ def _fetch_one(
     max_redirects: int = 3,
     retries: int = 1,
     backoff_s: float = 0.5,
+    crawl_delay: float = 0.0,
 ):
     """GET one URL over a pooled connection, following ≤ max_redirects
     redirects. TRANSIENT failures — transport errors (connect/reset/
     timeout) and 5xx — are retried up to ``retries`` times per hop on
-    a fresh connection after a ``backoff_s`` sleep (the sleep runs
-    inside the host's serial loop, so it only ever ADDS to the
-    politeness spacing). Definitive answers (2xx/3xx/4xx, oversized
-    body) are never retried. Returns body bytes for a 2xx, None
-    otherwise — the caller's anti-join turns None into fetch_failed.
+    a fresh connection after sleeping ``max(backoff_s, crawl_delay)``:
+    a retry is a REQUEST, so it must respect the host's robots pacing,
+    not shortcut it with a fixed half-second. Definitive answers
+    (2xx/3xx/4xx, oversized body) are never retried. Returns body
+    bytes for a 2xx, None otherwise — the caller's anti-join turns
+    None into fetch_failed.
 
     Politeness notes (documented divergences, POLITENESS.md): redirect
     hops are followed immediately without crawl_delay and without
@@ -145,7 +147,7 @@ def _fetch_one(
         status = None
         for attempt in range(retries + 1):
             if attempt:
-                _time.sleep(backoff_s)
+                _time.sleep(max(backoff_s, crawl_delay))
             status, body, location = _request_once(
                 conns, s, user_agent, timeout_s, max_bytes, connect_to
             )
@@ -218,11 +220,15 @@ def fetch_pages_http(
                 wait = last + float(delay) - _time.monotonic()
                 if wait > 0:
                     _time.sleep(wait)
-            last = _time.monotonic()
             body = _fetch_one(
                 conns, url, user_agent, timeout_s, max_bytes, connect_to,
                 retries=retries, backoff_s=backoff_s,
+                crawl_delay=float(delay or 0.0),
             )
+            # pacing clock starts at the END of the last attempt (a
+            # retried URL's final request, not its first) so the next
+            # URL's spacing can never undercut the robots delay
+            last = _time.monotonic()
             if body is not None:
                 out.append((url, body))
         for c in conns.values():
@@ -431,6 +437,7 @@ def robots_http(
     scheme: str = "https",
     connect_to: str | None = None,
     timeout_s: float = 10.0,
+    missing_allow_all: bool = True,
 ) -> DataFrame:
     """Live robots.txt: fetch ``https://<host>/robots.txt`` for every
     host through the pooled fetcher and parse with the engine's RFC
@@ -440,8 +447,12 @@ def robots_http(
     "no restrictions" for unavailable robots (the 5xx-means-disallow
     nuance is not distinguishable here because the fetcher folds every
     failure to no-row; acceptable for a politeness default, documented
-    divergence). ``hosts`` is a list of host strings or a DataFrame
-    with a ``host`` column; fan-out/pooling/connect_to semantics are
+    divergence). With ``missing_allow_all=False`` such hosts emit NO
+    rows instead — the caller can then apply a smarter default (the
+    crawler's TTL refresh keeps a host's previously stored rules
+    rather than downgrading a transient outage to allow-all).
+    ``hosts`` is a list of host strings or a DataFrame with a ``host``
+    column; fan-out/pooling/connect_to semantics are
     ``fetch_pages_http``'s."""
     import pandas as pd
 
@@ -471,6 +482,8 @@ def robots_http(
             out = []
             for host, body in zip(pdf["host"], pdf["html"]):
                 if body is None:
+                    if not missing_allow_all:
+                        continue
                     rules = [("/", True, 0.0)]
                 else:
                     rules = parse_robots_txt(

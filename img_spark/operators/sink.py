@@ -193,7 +193,16 @@ def write_warc_archives(
     counts = (
         pages.select(
             "url",
-            F.to_utc_timestamp(F.col("warc_ts"), tz).alias("warc_ts"),
+            # a NULL warc_ts (nullable column in user pages tables)
+            # must not kill the archive task — pandas hands it over as
+            # NaT and strftime raises; fall back to the epoch rather
+            # than dropping a body that exists
+            F.to_utc_timestamp(
+                F.coalesce(
+                    F.col("warc_ts"), F.timestamp_seconds(F.lit(0))
+                ),
+                tz,
+            ).alias("warc_ts"),
             "html",
         )
         .mapInPandas(run, schema="n long")

@@ -331,6 +331,22 @@ class Crawler:
                 out.append((int(fn[1:]), fsio.join(base, fn)))
         return sorted(out)
 
+    def _store_newest(self) -> DataFrame | None:
+        """The live-robots store reduced to each host's NEWEST rule
+        set (ROBOTS_STORE_DDL rows; None when the store is empty) —
+        shared by reload, TTL refresh, and compaction so the
+        newest-wins selection can never diverge."""
+        dirs = self._robots_store_dirs()
+        if not dirs:
+            return None
+        store = self.spark.read.schema(ROBOTS_STORE_DDL).parquet(
+            *[p for _, p in dirs]
+        )
+        newest = store.groupBy("host").agg(
+            F.max("fetched_at").alias("fetched_at")
+        )
+        return store.join(newest, ["host", "fetched_at"], "left_semi")
+
     def _reload_robots(self) -> None:
         """(Re)build the compacted broadcast rules table from the
         static rules plus — in live mode — the newest stored rules per
@@ -349,21 +365,13 @@ class Crawler:
             known = static_hosts.withColumn(
                 "fetched_at", F.lit(float("inf"))  # static: never expires
             )
-            dirs = self._robots_store_dirs()
-            if dirs:
-                store = self.spark.read.schema(ROBOTS_STORE_DDL).parquet(
-                    *[p for _, p in dirs]
-                )
-                newest = (
-                    store.groupBy("host")
-                    .agg(F.max("fetched_at").alias("fetched_at"))
-                    .join(static_hosts, "host", "left_anti")
-                )
-                live = store.join(
-                    newest, ["host", "fetched_at"], "left_semi"
-                )
+            stored = self._store_newest()
+            if stored is not None:
+                live = stored.join(static_hosts, "host", "left_anti")
                 rules = rules.unionByName(live.drop("fetched_at"))
-                known = known.unionByName(newest)
+                known = known.unionByName(
+                    live.select("host", "fetched_at").distinct()
+                )
         new_rules = robots_compact(rules).persist()
         new_known = known.persist() if known is not None else None
         old_rules, old_known = self._robots_rules, self._robots_known
@@ -398,23 +406,60 @@ class Crawler:
         )
         if need.isEmpty():
             return
+        from pyspark import StorageLevel
+
         from img_spark.operators.fetch import robots_http
 
-        rules = robots_http(
+        got = robots_http(
             self.spark,
             need,
             user_agent=self.cfg.http_user_agent,
             connect_to=self.cfg.http_connect_to,
             timeout_s=self.cfg.http_timeout_s,
-        ).withColumn("fetched_at", F.lit(now))
+            missing_allow_all=False,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        got.count()  # materialize ONCE — the union below reads it 3×,
+        # and the HTTP fetch must not re-run per consumer
+        answered = got.select("host").distinct()
+        unanswered = need.join(answered, "host", "left_anti")
+        stored = self._store_newest()
+        if stored is not None:
+            # a host whose robots.txt is unreachable at TTL REFRESH
+            # keeps its previously stored rules (re-stamped, so the
+            # refresh isn't retried every generation) — RFC 9309's
+            # unreachable-after-previously-accessible caching; a
+            # transient outage must never downgrade a known Disallow
+            # to allow-all for the next TTL window
+            keep = stored.drop("fetched_at").join(
+                F.broadcast(unanswered), "host", "left_semi"
+            )
+            fresh_default = unanswered.join(
+                stored.select("host").distinct(), "host", "left_anti"
+            )
+        else:
+            keep = None
+            fresh_default = unanswered
+        # never-seen host with no reachable robots.txt: RFC 9309's
+        # "no restrictions" default
+        rules = got.unionByName(
+            fresh_default.select(
+                "host",
+                F.lit("/").alias("path_prefix"),
+                F.lit(True).alias("allow"),
+                F.lit(0.0).alias("crawl_delay"),
+            )
+        )
+        if keep is not None:
+            rules = rules.unionByName(keep)
+        rules = rules.withColumn("fetched_at", F.lit(now))
         dirs = self._robots_store_dirs()
         idx = dirs[-1][0] + 1 if dirs else 0
         out = self._p("robots", f"d{idx}")
-        # the write is the one materializing action: the HTTP fetch
-        # side effects run exactly once, and every downstream consumer
-        # reads the parquet, never the fetch lineage
+        # the write is the one materializing action for everything
+        # downstream: consumers read the parquet, never the lineage
         rules.write.mode("overwrite").parquet(out)
         fsio.write_bytes_atomic(fsio.join(out, "_SUCCESS"), b"")
+        got.unpersist()
         self._reload_robots()
 
     def _compact_robots_store(self) -> None:
@@ -432,13 +477,7 @@ class Crawler:
         dirs = self._robots_store_dirs()
         if len(dirs) <= 1:
             return
-        store = self.spark.read.schema(ROBOTS_STORE_DDL).parquet(
-            *[p for _, p in dirs]
-        )
-        newest = store.groupBy("host").agg(
-            F.max("fetched_at").alias("fetched_at")
-        )
-        merged = store.join(newest, ["host", "fetched_at"], "left_semi")
+        merged = self._store_newest()
         out = self._p("robots", f"d{dirs[-1][0] + 1}")
         merged.write.mode("overwrite").parquet(out)
         fsio.write_bytes_atomic(fsio.join(out, "_SUCCESS"), b"")

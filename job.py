@@ -160,6 +160,11 @@ def main(argv=None) -> int:
     ).getOrCreate()
 
     if args.seeds_from_robots:
+        # known cost: this discovery GET of each host's robots.txt is
+        # separate from the crawler's lazy rules fetch at init (one
+        # extra request per seed host, once per cold start) — fusing
+        # them would couple seed discovery to the checkpoint robots
+        # store for a constant-factor saving
         from img_spark.operators.fetch import robots_sitemap_urls
 
         sm = [

@@ -768,6 +768,25 @@ def test_table_mode_crawl_archives_warc(spark, tmp_path):
         assert ts == pages[u][1], u
 
 
+def test_warc_archive_tolerates_null_warc_ts(spark, tmp_path):
+    """A NULL warc_ts row (nullable in user pages tables) must not
+    kill the archive task: the body is archived with the epoch
+    fallback date instead of being dropped or crashing on NaT."""
+    from img_spark.operators.sink import write_warc_archives
+    from img_spark.sources.warc import read_warc_pages
+
+    df = spark.createDataFrame(
+        [("https://h.test/a", None, b"<html>a</html>", "", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = str(tmp_path / "arch")
+    assert write_warc_archives(df, out) == 1
+    rows = read_warc_pages(spark, out + "/*.warc.gz").collect()
+    assert len(rows) == 1
+    assert bytes(rows[0]["html"]) == b"<html>a</html>"
+    assert rows[0]["warc_ts"].year == 1970
+
+
 def test_warc_source_roundtrip_and_crawl(spark, tmp_path):
     """WARC connector: a multi-member-gzip archive (the Common Crawl
     layout) reads back into the pages schema byte-exactly — and the

@@ -205,6 +205,40 @@ def test_ttl_expiry_refetches_and_newest_rules_win(
     assert len(_robots_hits(log, "host-y.test")) == 2
 
 
+def test_ttl_refresh_outage_keeps_cached_rules(spark, xy_server, tmp_path):
+    """A host whose robots.txt is unreachable at TTL REFRESH keeps its
+    previously stored rules (RFC 9309 caching) — a transient outage
+    must never downgrade a known Disallow/Crawl-delay to allow-all;
+    a NEVER-seen host without robots.txt still gets the allow-all
+    default."""
+    connect, site, _log = xy_server
+    c = _crawler(spark, str(tmp_path / "ck"), connect, robots_ttl_s=0.0)
+    hosts_y = spark.createDataFrame([("host-y.test",)], "host string")
+    c._ensure_robots(hosts_y)           # real rules stored
+    del site[("host-y.test", "/robots.txt")]
+    c._ensure_robots(hosts_y)           # refresh fails → cached kept
+    probe = spark.createDataFrame(
+        [("https://host-y.test/secret/1", "host-y.test"),
+         ("https://host-y.test/p/1", "host-y.test")],
+        "url string, host string",
+    )
+    out = {
+        r["url"]: (r["allowed"], r["crawl_delay"])
+        for r in apply_robots_rules(probe, c._robots_rules).collect()
+    }
+    assert out["https://host-y.test/secret/1"] == (False, 0.4)
+    assert out["https://host-y.test/p/1"] == (True, 0.4)
+
+    c._ensure_robots(
+        spark.createDataFrame([("host-z.test",)], "host string")
+    )
+    z = spark.createDataFrame(
+        [("https://host-z.test/a", "host-z.test")], "url string, host string"
+    )
+    row = apply_robots_rules(z, c._robots_rules).collect()[0]
+    assert (row["allowed"], row["crawl_delay"]) == (True, 0.0)
+
+
 def test_robots_store_compaction_folds_deltas_newest_wins(
     spark, xy_server, tmp_path
 ):
