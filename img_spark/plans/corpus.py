@@ -1,0 +1,131 @@
+"""Crawl checkpoint → curated training corpus (the end-to-end story:
+the same engine that crawls the pages also prepares them for training).
+
+``build_corpus`` reads the crawl's extracted deltas (the per-generation
+parquet the loop already writes — no re-crawl, no re-parse), reduces
+them to one document per fetched page, and runs the training-data
+operators over them in the composition a 100-TB pipeline ships:
+quality gates → language ID → exact dedup → (optional) benchmark
+decontamination → deterministic stratified sampling, every flag kept
+so drops are auditable, written lang-partitioned.
+
+Scale shape: quality/lang/token counts are ONE projection pass (pure
+JVM expressions); exact dedup is the fingerprint window (one shuffle
+on the fingerprint — at corpus scale the natural key to co-partition
+by); decontamination broadcasts the benchmark gram set; sampling is a
+pure hash projection (zero shuffle); the write partitions by lang.
+Nothing here collects to the driver except the final summary counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from img_spark import fsio
+
+
+def crawl_documents(
+    spark: SparkSession, checkpoint_dir: str
+) -> DataFrame:
+    """One row per successfully fetched page across every generation
+    of a crawl checkpoint: (doc_id=page_url, host, title, text,
+    generation). Reads only the extracted deltas (each generation's
+    pages appear exactly once — the seen-set guarantees a URL is
+    fetched once), pruning to the page-level columns so the img rows'
+    fan-out collapses map-side."""
+    base = fsio.join(checkpoint_dir, "extracted")
+    gens = sorted(
+        int(fn[1:]) for fn in fsio.listdir(base)
+        if fn.startswith("g") and fn[1:].isdigit()
+    )
+    if not gens:
+        raise FileNotFoundError(f"no extracted deltas under {base}")
+    df = spark.read.parquet(*[fsio.join(base, f"g{g}") for g in gens])
+    # every parse status except the miss marker carries page text
+    # (ok | no_title | empty | bad_host); empty/low-quality pages are
+    # the quality gates' job, not this reader's
+    return (
+        df.filter(F.col("status") != "fetch_failed")
+        .groupBy("page_url")
+        .agg(
+            F.first("host").alias("host"),
+            F.first("title").alias("title"),
+            F.first("extracted_text").alias("text"),
+            F.min("generation").alias("generation"),
+        )
+        .select(
+            F.col("page_url").alias("doc_id"),
+            "host", "title", "text", "generation",
+        )
+    )
+
+
+def build_corpus(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    out_dir: str,
+    sample_rates: dict | None = None,
+    default_rate: float = 1.0,
+    benchmark: DataFrame | None = None,
+) -> dict:
+    """Materialize the curated corpus for a finished (or in-flight)
+    crawl. Writes lang-partitioned parquet rows
+    (doc_id, host, title, text, generation, n_tokens, n_chars,
+    quality_keep, is_dup, contaminated, sampled, keep) and returns
+    summary counts. ``sample_rates`` maps language → keep rate for the
+    deterministic stratified sampler (corpus mixing); ``benchmark``
+    is an optional (doc_id, text) eval set for n-gram
+    decontamination."""
+    from img_spark.operators.dedup import exact_dedup, ngram_decontaminate
+    from img_spark.operators.textquality import (
+        lang_id,
+        quality_signals,
+        stratified_sample,
+        token_count,
+    )
+
+    docs = crawl_documents(spark, checkpoint_dir)
+    # quality + lang + tokens: one projection pass over the documents
+    base = docs.withColumns({
+        "lang": lang_id(F.col("text")),
+        "n_tokens": token_count(F.col("text")),
+        "n_chars": F.length("text"),
+    })
+    quality = quality_signals(docs).select(
+        "doc_id", F.col("keep").alias("quality_keep")
+    )
+    dups = exact_dedup(docs).select("doc_id", "is_dup")
+    out = base.join(quality, "doc_id").join(dups, "doc_id")
+    if benchmark is not None:
+        cont = ngram_decontaminate(docs, benchmark).select(
+            "doc_id", "contaminated"
+        )
+        out = out.join(cont, "doc_id")
+    else:
+        out = out.withColumn("contaminated", F.lit(False))
+    sampled = stratified_sample(
+        base.select("doc_id", "lang"),
+        rates=sample_rates or {},
+        default_rate=default_rate,
+        strat_col="lang",
+    ).select("doc_id", "sampled")
+    out = out.join(sampled, "doc_id").withColumn(
+        "keep",
+        F.col("quality_keep") & ~F.col("is_dup")
+        & ~F.col("contaminated") & F.col("sampled"),
+    )
+
+    from pyspark.sql import Observation
+
+    obs = Observation("corpus")
+    out = out.observe(
+        obs,
+        F.count("*").alias("documents"),
+        F.count(F.when(F.col("keep"), 1)).alias("kept"),
+        F.count(F.when(F.col("is_dup"), 1)).alias("dups"),
+        F.count(F.when(~F.col("quality_keep"), 1)).alias("quality_dropped"),
+        F.count(F.when(F.col("contaminated"), 1)).alias("contaminated"),
+        F.count(F.when(~F.col("sampled"), 1)).alias("sampled_out"),
+    )
+    out.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
+    return {k: int(v) for k, v in obs.get.items()}

@@ -112,6 +112,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compact-every", type=int, default=0)
     p.add_argument("--resume", action="store_true",
                    help="continue from the newest committed manifest")
+    p.add_argument("--curate", default=None, metavar="OUT",
+                   help="after the crawl: build the curated training "
+                        "corpus from the extracted deltas (quality "
+                        "gates, language ID, exact dedup, stratified "
+                        "sampling) and write it lang-partitioned to "
+                        "OUT (plans/corpus.build_corpus)")
+    p.add_argument("--curate-rates", default=None,
+                   help="lang=rate[,lang=rate...] stratified sampling "
+                        "rates for --curate (default rate 1.0)")
     p.add_argument("--wet", default=None,
                    help="WET sidecar file/glob: fills the pages text "
                         "column by url join (Common Crawl's extracted-"
@@ -344,6 +353,19 @@ def main(argv=None) -> int:
             crawler.compact(prune=True)
         if not stats.get("pending", 0):
             break
+
+    if args.curate:
+        from img_spark.plans.corpus import build_corpus
+
+        rates = {}
+        if args.curate_rates:
+            for part in args.curate_rates.split(","):
+                k, _, v = part.partition("=")
+                rates[k.strip()] = float(v)
+        summary = build_corpus(
+            spark, args.checkpoint, args.curate, sample_rates=rates
+        )
+        print(json.dumps({"curated": args.curate, **summary}), flush=True)
 
     print(json.dumps({
         "done": True,

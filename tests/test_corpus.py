@@ -1,0 +1,96 @@
+"""Crawl checkpoint → curated training corpus (plans/corpus.py): the
+end-to-end bridge from the crawl's extracted deltas to the
+training-data operators, with auditable keep flags."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from img_spark.plans.corpus import build_corpus, crawl_documents
+from img_spark.plans.crawl import CrawlConfig, Crawler, read_frontier
+from img_spark.operators.politeness import robots_df
+from img_spark.sources.site_config import rows_from_config
+from img_spark.sources.synthweb import (
+    FIXTURE_CONFIG,
+    FIXTURE_ROBOTS,
+    FIXTURE_SEEDS,
+    fixture_pages_df,
+)
+
+
+@pytest.fixture(scope="module")
+def crawled(spark, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("corpus_ckpt"))
+    c = Crawler(
+        spark,
+        fixture_pages_df(spark).cache(),
+        rows_from_config(FIXTURE_CONFIG),
+        robots_df(spark, FIXTURE_ROBOTS),
+        CrawlConfig(checkpoint_dir=ckpt, partitions=8),
+    )
+    c.run(seeds=FIXTURE_SEEDS)
+    return ckpt, c.generation
+
+
+def test_crawl_documents_one_row_per_fetched_page(spark, crawled):
+    ckpt, gmax = crawled
+    docs = crawl_documents(spark, ckpt)
+    fetched = {
+        r["url"]
+        for r in read_frontier(spark, ckpt, gmax)
+        .filter(F.col("status") == "fetched").collect()
+    }
+    got = docs.collect()
+    assert {r["doc_id"] for r in got} == fetched
+    assert len(got) == len(fetched)  # exactly one row per page
+    # text is the byte-parity extracted text the crawl already wrote
+    pages = {
+        r["url"]: r["text"] for r in fixture_pages_df(spark).collect()
+    }
+    for r in got:
+        assert r["text"] == pages[r["doc_id"]], r["doc_id"]
+
+
+def test_build_corpus_flags_compose_and_partition_by_lang(
+    spark, crawled, tmp_path
+):
+    ckpt, _ = crawled
+    out = str(tmp_path / "corpus")
+    summary = build_corpus(spark, ckpt, out)
+    df = spark.read.parquet(out)
+    rows = df.collect()
+    assert summary["documents"] == len(rows) > 0
+    assert summary["kept"] == sum(1 for r in rows if r["keep"])
+    for r in rows:
+        assert r["keep"] == (
+            r["quality_keep"] and not r["is_dup"]
+            and not r["contaminated"] and r["sampled"]
+        )
+        assert not r["contaminated"]  # no benchmark passed
+        assert r["sampled"]           # default rate 1.0
+    # lang is a partition column with at least one real bucket
+    assert "lang" in df.columns
+    assert {r["lang"] for r in rows} >= {"en"}
+
+
+def test_build_corpus_sampling_and_decontamination(
+    spark, crawled, tmp_path
+):
+    """rate 0.0 for a language drops all its docs via the sampler;
+    a benchmark that quotes a document's text marks it contaminated."""
+    ckpt, _ = crawled
+    probe = crawl_documents(spark, ckpt).limit(1).collect()[0]
+    bench = spark.createDataFrame(
+        [(0, probe["text"])], "doc_id long, text string"
+    )
+    out = str(tmp_path / "corpus2")
+    summary = build_corpus(
+        spark, ckpt, out, sample_rates={"en": 0.0}, benchmark=bench
+    )
+    df = spark.read.parquet(out)
+    en = df.filter(F.col("lang") == "en")
+    assert en.count() > 0
+    assert en.filter(F.col("sampled")).count() == 0   # rate 0 → all out
+    cont = {r["doc_id"] for r in df.filter(F.col("contaminated")).collect()}
+    assert probe["doc_id"] in cont
+    assert summary["contaminated"] >= 1
+    assert summary["kept"] == df.filter(F.col("keep")).count()
