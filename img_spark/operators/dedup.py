@@ -351,13 +351,22 @@ def connected_components(
             )
             .persist()
         )
-        # convergence: the label multiset stops changing (sum is a safe
-        # monotone witness — labels only ever decrease)
-        old_sum = labels.agg(F.sum("rep_id")).collect()[0][0]
-        new_sum = new_labels.agg(F.sum("rep_id")).collect()[0][0]
+        # convergence: no node's label changed this iteration. The
+        # changed-row probe works for ANY orderable id type (numeric
+        # doc ids AND string URLs — the old sum-witness cast strings
+        # to double and threw); limit(1) makes the common converged
+        # case a cheap early-exit scan, and the join materializes
+        # new_labels' cache in the same job
+        changed = (
+            new_labels.withColumnRenamed("rep_id", "new_rep")
+            .join(labels, "doc_id")
+            .filter(F.col("new_rep") != F.col("rep_id"))
+            .limit(1)
+            .count()
+        )
         labels.unpersist()
         labels = new_labels
-        if old_sum == new_sum:
+        if changed == 0:
             break
     edges.unpersist()
     # returned persisted (each iteration was materialized by the

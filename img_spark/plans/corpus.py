@@ -67,15 +67,22 @@ def build_corpus(
     sample_rates: dict | None = None,
     default_rate: float = 1.0,
     benchmark: DataFrame | None = None,
+    near_dup_threshold: float | None = None,
+    near_dup_max_bucket: int | None = 10_000,
 ) -> dict:
     """Materialize the curated corpus for a finished (or in-flight)
     crawl. Writes lang-partitioned parquet rows
     (doc_id, host, title, text, generation, n_tokens, n_chars,
-    quality_keep, is_dup, contaminated, sampled, keep) and returns
-    summary counts. ``sample_rates`` maps language → keep rate for the
-    deterministic stratified sampler (corpus mixing); ``benchmark``
-    is an optional (doc_id, text) eval set for n-gram
-    decontamination."""
+    quality_keep, is_dup, is_near_dup, contaminated, sampled, keep)
+    and returns summary counts. ``sample_rates`` maps language → keep
+    rate for the deterministic stratified sampler (corpus mixing);
+    ``benchmark`` is an optional (doc_id, text) eval set for n-gram
+    decontamination; ``near_dup_threshold`` (e.g. 0.8) additionally
+    runs MinHash-LSH → exact-Jaccard → connected components and drops
+    every non-representative member of a near-dup cluster (min doc_id
+    survives — the standard fuzzy-dedup policy; ``near_dup_max_bucket``
+    caps hot LSH buckets so one boilerplate shingle can't go
+    quadratic)."""
     from img_spark.operators.dedup import exact_dedup, ngram_decontaminate
     from img_spark.operators.textquality import (
         lang_id,
@@ -103,6 +110,25 @@ def build_corpus(
         out = out.join(cont, "doc_id")
     else:
         out = out.withColumn("contaminated", F.lit(False))
+    if near_dup_threshold is not None:
+        from img_spark.operators.dedup import (
+            connected_components,
+            minhash_dedup,
+        )
+
+        pairs = minhash_dedup(
+            docs, threshold=near_dup_threshold,
+            max_bucket=near_dup_max_bucket,
+        )
+        comps = connected_components(pairs)
+        near = comps.filter(F.col("doc_id") != F.col("rep_id")).select(
+            "doc_id", F.lit(True).alias("is_near_dup")
+        )
+        out = out.join(near, "doc_id", "left").na.fill(
+            {"is_near_dup": False}
+        )
+    else:
+        out = out.withColumn("is_near_dup", F.lit(False))
     sampled = stratified_sample(
         base.select("doc_id", "lang"),
         rates=sample_rates or {},
@@ -111,7 +137,7 @@ def build_corpus(
     ).select("doc_id", "sampled")
     out = out.join(sampled, "doc_id").withColumn(
         "keep",
-        F.col("quality_keep") & ~F.col("is_dup")
+        F.col("quality_keep") & ~F.col("is_dup") & ~F.col("is_near_dup")
         & ~F.col("contaminated") & F.col("sampled"),
     )
 
@@ -123,6 +149,7 @@ def build_corpus(
         F.count("*").alias("documents"),
         F.count(F.when(F.col("keep"), 1)).alias("kept"),
         F.count(F.when(F.col("is_dup"), 1)).alias("dups"),
+        F.count(F.when(F.col("is_near_dup"), 1)).alias("near_dups"),
         F.count(F.when(~F.col("quality_keep"), 1)).alias("quality_dropped"),
         F.count(F.when(F.col("contaminated"), 1)).alias("contaminated"),
         F.count(F.when(~F.col("sampled"), 1)).alias("sampled_out"),

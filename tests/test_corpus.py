@@ -72,6 +72,37 @@ def test_build_corpus_flags_compose_and_partition_by_lang(
     assert {r["lang"] for r in rows} >= {"en"}
 
 
+def test_build_corpus_near_dup_clustering(spark, tmp_path):
+    """near_dup_threshold runs MinHash-LSH → Jaccard verify →
+    connected components over the corpus: the non-representative
+    member of a planted near-identical pair is flagged and dropped,
+    the representative (min doc_id) and unrelated docs survive."""
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        ("https://a.test/1", "a.test", "T1", base + " ending one", "ok", 1),
+        ("https://a.test/2", "a.test", "T2", base + " ending two", "ok", 1),
+        ("https://b.test/1", "b.test", "T3",
+         " ".join(f"other{i}" for i in range(60)), "ok", 1),
+    ]
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame(
+        rows,
+        "page_url string, host string, title string,"
+        " extracted_text string, status string, generation int",
+    ).write.parquet(f"{ckpt}/extracted/g1")
+    out = str(tmp_path / "corpus")
+    summary = build_corpus(spark, ckpt, out, near_dup_threshold=0.5)
+    got = {
+        r["doc_id"]: (r["is_near_dup"], r["keep"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert summary["near_dups"] == 1
+    assert got["https://a.test/2"][0] is True      # non-rep flagged
+    assert got["https://a.test/2"][1] is False     # and dropped
+    assert got["https://a.test/1"][0] is False     # rep survives
+    assert got["https://b.test/1"][0] is False
+
+
 def test_build_corpus_sampling_and_decontamination(
     spark, crawled, tmp_path
 ):
