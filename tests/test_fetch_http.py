@@ -439,9 +439,13 @@ def test_job_main_http_mode_no_pages_table(spark, site_server, tmp_path):
                           "--max-generations", "2"])
     assert rc == 0
     # --resume with NO seeds: live robots must be rebuilt from the
-    # checkpoint's pending hosts (r4 review finding — a resumed live
-    # crawl used to fall through to an empty rules table)
-    rc = job.main(base + ["--resume"])
+    # checkpoint's robots store (round-5: lazily fetched rules are
+    # checkpoint state — no re-fetch, no driver host collection), and
+    # --curate builds the training corpus from the crawl's extracted
+    # deltas on the way out
+    corpus_out = str(tmp_path / "corpus")
+    rc = job.main(base + ["--resume", "--curate", corpus_out,
+                          "--curate-rates", "zh=1.0"])
     assert rc == 0
     gmax = max(
         int(p.name[len("manifest-g"):-len(".json")])
@@ -454,6 +458,9 @@ def test_job_main_http_mode_no_pages_table(spark, site_server, tmp_path):
         for r in frontier.filter(F.col("status") == "disallowed").collect()
     }
     assert dis == {"https://site-a.test/private/x/1"}
+    corpus = spark.read.parquet(corpus_out)
+    assert corpus.count() == 12          # one doc per fetched page
+    assert {"keep", "lang", "is_dup", "sampled"} <= set(corpus.columns)
 
 
 def test_live_crawl_byte_identical_to_table_crawl(
