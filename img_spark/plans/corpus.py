@@ -60,15 +60,40 @@ def crawl_documents(
     )
 
 
+def pages_documents(pages: DataFrame) -> DataFrame:
+    """A (url, warc_ts, html, text, lang) pages table → corpus
+    documents — the no-crawl entry: Common-Crawl WARC/WET input
+    (``job.py --materialize-pages`` / ``read_warc_pages`` + WET text
+    join) can feed ``build_corpus`` directly. Revisit duplicates
+    collapse to the lexicographically-max text per url (the WET-join
+    policy); html is pruned immediately so the binary column never
+    travels past the scan."""
+    from img_spark.operators.urlexprs import host_of
+
+    return (
+        pages.select("url", "text")
+        .groupBy("url")
+        .agg(F.max("text").alias("text"))
+        .select(
+            F.col("url").alias("doc_id"),
+            host_of(F.col("url")).alias("host"),
+            F.lit(None).cast("string").alias("title"),
+            "text",
+            F.lit(0).alias("generation"),
+        )
+    )
+
+
 def build_corpus(
     spark: SparkSession,
-    checkpoint_dir: str,
+    checkpoint_dir: str | None,
     out_dir: str,
     sample_rates: dict | None = None,
     default_rate: float = 1.0,
     benchmark: DataFrame | None = None,
     near_dup_threshold: float | None = None,
     near_dup_max_bucket: int | None = 10_000,
+    documents: DataFrame | None = None,
 ) -> dict:
     """Materialize the curated corpus for a finished (or in-flight)
     crawl. Writes lang-partitioned parquet rows
@@ -91,7 +116,15 @@ def build_corpus(
         token_count,
     )
 
-    docs = crawl_documents(spark, checkpoint_dir)
+    # source: a crawl checkpoint's extracted deltas, or any documents
+    # DataFrame (doc_id, host, title, text, generation) — e.g.
+    # ``pages_documents`` over a WARC/WET-derived pages table
+    if documents is not None:
+        docs = documents
+    elif checkpoint_dir is not None:
+        docs = crawl_documents(spark, checkpoint_dir)
+    else:
+        raise ValueError("build_corpus needs checkpoint_dir or documents")
     # quality + lang + tokens: one projection pass over the documents
     base = docs.withColumns({
         "lang": lang_id(F.col("text")),

@@ -121,6 +121,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--curate-rates", default=None,
                    help="lang=rate[,lang=rate...] stratified sampling "
                         "rates for --curate (default rate 1.0)")
+    p.add_argument("--curate-from-pages", action="store_true",
+                   help="with --curate: build the corpus directly "
+                        "from the --pages input's text column "
+                        "(WARC/WET or parquet) and exit — no crawl, "
+                        "no --seeds needed")
     p.add_argument("--wet", default=None,
                    help="WET sidecar file/glob: fills the pages text "
                         "column by url join (Common Crawl's extracted-"
@@ -134,14 +139,28 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _sample_rates(spec: str | None) -> dict:
+    rates = {}
+    if spec:
+        for part in spec.split(","):
+            k, _, v = part.partition("=")
+            rates[k.strip()] = float(v)
+    return rates
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    curate_only = bool(args.curate and args.curate_from_pages)
     if (
         not args.resume and not args.seeds
         and not args.seeds_from_sitemaps and not args.seeds_from_robots
-        and not args.materialize_pages
+        and not args.materialize_pages and not curate_only
     ):
         print("error: --seeds required unless --resume", file=sys.stderr)
+        return 2
+    if curate_only and args.pages is None:
+        print("error: --curate-from-pages requires --pages",
+              file=sys.stderr)
         return 2
     if args.pages is None and args.fetch_mode != "http":
         print("error: --pages required unless --fetch-mode http",
@@ -274,6 +293,20 @@ def main(argv=None) -> int:
             "rows": n, "buckets": n_buckets, "done": True,
         }), flush=True)
         return 0
+    if curate_only:
+        # WARC/WET → corpus with no crawl: the pages input's text
+        # column becomes the document set
+        from img_spark.plans.corpus import build_corpus, pages_documents
+
+        summary = build_corpus(
+            spark, None, args.curate,
+            sample_rates=_sample_rates(args.curate_rates),
+            documents=pages_documents(pages),
+        )
+        print(json.dumps(
+            {"curated": args.curate, **summary, "done": True}
+        ), flush=True)
+        return 0
     config_rows = (
         load_site_config_rows(args.config) if args.config else []
     )
@@ -357,13 +390,9 @@ def main(argv=None) -> int:
     if args.curate:
         from img_spark.plans.corpus import build_corpus
 
-        rates = {}
-        if args.curate_rates:
-            for part in args.curate_rates.split(","):
-                k, _, v = part.partition("=")
-                rates[k.strip()] = float(v)
         summary = build_corpus(
-            spark, args.checkpoint, args.curate, sample_rates=rates
+            spark, args.checkpoint, args.curate,
+            sample_rates=_sample_rates(args.curate_rates),
         )
         print(json.dumps({"curated": args.curate, **summary}), flush=True)
 

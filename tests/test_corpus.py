@@ -103,6 +103,39 @@ def test_build_corpus_near_dup_clustering(spark, tmp_path):
     assert got["https://b.test/1"][0] is False
 
 
+def test_pages_documents_no_crawl_path(spark, tmp_path):
+    """The no-crawl entry: a pages table (WARC/WET shape) feeds
+    build_corpus directly through pages_documents and job.py
+    --curate-from-pages — revisit duplicates collapse to one doc."""
+    import job
+    from img_spark.plans.corpus import pages_documents
+
+    rows = [
+        ("https://h.test/a", None, b"<x>", "alpha text " * 10, "en"),
+        ("https://h.test/a", None, b"<x>", "zeta text " * 10, "en"),
+        ("https://h.test/b", None, b"<x>", "beta text " * 10, "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    docs = {r["doc_id"]: r["text"] for r in pages_documents(pages).collect()}
+    assert len(docs) == 2
+    assert docs["https://h.test/a"].startswith("zeta")  # max-text policy
+
+    pages_path = str(tmp_path / "pages")
+    pages.write.parquet(pages_path)
+    out = str(tmp_path / "corpus")
+    rc = job.main([
+        "--pages", pages_path, "--checkpoint", str(tmp_path / "ck"),
+        "--curate", out, "--curate-from-pages", "--partitions", "4",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    assert {"keep", "lang", "is_dup"} <= set(got.columns)
+
+
 def test_build_corpus_sampling_and_decontamination(
     spark, crawled, tmp_path
 ):
