@@ -121,6 +121,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--curate-rates", default=None,
                    help="lang=rate[,lang=rate...] stratified sampling "
                         "rates for --curate (default rate 1.0)")
+    p.add_argument("--curate-near-dup", type=float, default=None,
+                   metavar="THRESHOLD",
+                   help="with --curate: also drop MinHash near-dups "
+                        "at this Jaccard threshold (e.g. 0.8; "
+                        "LSH -> verify -> connected components)")
     p.add_argument("--curate-from-pages", action="store_true",
                    help="with --curate: build the corpus directly "
                         "from the --pages input's text column "
@@ -301,6 +306,7 @@ def main(argv=None) -> int:
         summary = build_corpus(
             spark, None, args.curate,
             sample_rates=_sample_rates(args.curate_rates),
+            near_dup_threshold=args.curate_near_dup,
             documents=pages_documents(pages),
         )
         print(json.dumps(
@@ -393,6 +399,7 @@ def main(argv=None) -> int:
         summary = build_corpus(
             spark, args.checkpoint, args.curate,
             sample_rates=_sample_rates(args.curate_rates),
+            near_dup_threshold=args.curate_near_dup,
         )
         print(json.dumps({"curated": args.curate, **summary}), flush=True)
 
