@@ -352,16 +352,18 @@ def connected_components(
             .persist()
         )
         # convergence: no node's label changed this iteration. The
-        # changed-row probe works for ANY orderable id type (numeric
+        # changed-row count works for ANY orderable id type (numeric
         # doc ids AND string URLs — the old sum-witness cast strings
-        # to double and threw); limit(1) makes the common converged
-        # case a cheap early-exit scan, and the join materializes
-        # new_labels' cache in the same job
+        # to double and threw). Deliberately a FULL count, no
+        # limit(1): the full scan materializes every partition of
+        # new_labels' cache in this same job, so unpersisting the
+        # parent below never forces a recompute through unpersisted
+        # ancestors (a limited probe can stop early and leave the
+        # cache partial)
         changed = (
             new_labels.withColumnRenamed("rep_id", "new_rep")
             .join(labels, "doc_id")
             .filter(F.col("new_rep") != F.col("rep_id"))
-            .limit(1)
             .count()
         )
         labels.unpersist()

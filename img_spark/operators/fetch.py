@@ -110,7 +110,7 @@ def _request_once(
     return r.status, body, r.getheader("Location")
 
 
-def _fetch_one(
+def _fetch_one_status(
     conns: dict,
     url: str,
     user_agent: str,
@@ -128,9 +128,13 @@ def _fetch_one(
     a fresh connection after sleeping ``max(backoff_s, crawl_delay)``:
     a retry is a REQUEST, so it must respect the host's robots pacing,
     not shortcut it with a fixed half-second. Definitive answers
-    (2xx/3xx/4xx, oversized body) are never retried. Returns body
-    bytes for a 2xx, None otherwise — the caller's anti-join turns
-    None into fetch_failed.
+    (2xx/3xx/4xx, oversized body) are never retried. Returns
+    ``(status, body)``: body bytes for a 2xx; status is the final
+    HTTP status, or None for a transport failure that survived the
+    retries (also a redirect loop), or -1 for an oversized/undrained
+    response — callers that must distinguish "definitively absent"
+    (4xx) from "unreachable" (None / 5xx-after-retries) read it
+    (robots.txt semantics, RFC 9309 §2.3.1).
 
     Politeness notes (documented divergences, POLITENESS.md): redirect
     hops are followed immediately without crawl_delay and without
@@ -143,7 +147,7 @@ def _fetch_one(
     for _hop in range(max_redirects + 1):
         s = urlsplit(url)
         if s.scheme not in ("http", "https") or not s.netloc:
-            return None
+            return None, None
         status = None
         for attempt in range(retries + 1):
             if attempt:
@@ -154,14 +158,20 @@ def _fetch_one(
             if status is not None and not 500 <= status < 600:
                 break
         if status is None or status == -1:
-            return None
+            return status, None
         if 300 <= status < 400 and location:
             url = urljoin(url, location)
             continue
         if 200 <= status < 300:
-            return body
-        return None
-    return None  # redirect loop
+            return status, body
+        return status, None
+    return None, None  # redirect loop: unresolvable, treat unreachable
+
+
+def _fetch_one(*args, **kwargs):
+    """Body-only view of ``_fetch_one_status`` — the page-fetch path,
+    where a miss is a miss whatever the status."""
+    return _fetch_one_status(*args, **kwargs)[1]
 
 
 def fetch_pages_http(
@@ -430,6 +440,93 @@ def robots_sitemap_urls(
     return got.select("html").mapInPandas(run, schema="url string").distinct()
 
 
+def robots_bodies_http(
+    spark,
+    hosts,
+    user_agent: str = "imgbot/1.0",
+    scheme: str = "https",
+    connect_to: str | None = None,
+    timeout_s: float = 10.0,
+    retries: int = 1,
+    max_bytes: int = 1 << 20,
+) -> DataFrame:
+    """Fetch each host's ``/robots.txt``, preserving the OUTCOME class
+    RFC 9309 §2.3.1 politeness needs: ``ok`` (2xx, body attached),
+    ``missing`` (definitive 4xx — "unavailable means no
+    restrictions"), ``unreachable`` (transport error / 5xx after
+    retries / redirect loop — cached rules may be reused). Callers
+    choose the default per outcome. Executor-side, pooled, one
+    request per host; ``max_bytes`` defaults to 1 MB (RFC asks
+    parsers to handle ≥500 KiB). ``hosts`` is a list or a DataFrame
+    with a ``host`` column."""
+    import pandas as pd
+
+    if not isinstance(hosts, DataFrame):
+        hosts = spark.createDataFrame(
+            [(h,) for h in hosts], "host string"
+        )
+    hosts = hosts.select("host").distinct()
+
+    def run(pdfs):
+        conns: dict = {}
+        for pdf in pdfs:
+            out_h, out_b, out_o = [], [], []
+            for host in pdf["host"]:
+                status, body = _fetch_one_status(
+                    conns, f"{scheme}://{host}/robots.txt",
+                    user_agent, timeout_s, max_bytes, connect_to,
+                    retries=retries,
+                )
+                if status is not None and 200 <= status < 300:
+                    outcome = "ok"
+                elif status is not None and 400 <= status < 500:
+                    outcome, body = "missing", None
+                else:
+                    outcome, body = "unreachable", None
+                out_h.append(host)
+                out_b.append(body)
+                out_o.append(outcome)
+            yield pd.DataFrame(
+                {"host": out_h, "body": out_b, "outcome": out_o}
+            )
+        for c in conns.values():
+            try:
+                c.close()
+            except Exception:
+                pass
+
+    return hosts.mapInPandas(
+        run, schema="host string, body binary, outcome string"
+    )
+
+
+def robots_rules_from_fetched(bodies: DataFrame, agent: str = "*") -> DataFrame:
+    """``outcome='ok'`` rows of ``robots_bodies_http`` → the
+    ROBOTS_DDL rules table (RFC 9309 subset parse; a body whose parse
+    yields no rules gets one allow-all rule)."""
+    import pandas as pd
+
+    from img_spark.operators.politeness import ROBOTS_DDL
+
+    def run(pdfs):
+        from img_spark.operators.politeness import parse_robots_txt
+
+        for pdf in pdfs:
+            out = []
+            for host, body in zip(pdf["host"], pdf["body"]):
+                rules = parse_robots_txt(
+                    bytes(body).decode("utf-8", "replace"), agent
+                ) or [("/", True, 0.0)]
+                for path, allow, delay in rules:
+                    out.append((host, path, allow, delay))
+            yield pd.DataFrame(
+                out,
+                columns=["host", "path_prefix", "allow", "crawl_delay"],
+            )
+
+    return bodies.select("host", "body").mapInPandas(run, schema=ROBOTS_DDL)
+
+
 def robots_http(
     spark,
     hosts,
@@ -439,56 +536,42 @@ def robots_http(
     timeout_s: float = 10.0,
     missing_allow_all: bool = True,
 ) -> DataFrame:
-    """Live robots.txt: fetch ``https://<host>/robots.txt`` for every
-    host through the pooled fetcher and parse with the engine's RFC
-    9309 subset (``politeness.parse_robots_txt``) into the ROBOTS_DDL
-    rules table the crawler broadcasts. A host whose robots.txt is
-    missing or unreachable gets one allow-all rule — RFC 9309's
-    "no restrictions" for unavailable robots (the 5xx-means-disallow
-    nuance is not distinguishable here because the fetcher folds every
-    failure to no-row; acceptable for a politeness default, documented
-    divergence). With ``missing_allow_all=False`` such hosts emit NO
-    rows instead — the caller can then apply a smarter default (the
-    crawler's TTL refresh keeps a host's previously stored rules
-    rather than downgrading a transient outage to allow-all).
-    ``hosts`` is a list of host strings or a DataFrame with a ``host``
-    column; fan-out/pooling/connect_to semantics are
-    ``fetch_pages_http``'s."""
+    """Live robots.txt → ROBOTS_DDL rules in one pass: fetch with
+    ``robots_bodies_http`` and parse with the engine's RFC 9309
+    subset. A host whose robots.txt is missing OR unreachable gets
+    one allow-all rule (the simple bootstrap default); with
+    ``missing_allow_all=False`` such hosts emit NO rows instead.
+    Callers needing the missing/unreachable distinction (the
+    crawler's TTL refresh keeps cached rules for unreachable hosts
+    but honors a definitive 404 as allow-all) use
+    ``robots_bodies_http`` + ``robots_rules_from_fetched`` directly.
+    The whole plan is ONE mapInPandas chain — a single action fetches
+    each host exactly once."""
     import pandas as pd
 
     from img_spark.operators.politeness import ROBOTS_DDL
 
-    if not isinstance(hosts, DataFrame):
-        hosts = spark.createDataFrame(
-            [(h,) for h in hosts], "host string"
-        )
-    hosts = hosts.select("host").distinct()
-    urls = hosts.select(
-        F.concat(
-            F.lit(scheme + "://"), F.col("host"), F.lit("/robots.txt")
-        ).alias("url"),
-        "host",
+    bodies = robots_bodies_http(
+        spark, hosts, user_agent=user_agent, scheme=scheme,
+        connect_to=connect_to, timeout_s=timeout_s,
     )
-    got = fetch_pages_http(
-        urls, user_agent=user_agent, timeout_s=timeout_s,
-        connect_to=connect_to,
-    )
-    joined = hosts.join(got.select("host", "html"), "host", "left")
 
     def run(pdfs):
         from img_spark.operators.politeness import parse_robots_txt
 
         for pdf in pdfs:
             out = []
-            for host, body in zip(pdf["host"], pdf["html"]):
-                if body is None:
-                    if not missing_allow_all:
-                        continue
-                    rules = [("/", True, 0.0)]
-                else:
+            for host, body, outcome in zip(
+                pdf["host"], pdf["body"], pdf["outcome"]
+            ):
+                if outcome == "ok":
                     rules = parse_robots_txt(
                         bytes(body).decode("utf-8", "replace"), user_agent
                     ) or [("/", True, 0.0)]
+                elif missing_allow_all:
+                    rules = [("/", True, 0.0)]
+                else:
+                    continue
                 for path, allow, delay in rules:
                     out.append((host, path, allow, delay))
             yield pd.DataFrame(
@@ -496,4 +579,4 @@ def robots_http(
                 columns=["host", "path_prefix", "allow", "crawl_delay"],
             )
 
-    return joined.mapInPandas(run, schema=ROBOTS_DDL)
+    return bodies.mapInPandas(run, schema=ROBOTS_DDL)

@@ -248,6 +248,31 @@ def h32(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
 
 
+def curation_flags(docs, benchmark=None):
+    """The language-independent curation core shared by
+    ``curate_corpus`` (the driver-checked gate) and
+    ``plans/corpus.build_corpus`` (the shipped crawl→corpus bridge) —
+    ONE implementation of the decision so the two can never diverge:
+    (doc_id, quality_keep, is_dup, contaminated)."""
+    from pyspark.sql import functions as F
+
+    from img_spark.operators.dedup import exact_dedup, ngram_decontaminate
+
+    out = quality_signals(docs).select(
+        "doc_id", F.col("keep").alias("quality_keep")
+    ).join(exact_dedup(docs).select("doc_id", "is_dup"), "doc_id")
+    if benchmark is not None:
+        out = out.join(
+            ngram_decontaminate(docs, benchmark).select(
+                "doc_id", "contaminated"
+            ),
+            "doc_id",
+        )
+    else:
+        out = out.withColumn("contaminated", F.lit(False))
+    return out
+
+
 def curate_corpus(docs, benchmark=None, lang: str = "en"):
     """Composed corpus-curation gate — the decision a training-data
     pipeline actually ships: quality signals (Gopher-style gates) AND
@@ -263,25 +288,12 @@ def curate_corpus(docs, benchmark=None, lang: str = "en"):
     co-partitioned shuffle joins at corpus scale)."""
     from pyspark.sql import functions as F
 
-    from img_spark.operators.dedup import exact_dedup, ngram_decontaminate
-
-    base = quality_signals(docs).select(
-        "doc_id", F.col("keep").alias("quality_keep")
-    ).join(
+    out = curation_flags(docs, benchmark).join(
         docs.select(
             "doc_id", (lang_id(F.col("text")) == lang).alias("lang_ok")
         ),
         "doc_id",
     )
-    dups = exact_dedup(docs).select("doc_id", "is_dup")
-    out = base.join(dups, "doc_id")
-    if benchmark is not None:
-        cont = ngram_decontaminate(docs, benchmark).select(
-            "doc_id", "contaminated"
-        )
-        out = out.join(cont, "doc_id")
-    else:
-        out = out.withColumn("contaminated", F.lit(False))
     return out.select(
         "doc_id", "quality_keep", "lang_ok", "is_dup", "contaminated",
         (

@@ -38,8 +38,21 @@ def crawl_documents(
         int(fn[1:]) for fn in fsio.listdir(base)
         if fn.startswith("g") and fn[1:].isdigit()
     )
+    # bound by the newest COMMITTED manifest: an in-flight or crashed
+    # generation may have written a partial extracted/g{n} dir before
+    # its manifest landed — reading it would corrupt the corpus
+    # silently. Checkpoints without manifests (hand-built test inputs)
+    # are taken as-is.
+    committed = [
+        int(fn[len("manifest-g"):-len(".json")])
+        for fn in fsio.listdir(checkpoint_dir)
+        if fn.startswith("manifest-g") and fn.endswith(".json")
+    ]
+    if committed:
+        gmax = max(committed)
+        gens = [g for g in gens if g <= gmax]
     if not gens:
-        raise FileNotFoundError(f"no extracted deltas under {base}")
+        raise FileNotFoundError(f"no committed extracted deltas under {base}")
     df = spark.read.parquet(*[fsio.join(base, f"g{g}") for g in gens])
     # every parse status except the miss marker carries page text
     # (ok | no_title | empty | bad_host); empty/low-quality pages are
@@ -108,10 +121,11 @@ def build_corpus(
     survives — the standard fuzzy-dedup policy; ``near_dup_max_bucket``
     caps hot LSH buckets so one boilerplate shingle can't go
     quadratic)."""
-    from img_spark.operators.dedup import exact_dedup, ngram_decontaminate
+    from pyspark import StorageLevel
+
     from img_spark.operators.textquality import (
+        curation_flags,
         lang_id,
-        quality_signals,
         stratified_sample,
         token_count,
     )
@@ -125,24 +139,21 @@ def build_corpus(
         docs = crawl_documents(spark, checkpoint_dir)
     else:
         raise ValueError("build_corpus needs checkpoint_dir or documents")
+    # docs feeds ~6 consumers (projection, quality, dedup, optional
+    # decontamination, minhash bands + gram arrays) — without the
+    # persist each would re-read every extracted delta and re-run the
+    # per-page groupBy: ~6 full corpus scans instead of one
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     # quality + lang + tokens: one projection pass over the documents
     base = docs.withColumns({
         "lang": lang_id(F.col("text")),
         "n_tokens": token_count(F.col("text")),
         "n_chars": F.length("text"),
     })
-    quality = quality_signals(docs).select(
-        "doc_id", F.col("keep").alias("quality_keep")
-    )
-    dups = exact_dedup(docs).select("doc_id", "is_dup")
-    out = base.join(quality, "doc_id").join(dups, "doc_id")
-    if benchmark is not None:
-        cont = ngram_decontaminate(docs, benchmark).select(
-            "doc_id", "contaminated"
-        )
-        out = out.join(cont, "doc_id")
-    else:
-        out = out.withColumn("contaminated", F.lit(False))
+    # the shared curation core (ONE implementation with the
+    # driver-checked curate_corpus gate): quality ∧ ¬dup ∧ ¬contaminated
+    out = base.join(curation_flags(docs, benchmark), "doc_id")
+    comps = None
     if near_dup_threshold is not None:
         from img_spark.operators.dedup import (
             connected_components,
@@ -188,4 +199,7 @@ def build_corpus(
         F.count(F.when(~F.col("sampled"), 1)).alias("sampled_out"),
     )
     out.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
+    docs.unpersist()
+    if comps is not None:
+        comps.unpersist()  # connected_components returns it persisted
     return {k: int(v) for k, v in obs.get.items()}

@@ -408,50 +408,60 @@ class Crawler:
             return
         from pyspark import StorageLevel
 
-        from img_spark.operators.fetch import robots_http
+        from img_spark.operators.fetch import (
+            robots_bodies_http,
+            robots_rules_from_fetched,
+        )
 
-        got = robots_http(
+        got = robots_bodies_http(
             self.spark,
             need,
             user_agent=self.cfg.http_user_agent,
             connect_to=self.cfg.http_connect_to,
             timeout_s=self.cfg.http_timeout_s,
-            missing_allow_all=False,
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        got.count()  # materialize ONCE — the union below reads it 3×,
-        # and the HTTP fetch must not re-run per consumer
-        answered = got.select("host").distinct()
-        unanswered = need.join(answered, "host", "left_anti")
-        stored = self._store_newest()
-        if stored is not None:
-            # a host whose robots.txt is unreachable at TTL REFRESH
-            # keeps its previously stored rules (re-stamped, so the
-            # refresh isn't retried every generation) — RFC 9309's
-            # unreachable-after-previously-accessible caching; a
-            # transient outage must never downgrade a known Disallow
-            # to allow-all for the next TTL window
-            keep = stored.drop("fetched_at").join(
-                F.broadcast(unanswered), "host", "left_semi"
-            )
-            fresh_default = unanswered.join(
-                stored.select("host").distinct(), "host", "left_anti"
-            )
-        else:
-            keep = None
-            fresh_default = unanswered
-        # never-seen host with no reachable robots.txt: RFC 9309's
-        # "no restrictions" default
-        rules = got.unionByName(
-            fresh_default.select(
+        got.count()  # materialize ONCE — the branches below read it
+        # several times, and the HTTP fetch must not re-run per consumer
+
+        def allow_all(hosts_only):
+            return hosts_only.select(
                 "host",
                 F.lit("/").alias("path_prefix"),
                 F.lit(True).alias("allow"),
                 F.lit(0.0).alias("crawl_delay"),
             )
+
+        # 2xx → parsed rules; 4xx is DEFINITIVE (RFC 9309 "unavailable
+        # means no restrictions") → allow-all, even when it replaces
+        # stored rules at TTL refresh (the site removed its robots.txt)
+        rules = robots_rules_from_fetched(
+            got.filter(F.col("outcome") == "ok"),
+            agent=self.cfg.http_user_agent,
+        ).unionByName(
+            allow_all(got.filter(F.col("outcome") == "missing"))
         )
-        if keep is not None:
+        unreachable = got.filter(
+            F.col("outcome") == "unreachable"
+        ).select("host")
+        stored = self._store_newest()
+        if stored is not None:
+            # unreachable at TTL REFRESH keeps the previously stored
+            # rules (re-stamped, so the refresh isn't retried every
+            # generation) — RFC 9309's unreachable-after-previously-
+            # accessible caching; a transient outage must never
+            # downgrade a known Disallow to allow-all for a TTL window
+            keep = stored.drop("fetched_at").join(
+                F.broadcast(unreachable), "host", "left_semi"
+            )
             rules = rules.unionByName(keep)
-        rules = rules.withColumn("fetched_at", F.lit(now))
+            unreachable = unreachable.join(
+                stored.select("host").distinct(), "host", "left_anti"
+            )
+        # never-seen host with an unreachable robots.txt: allow-all
+        # (no cached copy exists to be politer with)
+        rules = rules.unionByName(allow_all(unreachable)).withColumn(
+            "fetched_at", F.lit(now)
+        )
         dirs = self._robots_store_dirs()
         idx = dirs[-1][0] + 1 if dirs else 0
         out = self._p("robots", f"d{idx}")

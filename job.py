@@ -148,8 +148,22 @@ def _sample_rates(spec: str | None) -> dict:
     rates = {}
     if spec:
         for part in spec.split(","):
-            k, _, v = part.partition("=")
-            rates[k.strip()] = float(v)
+            part = part.strip()
+            if not part:
+                continue  # tolerate a trailing comma
+            k, sep, v = part.partition("=")
+            try:
+                if not sep:
+                    raise ValueError
+                rates[k.strip()] = float(v)
+            except ValueError:
+                # fail at argument time with a usable message, not
+                # with a raw float('') traceback after an hours-long
+                # crawl has already finished
+                raise SystemExit(
+                    f"error: bad --curate-rates entry {part!r} "
+                    "(expected lang=rate, e.g. en=0.5)"
+                )
     return rates
 
 
@@ -165,6 +179,12 @@ def main(argv=None) -> int:
         return 2
     if curate_only and args.pages is None:
         print("error: --curate-from-pages requires --pages",
+              file=sys.stderr)
+        return 2
+    if args.curate_from_pages and not args.curate:
+        # without this, the flag would silently fall through to a
+        # full crawl — the opposite of the no-crawl it promises
+        print("error: --curate-from-pages requires --curate OUT",
               file=sys.stderr)
         return 2
     if args.pages is None and args.fetch_mode != "http":

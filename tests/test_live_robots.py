@@ -69,6 +69,10 @@ def xy_server():
             with lock:
                 log.append((host, self.path, time.monotonic()))
             body = site.get((host, self.path))
+            if body == b"__DROP__":  # transport failure: no response
+                self.close_connection = True
+                self.connection.close()
+                return
             if body is None:
                 self.send_response(404)
                 self.send_header("Content-Length", "0")
@@ -206,28 +210,38 @@ def test_ttl_expiry_refetches_and_newest_rules_win(
 
 
 def test_ttl_refresh_outage_keeps_cached_rules(spark, xy_server, tmp_path):
-    """A host whose robots.txt is unreachable at TTL REFRESH keeps its
-    previously stored rules (RFC 9309 caching) — a transient outage
-    must never downgrade a known Disallow/Crawl-delay to allow-all;
-    a NEVER-seen host without robots.txt still gets the allow-all
-    default."""
+    """RFC 9309 §2.3.1 at TTL refresh: a host whose robots.txt is
+    UNREACHABLE (transport failure) keeps its previously stored rules
+    — a transient outage never downgrades a known Disallow to
+    allow-all — while a definitive 404 (robots.txt removed) means
+    'no restrictions' and DOES replace the stored rules; a never-seen
+    host without robots.txt gets the allow-all default."""
     connect, site, _log = xy_server
     c = _crawler(spark, str(tmp_path / "ck"), connect, robots_ttl_s=0.0)
     hosts_y = spark.createDataFrame([("host-y.test",)], "host string")
     c._ensure_robots(hosts_y)           # real rules stored
-    del site[("host-y.test", "/robots.txt")]
-    c._ensure_robots(hosts_y)           # refresh fails → cached kept
-    probe = spark.createDataFrame(
-        [("https://host-y.test/secret/1", "host-y.test"),
-         ("https://host-y.test/p/1", "host-y.test")],
-        "url string, host string",
-    )
-    out = {
-        r["url"]: (r["allowed"], r["crawl_delay"])
-        for r in apply_robots_rules(probe, c._robots_rules).collect()
-    }
+
+    def probe_y():
+        probe = spark.createDataFrame(
+            [("https://host-y.test/secret/1", "host-y.test"),
+             ("https://host-y.test/p/1", "host-y.test")],
+            "url string, host string",
+        )
+        return {
+            r["url"]: (r["allowed"], r["crawl_delay"])
+            for r in apply_robots_rules(probe, c._robots_rules).collect()
+        }
+
+    site[("host-y.test", "/robots.txt")] = b"__DROP__"  # outage
+    c._ensure_robots(hosts_y)           # unreachable → cached kept
+    out = probe_y()
     assert out["https://host-y.test/secret/1"] == (False, 0.4)
     assert out["https://host-y.test/p/1"] == (True, 0.4)
+
+    del site[("host-y.test", "/robots.txt")]            # 404: removed
+    c._ensure_robots(hosts_y)           # definitive → allow-all wins
+    out = probe_y()
+    assert out["https://host-y.test/secret/1"] == (True, 0.0)
 
     c._ensure_robots(
         spark.createDataFrame([("host-z.test",)], "host string")
