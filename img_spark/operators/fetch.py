@@ -121,6 +121,7 @@ def _fetch_one_status(
     retries: int = 1,
     backoff_s: float = 0.5,
     crawl_delay: float = 0.0,
+    same_host_only: bool = False,
 ):
     """GET one URL over a pooled connection, following ≤ max_redirects
     redirects. TRANSIENT failures — transport errors (connect/reset/
@@ -129,15 +130,22 @@ def _fetch_one_status(
     a retry is a REQUEST, so it must respect the host's robots pacing,
     not shortcut it with a fixed half-second. Definitive answers
     (2xx/3xx/4xx, oversized body) are never retried. Returns
-    ``(status, body)``: body bytes for a 2xx; status is the final
-    HTTP status, or None for a transport failure that survived the
-    retries (also a redirect loop), or -1 for an oversized/undrained
-    response — callers that must distinguish "definitively absent"
-    (4xx) from "unreachable" (None / 5xx-after-retries) read it
-    (robots.txt semantics, RFC 9309 §2.3.1).
+    ``(status, body, redirect)``: body bytes for a 2xx; status is the
+    final HTTP status, or None for a transport failure that survived
+    the retries (also a redirect loop), or -1 for an oversized/
+    undrained response — callers that must distinguish "definitively
+    absent" (4xx) from "unreachable" (None / 5xx-after-retries) read
+    it (robots.txt semantics, RFC 9309 §2.3.1).
 
-    Politeness notes (documented divergences, POLITENESS.md): redirect
-    hops are followed immediately without crawl_delay and without
+    ``same_host_only=True`` (the crawler's strict redirect policy): a
+    redirect whose target netloc differs from the CURRENT hop's is
+    NOT followed — the absolute target URL is returned as ``redirect``
+    so the caller can re-enqueue it through robots admission + the
+    seen-set instead of fetching a host whose rules were never
+    consulted. Same-host hops still follow inline.
+
+    Politeness notes (documented divergences, POLITENESS.md): followed
+    redirect hops happen immediately without crawl_delay and without
     robots admission for the target (curl -L reference parity,
     main.rs:83-111 — robots admission happens at enqueue time); with
     ``retries=0`` the behavior is single-attempt curl parity."""
@@ -147,7 +155,7 @@ def _fetch_one_status(
     for _hop in range(max_redirects + 1):
         s = urlsplit(url)
         if s.scheme not in ("http", "https") or not s.netloc:
-            return None, None
+            return None, None, None
         status = None
         for attempt in range(retries + 1):
             if attempt:
@@ -158,20 +166,17 @@ def _fetch_one_status(
             if status is not None and not 500 <= status < 600:
                 break
         if status is None or status == -1:
-            return status, None
+            return status, None, None
         if 300 <= status < 400 and location:
-            url = urljoin(url, location)
+            target = urljoin(url, location)
+            if same_host_only and urlsplit(target).netloc != s.netloc:
+                return status, None, target
+            url = target
             continue
         if 200 <= status < 300:
-            return status, body
-        return status, None
-    return None, None  # redirect loop: unresolvable, treat unreachable
-
-
-def _fetch_one(*args, **kwargs):
-    """Body-only view of ``_fetch_one_status`` — the page-fetch path,
-    where a miss is a miss whatever the status."""
-    return _fetch_one_status(*args, **kwargs)[1]
+            return status, body, None
+        return status, None, None
+    return None, None, None  # redirect loop: unresolvable → unreachable
 
 
 def fetch_pages_http(
@@ -185,6 +190,7 @@ def fetch_pages_http(
     host_concurrency: int = 8,
     retries: int = 1,
     backoff_s: float = 0.5,
+    cross_host_redirects: str = "follow",
 ) -> DataFrame:
     """(url, host[, crawl_delay]) dispatch batch → (url, html, host) via
     pooled HTTP GETs. Each HOST fetches serially with the robots
@@ -198,12 +204,20 @@ def fetch_pages_http(
     a fresh connection after ``backoff_s`` (retries=0 restores the
     single-attempt curl parity); definitively failed URLs emit no row.
     Same output shape as the pages-table join, so the two fetch paths
-    are interchangeable."""
+    are interchangeable.
+
+    ``cross_host_redirects='strict'`` adds a ``redirect`` column: a
+    URL whose fetch hit a cross-host 3xx emits (url, html=NULL,
+    host, redirect=target) instead of following the hop — the caller
+    re-enqueues the target through robots admission + the seen-set
+    (POLITENESS.md). Same-host redirects still follow inline; the
+    default 'follow' keeps the 3-column curl-parity shape."""
     import concurrent.futures
     import time as _time
 
     import pandas as pd
 
+    strict = cross_host_redirects == "strict"
     cols = [F.col("url"), F.col("host")]
     if "crawl_delay" in dispatch.columns:
         cols.append(
@@ -230,17 +244,20 @@ def fetch_pages_http(
                 wait = last + float(delay) - _time.monotonic()
                 if wait > 0:
                     _time.sleep(wait)
-            body = _fetch_one(
+            _status, body, redirect = _fetch_one_status(
                 conns, url, user_agent, timeout_s, max_bytes, connect_to,
                 retries=retries, backoff_s=backoff_s,
                 crawl_delay=float(delay or 0.0),
+                same_host_only=strict,
             )
             # pacing clock starts at the END of the last attempt (a
             # retried URL's final request, not its first) so the next
             # URL's spacing can never undercut the robots delay
             last = _time.monotonic()
             if body is not None:
-                out.append((url, body))
+                out.append((url, body, None))
+            elif strict and redirect is not None:
+                out.append((url, None, redirect))
         for c in conns.values():
             try:
                 c.close()
@@ -265,8 +282,19 @@ def fetch_pages_http(
             return  # empty partition: yield nothing
         for rows in by_host.values():
             rows.sort()
-        out_url, out_html, out_host = [], [], []
+        out_rows: list = []
         workers = min(host_concurrency, len(by_host))
+
+        def flush(rows_out):
+            d = {
+                "url": [r[0] for r in rows_out],
+                "html": [r[1] for r in rows_out],
+                "host": [r[3] for r in rows_out],
+            }
+            if strict:
+                d["redirect"] = [r[2] for r in rows_out]
+            return pd.DataFrame(d)
+
         with concurrent.futures.ThreadPoolExecutor(workers) as pool:
             futs = [
                 pool.submit(fetch_host, h, rows)
@@ -274,21 +302,17 @@ def fetch_pages_http(
             ]
             for fut in concurrent.futures.as_completed(futs):
                 host, fetched = fut.result()
-                for url, body in fetched:
-                    out_url.append(url)
-                    out_html.append(body)
-                    out_host.append(host)
-                if len(out_url) >= flush_rows:
-                    yield pd.DataFrame({
-                        "url": out_url, "html": out_html,
-                        "host": out_host,
-                    })
-                    out_url, out_html, out_host = [], [], []
-        yield pd.DataFrame(
-            {"url": out_url, "html": out_html, "host": out_host}
-        )
+                out_rows.extend(
+                    (url, body, redirect, host)
+                    for url, body, redirect in fetched
+                )
+                if len(out_rows) >= flush_rows:
+                    yield flush(out_rows)
+                    out_rows = []
+        yield flush(out_rows)
 
-    return batch.mapInPandas(run, schema=FETCH_SCHEMA)
+    schema = FETCH_SCHEMA + (", redirect string" if strict else "")
+    return batch.mapInPandas(run, schema=schema)
 
 
 def parse_sitemap(body: bytes):
@@ -458,22 +482,35 @@ def robots_bodies_http(
     choose the default per outcome. Executor-side, pooled, one
     request per host; ``max_bytes`` defaults to 1 MB (RFC asks
     parsers to handle ≥500 KiB). ``hosts`` is a list or a DataFrame
-    with a ``host`` column."""
+    with a ``host`` column — an optional ``scheme`` column overrides
+    the default per host (a plain-http host must get
+    ``http://host/robots.txt``, not a doomed TLS attempt classified
+    'unreachable' and crawled allow-all — round-5 ADVICE)."""
     import pandas as pd
 
     if not isinstance(hosts, DataFrame):
         hosts = spark.createDataFrame(
             [(h,) for h in hosts], "host string"
         )
-    hosts = hosts.select("host").distinct()
+    if "scheme" in hosts.columns:
+        # one request per host: conflicting per-URL schemes resolve to
+        # the max ('https' > 'http' — prefer TLS when the host serves
+        # both)
+        hosts = hosts.groupBy("host").agg(
+            F.max("scheme").alias("scheme")
+        ).na.fill({"scheme": scheme})
+    else:
+        hosts = hosts.select("host").distinct().withColumn(
+            "scheme", F.lit(scheme)
+        )
 
     def run(pdfs):
         conns: dict = {}
         for pdf in pdfs:
             out_h, out_b, out_o = [], [], []
-            for host in pdf["host"]:
-                status, body = _fetch_one_status(
-                    conns, f"{scheme}://{host}/robots.txt",
+            for host, sch in zip(pdf["host"], pdf["scheme"]):
+                status, body, _redir = _fetch_one_status(
+                    conns, f"{sch or scheme}://{host}/robots.txt",
                     user_agent, timeout_s, max_bytes, connect_to,
                     retries=retries,
                 )

@@ -90,10 +90,15 @@ def parse_robots_sitemaps(body: str) -> list:
     """Extract ``Sitemap:`` URLs from a robots.txt body. Per the
     sitemaps protocol these lines are global (not scoped to any
     user-agent group), so this is a plain line scan — the crawler's
-    seed-discovery entry (``Sitemap:`` in robots → sitemap_seeds)."""
+    seed-discovery entry (``Sitemap:`` in robots → sitemap_seeds).
+    A ``#`` starts a comment only at line start or after whitespace —
+    a sitemap URL carrying a fragment ('...xml#frag') must not be
+    truncated to a broken URL (round-5 ADVICE)."""
+    import re
+
     out = []
     for raw in body.splitlines():
-        line = raw.split("#", 1)[0].strip()
+        line = re.split(r"(?:^|\s)#", raw, 1)[0].strip()
         key, _, val = line.partition(":")
         if key.strip().lower() == "sitemap":
             val = val.strip()
@@ -140,27 +145,116 @@ def _url_path(url_col=None):
     ).otherwise(F.lit("/"))
 
 
+# --------------------------------------------------------------- matching
+# RFC 9309 §2.2.2/§2.2.3 pattern matching, ONE kernel in two forms that
+# are pinned equivalent by tests: the Column-expression form below (runs
+# in the matchers) and the pure-Python twin (robots_pattern_regex /
+# robots_pattern_matches — unit-test oracle and any Python-side caller).
+# Rules are matched as patterns, not literal prefixes: '*' spans any
+# run of characters, a TRAILING '$' anchors the end of the path (a
+# mid-pattern '$' is a literal octet), everything else matches
+# literally. Percent-escapes are case-normalized (%3c ≡ %3C, RFC 3986
+# §6.2.2.1) on BOTH the path and the pattern before matching; full
+# decode-unreserved normalization is deliberately out of scope (the
+# frontier stores URLs as discovered, so both sides see the same
+# encoding convention). Precedence is the RFC's most-specific rule:
+# longest pattern in octets wins, Allow wins length ties.
+
+_RE_SPECIALS = r"([.\[\]{}()+?^$|\\])"  # regex metachars to escape ('*' excluded)
+
+
+def _pct_norm_expr(col):
+    """Uppercase the hex digits of every %XX escape ('/a%3cb' →
+    '/a%3Cb'); non-hex '%' sequences pass through untouched. Split on
+    a lookahead keeps each '%' with its following octet, so this is a
+    pure array transform — no UDF, no shuffle."""
+    segs = F.split(col, "(?=%)")
+    fixed = F.transform(
+        segs,
+        lambda s: F.when(
+            s.startswith("%")
+            & F.substring(s, 2, 2).rlike("^[0-9a-fA-F]{2}$"),
+            F.concat(
+                F.lit("%"),
+                F.upper(F.substring(s, 2, 2)),
+                F.substring(s, F.lit(4), F.length(s)),
+            ),
+        ).otherwise(s),
+    )
+    return F.array_join(fixed, "")
+
+
+def _pattern_regex_expr(pat):
+    """Robots pattern → anchored regex using only ``^ . * $ \\``-escape
+    constructs — a subset that Java regex (Spark) and RE2 (the DuckDB
+    oracles) interpret identically. Computed on the RULES side only
+    (tiny, broadcast), never per candidate."""
+    pat = _pct_norm_expr(pat)
+    anchored = pat.endswith("$")
+    core = F.when(
+        anchored, F.substring(pat, F.lit(1), F.length(pat) - 1)
+    ).otherwise(pat)
+    esc = F.regexp_replace(core, _RE_SPECIALS, r"\\$1")
+    starred = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(
+        F.lit("^"), starred,
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+
+
+def robots_pattern_regex(pattern: str) -> str:
+    """Pure-Python twin of ``_pattern_regex_expr`` (same output string
+    for the same pattern — pinned by tests)."""
+    import re as _re
+
+    pattern = _re.sub(
+        "%([0-9a-fA-F]{2})", lambda m: "%" + m.group(1).upper(), pattern
+    )
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    esc = _re.sub(_RE_SPECIALS, r"\\\1", core)
+    return "^" + esc.replace("*", ".*") + ("$" if anchored else "")
+
+
+def robots_pattern_matches(pattern: str, path: str) -> bool:
+    """Does a robots Allow/Disallow pattern match a URL path (RFC 9309
+    semantics, percent-case-normalized)?"""
+    import re as _re
+
+    path = _re.sub(
+        "%([0-9a-fA-F]{2})", lambda m: "%" + m.group(1).upper(), path
+    )
+    return _re.search(robots_pattern_regex(pattern), path) is not None
+
+
 def apply_robots(
     candidates: DataFrame,
     robots: DataFrame,
     key_cols: tuple = ("url",),
 ) -> DataFrame:
     """Adds ``allowed`` (boolean, default True when no rule matches) and
-    ``crawl_delay`` columns. Longest matching path_prefix wins.
+    ``crawl_delay`` columns. RFC 9309 matching (see the kernel above):
+    ``path_prefix`` values are PATTERNS ('*' wildcard, trailing '$'
+    anchor, percent-case-normalized); the longest pattern wins, Allow
+    wins length ties (then higher crawl_delay, for determinism — the
+    same total order ``apply_robots_rules``'s struct sort uses).
 
     ``candidates`` must carry ``host`` and ``url``; ``key_cols`` must
     uniquely identify a candidate ROW (pass e.g. ("url", "path") when
     the same url can be discovered by several parents — otherwise the
     first-match window would nondeterministically collapse them).
     """
-    cand = candidates.withColumn("__path", _url_path())
-    j = cand.join(F.broadcast(robots), "host", "left").withColumn(
+    cand = candidates.withColumn("__path", _pct_norm_expr(_url_path()))
+    rb = robots.withColumn("__re", _pattern_regex_expr(F.col("path_prefix")))
+    j = cand.join(F.broadcast(rb), "host", "left").withColumn(
         "__match",
         F.col("path_prefix").isNotNull()
-        & F.col("__path").startswith(F.col("path_prefix")),
+        & F.regexp_like(F.col("__path"), F.col("__re")),
     )
     w = Window.partitionBy(*key_cols).orderBy(
-        F.when(F.col("__match"), F.length("path_prefix")).otherwise(-1).desc()
+        F.when(F.col("__match"), F.length("path_prefix")).otherwise(-1).desc(),
+        F.when(F.col("__match"), F.col("allow")).otherwise(F.lit(False)).desc(),
+        F.when(F.col("__match"), F.col("crawl_delay")).otherwise(F.lit(0.0)).desc(),
     )
     return (
         j.withColumn("__rn", F.row_number().over(w))
@@ -172,16 +266,21 @@ def apply_robots(
                 F.when(F.col("__match"), F.col("crawl_delay"))
                 .otherwise(F.lit(0.0)),
         })
-        .drop("__rn", "__match", "__path", "path_prefix", "allow")
+        .drop("__rn", "__match", "__path", "__re", "path_prefix", "allow")
     )
 
 
 def robots_compact(robots: DataFrame) -> DataFrame:
     """ONE row per host: its rules as an array (precompute once per
-    crawl — the rules table is static across generations)."""
+    crawl — the rules table is static across generations). Each rule
+    carries its compiled match regex (``_pattern_regex_expr``) so the
+    per-candidate path never pays pattern translation."""
     return robots.groupBy("host").agg(
         F.collect_list(
-            F.struct("path_prefix", "allow", "crawl_delay")
+            F.struct(
+                "path_prefix", "allow", "crawl_delay",
+                _pattern_regex_expr(F.col("path_prefix")).alias("re"),
+            )
         ).alias("rules")
     )
 
@@ -193,16 +292,17 @@ def apply_robots_rules(candidates: DataFrame, compact: DataFrame) -> DataFrame:
     expressions. ``apply_robots`` needs a per-candidate window (a
     candidate-batch shuffle every generation) to collapse the rule
     fan-out; this form never fans out, so the crawl loop's candidate
-    path keeps ZERO robots shuffles. Equal-length ties break to
-    allow=True (deterministic; the window form's tie order is
-    arbitrary). Rows whose host has no rules (or no matching prefix)
+    path keeps ZERO robots shuffles. RFC 9309 matching (see the kernel
+    above) via each rule's precompiled regex; equal-length ties break
+    to allow=True then higher crawl_delay (the same order the window
+    form uses). Rows whose host has no rules (or no matching pattern)
     default to allowed=True, crawl_delay=0.0."""
-    j = candidates.withColumn("__path", _url_path()).join(
-        F.broadcast(compact), "host", "left"
-    )
+    j = candidates.withColumn(
+        "__path", _pct_norm_expr(_url_path())
+    ).join(F.broadcast(compact), "host", "left")
     matched = F.filter(
         F.col("rules"),
-        lambda r: F.col("__path").startswith(r["path_prefix"]),
+        lambda r: F.regexp_like(F.col("__path"), r["re"]),
     )
     # F.get (not getItem): a host can have rules but none matching the
     # path — ANSI mode makes [0] on the empty array an error, get()

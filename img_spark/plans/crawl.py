@@ -267,9 +267,24 @@ class CrawlConfig:
     # hosts about to be dispatched (long crawls must notice rule
     # changes; RFC 9309 suggests caching up to 24h)
     robots_ttl_s: float = 86400.0
+    # fetch_mode='http' cross-host 3xx handling: 'follow' (default) =
+    # inline follow, curl -L reference parity; 'strict' = the target
+    # is NOT fetched inline — the redirecting URL records fetch_failed
+    # and the target re-enqueues as a kind='redirect' candidate
+    # through robots admission + the seen-set (closes the "redirect
+    # fetches a host whose rules were never consulted" politeness
+    # hole; POLITENESS.md). Same-host hops follow inline either way.
+    # Second-level (two-level-site) cross-host redirects in strict
+    # mode are dropped, not enqueued: photo pages are leaf fetches,
+    # their targets are not frontier material.
+    redirect_policy: str = "follow"
 
 
 class Crawler:
+    # auto-compact the live-robots store once it exceeds this many
+    # committed delta dirs (see _ensure_robots)
+    _ROBOTS_COMPACT_DIRS = 64
+
     def __init__(
         self,
         spark: SparkSession,
@@ -310,6 +325,11 @@ class Crawler:
         self._live_robots = bool(cfg.live_robots) and cfg.fetch_mode == "http"
         self._robots_rules = None
         self._robots_known = None
+        # redirect_policy='strict' per-step state: parked cross-host
+        # redirect targets (re-enqueued as candidates) and the fetch
+        # caches backing them (unpersisted at end of step)
+        self._step_redirects: list = []
+        self._strict_caches: list = []
         self._reload_robots()
 
     # ---------------------------------------------------------------- paths
@@ -398,8 +418,18 @@ class Crawler:
         fresh = self._robots_known.filter(
             F.col("fetched_at") > F.lit(now - self.cfg.robots_ttl_s)
         )
+        # robots.txt scheme follows the frontier URLs' scheme per host
+        # (a plain-http host must be asked over http — an https-only
+        # probe would classify it 'unreachable' and admit allow-all);
+        # hosts arriving without URLs fall back to robots_bodies_http's
+        # https default
+        sch = F.substring_index(F.col("url"), "://", 1)
+        cols = ["host"] + (
+            [F.when(sch.isin("http", "https"), sch).alias("scheme")]
+            if "url" in cand.columns else []
+        )
         need = (
-            cand.select("host")
+            cand.select(*cols)
             .filter(F.col("host").isNotNull())
             .distinct()
             .join(F.broadcast(fresh.select("host")), "host", "left_anti")
@@ -419,6 +449,9 @@ class Crawler:
             user_agent=self.cfg.http_user_agent,
             connect_to=self.cfg.http_connect_to,
             timeout_s=self.cfg.http_timeout_s,
+            # --http-retries 0 must mean single-attempt everywhere,
+            # robots fetches included (round-5 ADVICE)
+            retries=self.cfg.http_retries,
         ).persist(StorageLevel.MEMORY_AND_DISK)
         got.count()  # materialize ONCE — the branches below read it
         # several times, and the HTTP fetch must not re-run per consumer
@@ -470,7 +503,16 @@ class Crawler:
         rules.write.mode("overwrite").parquet(out)
         fsio.write_bytes_atomic(fsio.join(out, "_SUCCESS"), b"")
         got.unpersist()
-        self._reload_robots()
+        if len(dirs) + 1 > self._ROBOTS_COMPACT_DIRS:
+            # growth bound INDEPENDENT of frontier compaction (round-5
+            # verdict item 7): with compact_every=0 a long crawl
+            # discovering new hosts every generation accumulates
+            # O(generations) delta dirs that every _reload_robots must
+            # list and open — fold them once past the threshold
+            # (_compact_robots_store reloads; else-branch reload below)
+            self._compact_robots_store()
+        else:
+            self._reload_robots()
 
     def _compact_robots_store(self) -> None:
         """Fold the live-robots delta dirs into ONE dir (newest rules
@@ -542,7 +584,9 @@ class Crawler:
         return stats
 
     # ---------------------------------------------------------------- fetch
-    def _fetch_http(self, batch: DataFrame) -> DataFrame:
+    def _fetch_http(
+        self, batch: DataFrame, enqueue_redirects: bool = True
+    ) -> DataFrame:
         """Pooled-HTTP fetch seam (fetch_mode='http'): a (url[, host,
         crawl_delay]) batch → (url, html, host). Used for both the
         first-level dispatch fetch and the two-level second pass; a
@@ -552,7 +596,16 @@ class Crawler:
         NOT applied here: the table path fetches whatever first-level
         URL exists in the pages table, and the two paths are pinned
         byte-identical — robots admission for frontier URLs happens at
-        enqueue time instead."""
+        enqueue time instead.
+
+        redirect_policy='strict': the fetch carries a ``redirect``
+        column; targets of first-level cross-host 3xx are parked on
+        ``self._step_redirects`` (a persisted split of the SAME fetch
+        — one HTTP request per URL either way) for ``step`` to
+        re-enqueue through admission, and the returned frame keeps
+        the 3-column shape every downstream consumer expects.
+        Second-level calls pass ``enqueue_redirects=False`` (leaf
+        fetches — their targets are dropped, see CrawlConfig)."""
         from img_spark.operators.fetch import fetch_pages_http
 
         if "host" not in batch.columns:
@@ -569,14 +622,35 @@ class Crawler:
             batch = apply_robots_rules(
                 batch, self._robots_rules
             ).drop("allowed")
-        return fetch_pages_http(
+        out = fetch_pages_http(
             batch,
             user_agent=self.cfg.http_user_agent,
             timeout_s=self.cfg.http_timeout_s,
             connect_to=self.cfg.http_connect_to,
             partitions=self.cfg.partitions,
             retries=self.cfg.http_retries,
+            cross_host_redirects=self.cfg.redirect_policy,
         )
+        if self.cfg.redirect_policy == "strict":
+            from pyspark import StorageLevel
+
+            # persist the raw fetch ONCE: the page rows and the
+            # redirect rows are two consumers, and a live fetch must
+            # never re-run per consumer (same contract as step's
+            # fetched_cache). Unpersisted at end of step.
+            out = out.persist(StorageLevel.MEMORY_AND_DISK)
+            self._strict_caches.append(out)
+            if enqueue_redirects:
+                self._step_redirects.append(
+                    out.filter(F.col("redirect").isNotNull()).select(
+                        F.col("url").alias("parent_url"),
+                        F.col("redirect").alias("url"),
+                    )
+                )
+            out = out.filter(F.col("html").isNotNull()).select(
+                "url", "html", "host"
+            )
+        return out
 
     # ------------------------------------------------------------- backoff
     def _backoff_budgets(self) -> DataFrame | None:
@@ -614,6 +688,7 @@ class Crawler:
     # ---------------------------------------------------------------- step
     def step(self) -> dict:
         g = self.generation + 1
+        self._step_redirects, self._strict_caches = [], []
         # only the status=pending subdir of the previous generation is
         # opened — the terminal-status history is never touched
         pending = read_pending(
@@ -726,7 +801,9 @@ class Crawler:
             results = resolve_second_level(
                 first_level, self.pages, pages_buckets=self.cfg.pages_buckets,
                 fetch_fn=(
-                    self._fetch_http
+                    # leaf fetches: strict-mode cross-host redirects
+                    # are dropped, never enqueued (see CrawlConfig)
+                    (lambda b: self._fetch_http(b, enqueue_redirects=False))
                     if self.cfg.fetch_mode == "http" else None
                 ),
             )
@@ -797,6 +874,33 @@ class Crawler:
             "kind",
             F.lit(g).alias("generation"),
         )
+        if self._step_redirects:
+            # strict redirect policy: parked cross-host targets become
+            # candidates of kind='redirect' — same admission path as
+            # albums/next (robots check + seen-set below). depth/path
+            # come from the redirecting frontier row (fan-out is 1 per
+            # parent, so the fixed 'fffffffe' child seq is unique and
+            # sorts after every album/next child)
+            red = self._step_redirects[0]
+            for x in self._step_redirects[1:]:
+                red = red.unionByName(x)
+            red_cand = red.join(
+                F.broadcast(dispatch.select(
+                    F.col("url").alias("parent_url"), "depth",
+                    F.col("path").alias("ppath"),
+                )),
+                "parent_url", "inner",
+            ).select(
+                F.col("url"),
+                F.col("url").alias("url_canon"),
+                host_of(F.col("url")).alias("host"),
+                "depth",
+                F.concat(F.col("ppath"), F.lit("fffffffe")).alias("path"),
+                "parent_url",
+                F.lit("redirect").alias("kind"),
+                F.lit(g).alias("generation"),
+            )
+            cand = cand.unionByName(red_cand)
         bad = cand.filter(F.col("host").isNull()).withColumns({
             "status": F.lit("rejected"),
             "crawl_delay": F.lit(0.0),
@@ -896,6 +1000,9 @@ class Crawler:
             first_level.unpersist()
         if fetched_cache is not None:
             fetched_cache.unpersist()
+        for c in self._strict_caches:
+            c.unpersist()
+        self._step_redirects, self._strict_caches = [], []
         marked.unpersist()
         # per-phase wall times ride in the manifest (S8 lineage + the
         # feedback loop for tuning per-generation overhead)

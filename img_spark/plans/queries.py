@@ -240,78 +240,115 @@ FROM c
 
 
 # robots ---------------------------------------------------------------
+# Patterns, not literal prefixes (RFC 9309 §2.2.2-3): '*' spans any
+# run, a trailing '$' anchors the path end, %XX escapes are
+# case-normalized — h3/h4 pin the wildcard matcher (round-5 verdict
+# item 1: a '/*.pdf$' rule used to match nothing).
 ROBOTS_RULES = [
     ("h0.test", "/private", False, 0.0),
     ("h0.test", "/", True, 0.0),
     ("h1.test", "/", False, 0.0),
     ("h2.test", "/private/pub", True, 0.0),
     ("h2.test", "/private", False, 2.5),
+    ("h3.test", "/*.pdf$", False, 0.0),
+    ("h3.test", "/files/*/raw", False, 1.0),
+    ("h4.test", "/*?sort=", False, 0.0),
+    ("h4.test", "/a%3Cb", False, 0.0),
 ]
 
 
-def q_robots_allow(spark, sf_dir):
+def _robots_cand(spark, sf_dir):
+    """Candidate batch for both robots queries: host varies with
+    doc_id%10, path with (doc_id//10)%8 — independent moduli, so every
+    (host, path-shape) pair occurs, including the wildcard hits
+    (*.pdf$ anchored + its non-match, mid-pattern '*', query-string
+    match, %-case normalization) and the prefix-precedence cases."""
     hostn = (F.col("doc_id") % 10).cast("string")
     host = F.concat(F.lit("h"), hostn, F.lit(".test"))
+    p = (F.col("doc_id") / 10).cast("int") % 8
     path = (
-        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/pub/"), _did()))
-        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("/private/"), _did()))
-        .when(F.col("doc_id") % 4 == 2, F.lit("/private/pub/x"))
-        .otherwise(F.lit("/"))
+        F.when(p == 0, F.concat(F.lit("/pub/"), _did()))
+        .when(p == 1, F.concat(F.lit("/private/"), _did()))
+        .when(p == 2, F.lit("/private/pub/x"))
+        .when(p == 3, F.lit("/"))
+        .when(p == 4, F.concat(F.lit("/docs/"), _did(), F.lit(".pdf")))
+        .when(p == 5, F.concat(F.lit("/docs/"), _did(), F.lit(".pdfx")))
+        .when(p == 6, F.concat(F.lit("/files/"), _did(), F.lit("/raw/x")))
+        .otherwise(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("/a%3cb"))
+            .otherwise(F.lit("/list?sort=asc"))
+        )
     )
-    cand = _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir).select(
         "doc_id",
         host.alias("host"),
         F.concat(F.lit("https://"), host, path).alias("url"),
     )
-    out = apply_robots(cand, robots_df(spark, ROBOTS_RULES),
-                       key_cols=("doc_id",))
+
+
+def q_robots_allow(spark, sf_dir):
+    out = apply_robots(_robots_cand(spark, sf_dir),
+                       robots_df(spark, ROBOTS_RULES), key_cols=("doc_id",))
     return out.select("doc_id", "url", "allowed",
                       F.round("crawl_delay", 6).alias("crawl_delay"))
 
 
 def q_robots_allow_rules(spark, sf_dir):
     """Shuffle-free robots twin (the form the crawl loop runs):
-    compacted per-host rules array + broadcast join + longest-prefix
-    array expressions — same oracle as the window form."""
+    compacted per-host rules array (with precompiled pattern regexes)
+    + broadcast join + longest-pattern array expressions — same oracle
+    as the window form."""
     from img_spark.operators.politeness import apply_robots_rules, robots_compact
 
-    hostn = (F.col("doc_id") % 10).cast("string")
-    host = F.concat(F.lit("h"), hostn, F.lit(".test"))
-    path = (
-        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/pub/"), _did()))
-        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("/private/"), _did()))
-        .when(F.col("doc_id") % 4 == 2, F.lit("/private/pub/x"))
-        .otherwise(F.lit("/"))
+    out = apply_robots_rules(
+        _robots_cand(spark, sf_dir),
+        robots_compact(robots_df(spark, ROBOTS_RULES)),
     )
-    cand = _docs(spark, sf_dir).select(
-        "doc_id",
-        host.alias("host"),
-        F.concat(F.lit("https://"), host, path).alias("url"),
-    )
-    out = apply_robots_rules(cand, robots_compact(robots_df(spark, ROBOTS_RULES)))
     return out.select("doc_id", "url", "allowed",
                       F.round("crawl_delay", 6).alias("crawl_delay"))
 
 
+# the oracle carries each pattern's translated regex literally (same
+# ^ . * $ \-escape subset the engine emits — RE2 and Java read it
+# identically) and replays the precedence order: longest pattern in
+# octets, allow on ties, then crawl_delay. The only lowercase escape
+# the candidates generate is %3c, so the oracle's percent-case
+# normalization is the literal replace.
 SQL_ROBOTS_ALLOW = """
-WITH rules(host, path_prefix, allow, crawl_delay) AS (VALUES
-  ('h0.test','/private',FALSE,0.0::double), ('h0.test','/',TRUE,0.0::double),
-  ('h1.test','/',FALSE,0.0::double), ('h2.test','/private/pub',TRUE,0.0::double),
-  ('h2.test','/private',FALSE,2.5::double)),
+WITH rules(host, path_prefix, re, allow, crawl_delay) AS (VALUES
+  ('h0.test','/private','^/private',FALSE,0.0::double),
+  ('h0.test','/','^/',TRUE,0.0::double),
+  ('h1.test','/','^/',FALSE,0.0::double),
+  ('h2.test','/private/pub','^/private/pub',TRUE,0.0::double),
+  ('h2.test','/private','^/private',FALSE,2.5::double),
+  ('h3.test','/*.pdf$','^/.*\\.pdf$',FALSE,0.0::double),
+  ('h3.test','/files/*/raw','^/files/.*/raw',FALSE,1.0::double),
+  ('h4.test','/*?sort=','^/.*\\?sort=',FALSE,0.0::double),
+  ('h4.test','/a%3Cb','^/a%3Cb',FALSE,0.0::double)),
 c AS (
   SELECT doc_id, 'h' || (doc_id % 10)::varchar || '.test' AS host,
-    CASE doc_id % 4 WHEN 0 THEN '/pub/' || doc_id::varchar
+    CASE (doc_id // 10) % 8
+      WHEN 0 THEN '/pub/' || doc_id::varchar
       WHEN 1 THEN '/private/' || doc_id::varchar
-      WHEN 2 THEN '/private/pub/x' ELSE '/' END AS path
-  FROM documents)
+      WHEN 2 THEN '/private/pub/x'
+      WHEN 3 THEN '/'
+      WHEN 4 THEN '/docs/' || doc_id::varchar || '.pdf'
+      WHEN 5 THEN '/docs/' || doc_id::varchar || '.pdfx'
+      WHEN 6 THEN '/files/' || doc_id::varchar || '/raw/x'
+      ELSE CASE WHEN doc_id % 2 = 0 THEN '/a%3cb' ELSE '/list?sort=asc' END
+    END AS path
+  FROM documents),
+n AS (SELECT doc_id, host, path, replace(path, '%3c', '%3C') AS path_n FROM c)
 SELECT doc_id, 'https://' || host || path AS url,
-  COALESCE((SELECT r.allow FROM rules r WHERE r.host=c.host
-            AND starts_with(c.path, r.path_prefix)
-            ORDER BY length(r.path_prefix) DESC LIMIT 1), TRUE) AS allowed,
-  round(COALESCE((SELECT r.crawl_delay FROM rules r WHERE r.host=c.host
-            AND starts_with(c.path, r.path_prefix)
-            ORDER BY length(r.path_prefix) DESC LIMIT 1), 0.0), 6) AS crawl_delay
-FROM c
+  COALESCE((SELECT r.allow FROM rules r WHERE r.host=n.host
+            AND regexp_matches(n.path_n, r.re)
+            ORDER BY length(r.path_prefix) DESC, r.allow DESC,
+                     r.crawl_delay DESC LIMIT 1), TRUE) AS allowed,
+  round(COALESCE((SELECT r.crawl_delay FROM rules r WHERE r.host=n.host
+            AND regexp_matches(n.path_n, r.re)
+            ORDER BY length(r.path_prefix) DESC, r.allow DESC,
+                     r.crawl_delay DESC LIMIT 1), 0.0), 6) AS crawl_delay
+FROM n
 """
 
 
@@ -2002,7 +2039,7 @@ def q_robots_parse(spark, sf_dir):
             "User-agent: *\nDisallow: /private\n"
             "Allow: /private/pub\nCrawl-delay: 2.5"))
         .when(v == 1, F.lit(
-            "User-agent: imgbot\nDisallow: /img\n\n"
+            "User-agent: imgbot\nDisallow: /img\nDisallow: /*.tmp$\n\n"
             "User-agent: *\nDisallow: /all"))
         .when(v == 2, F.lit("# nothing blocked\nUser-agent: *\nDisallow:"))
         .otherwise(F.lit("User-agent: other\nDisallow: /x"))
@@ -2024,7 +2061,9 @@ SELECT host, path_prefix, allow, crawl_delay FROM (
   UNION ALL
   SELECT host, '/private/pub', TRUE, 2.5::double FROM d WHERE v = 0
   UNION ALL
-  SELECT host, '/img', FALSE, 0.0::double FROM d WHERE v = 1)
+  SELECT host, '/img', FALSE, 0.0::double FROM d WHERE v = 1
+  UNION ALL
+  SELECT host, '/*.tmp$', FALSE, 0.0::double FROM d WHERE v = 1)
 """
 
 

@@ -73,15 +73,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", default=None,
                    help="web.json-shaped site-config file")
     p.add_argument("--robots-rules", default=None,
-                   help="parquet of (host, path_prefix, allow, crawl_delay)")
+                   help="parquet of (host, path_prefix, allow, crawl_delay); "
+                        "these hosts are authoritative — in http mode, "
+                        "hosts NOT in the table still get live robots.txt "
+                        "fetches unless --no-live-robots")
     p.add_argument("--robots-bodies", default=None,
-                   help="parquet of (host, body) raw robots.txt bodies")
+                   help="parquet of (host, body) raw robots.txt bodies; "
+                        "same authority semantics as --robots-rules")
+    p.add_argument("--no-live-robots", action="store_true",
+                   help="--fetch-mode http: disable lazy robots.txt "
+                        "fetching entirely — hosts without static rules "
+                        "are admitted allow-all (hermetic runs only)")
     p.add_argument("--agent", default="imgbot",
                    help="user-agent for robots group selection")
     p.add_argument("--http-retries", type=int, default=1,
                    help="--fetch-mode http: retries per request on "
                         "transient failures (transport error / 5xx); "
                         "0 = single-attempt curl parity")
+    p.add_argument("--redirect-policy", choices=("follow", "strict"),
+                   default="follow",
+                   help="--fetch-mode http cross-host 3xx: 'follow' = "
+                        "inline (curl -L reference parity), 'strict' = "
+                        "re-enqueue the target through robots admission "
+                        "+ the seen-set instead of fetching it")
     p.add_argument("--robots-ttl", type=float, default=86400.0,
                    help="--fetch-mode http: re-fetch a host's live "
                         "robots.txt when its stored rules are older "
@@ -353,11 +367,12 @@ def main(argv=None) -> int:
         # old bootstrap collected every pending host to the driver:
         # unbounded at a 10^10-URL frontier)
         robots = robots_df(spark, [])
-    live_robots = (
-        args.fetch_mode == "http"
-        and not args.robots_rules
-        and not args.robots_bodies
-    )
+    # live robots stays ON in http mode even with a static table
+    # (round-5 ADVICE): static hosts remain authoritative inside the
+    # Crawler (never fetched live), but hosts the table doesn't cover —
+    # discovered mid-crawl — get lazy robots.txt fetches instead of
+    # allow-all admission with zero delay
+    live_robots = args.fetch_mode == "http" and not args.no_live_robots
 
     cfg = CrawlConfig(
         checkpoint_dir=args.checkpoint,
@@ -380,6 +395,7 @@ def main(argv=None) -> int:
         live_robots=live_robots,
         robots_ttl_s=args.robots_ttl,
         http_retries=args.http_retries,
+        redirect_policy=args.redirect_policy,
     )
     host_budgets = (
         spark.read.parquet(args.host_budgets).select("host", "budget")

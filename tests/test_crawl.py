@@ -367,6 +367,35 @@ def test_parse_robots_txt_kernel():
     assert parse_robots_txt(two, "zbot") == [("/y", False, 0.0)]
 
 
+def test_robots_pattern_kernel():
+    """RFC 9309 pattern semantics, pure-Python twin (the Spark
+    expression form is pinned equivalent by the randomized test
+    below): '*' spans any run, TRAILING '$' anchors, mid-pattern '$'
+    is literal, regex metachars in patterns are literal, %XX escapes
+    compare case-insensitively."""
+    from img_spark.operators.politeness import (
+        robots_pattern_matches as m,
+        robots_pattern_regex,
+    )
+
+    assert m("/*.pdf$", "/docs/x.pdf")
+    assert not m("/*.pdf$", "/docs/x.pdfx")     # anchored
+    assert not m("/*.pdf$", "/docs/xApdf")      # '.' is literal
+    assert m("/files/*/raw", "/files/a/b/raw/x")
+    assert not m("/files/*/raw", "/files/a/b/ra")
+    assert m("/*?sort=", "/list?sort=asc")      # '?' is literal
+    assert not m("/*?sort=", "/list-sort=asc")
+    assert m("/a$b", "/a$b/c")                  # mid-pattern '$' literal
+    assert not m("/a$b", "/ab/c")
+    assert m("/a%3Cb", "/a%3cb") and m("/a%3cb", "/a%3Cb")  # %-case
+    assert not m("/a%3Cb", "/a%3db")
+    assert m("/", "/anything") and m("", "/x")
+    assert m("/p", "/p") and not m("/private", "/p")
+    # the regex uses only the ^ . * $ \-escape subset (RE2 ≡ Java)
+    assert robots_pattern_regex("/*.pdf$") == r"^/.*\.pdf$"
+    assert robots_pattern_regex("/a(b)+c") == r"^/a\(b\)\+c"
+
+
 def test_bfs_vs_dfs_priority(spark, tmp_path_factory):
     """Priority-queue frontier: a nested-album site where DFS descends
     into the sub-album before the sibling leaf, while BFS fetches the
@@ -610,6 +639,10 @@ def test_robots_rules_equiv_and_shuffle_free(spark):
             rules.append((host, "/", h % 3 == 0, 0.0))
         rules.append((host, f"/p{h % 4}", h % 2 == 0, float(h % 5)))
         rules.append((host, f"/p{h % 4}/deep", h % 2 == 1, 9.0))
+        # RFC 9309 wildcards riding the same randomized sweep: an
+        # anchored suffix rule and a mid-pattern '*' rule per host
+        rules.append((host, f"/*{h % 3}/x$", h % 2 == 0, 3.0))
+        rules.append((host, f"/p*deep", False, 4.0))
     robots = robots_df(spark, rules)
     cand = spark.range(300).select(
         F.col("id"),
@@ -626,6 +659,23 @@ def test_robots_rules_equiv_and_shuffle_free(spark):
     rows_a = {(r["id"], r["allowed"], r["crawl_delay"]) for r in a.collect()}
     rows_b = {(r["id"], r["allowed"], r["crawl_delay"]) for r in b.collect()}
     assert rows_a == rows_b
+    # Python-twin differential: the Column kernel and the pure-Python
+    # kernel pick the same verdict for every candidate
+    from img_spark.operators.politeness import robots_pattern_matches
+
+    by_host: dict = {}
+    for host, pat, allow, delay in rules:
+        by_host.setdefault(host, []).append((pat, allow, delay))
+    for r in cand.collect():
+        path = r["url"].split(".test", 1)[1] or "/"
+        hits = [
+            (len(p), al, d)
+            for p, al, d in by_host.get(r["host"], [])
+            if robots_pattern_matches(p, path)
+        ]
+        want = max(hits)[1] if hits else True
+        got = next(x for x in rows_a if x[0] == r["id"])[1]
+        assert got == want, (r["url"], hits, got)
     assert b.count() == 300
     plan = b._jdf.queryExecution().executedPlan().toString()
     # the only hash exchange is the ONE-TIME rules compaction (keyed by

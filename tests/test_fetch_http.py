@@ -230,6 +230,12 @@ def test_robots_sitemap_discovery_feeds_sitemap_seeds(spark, site_server):
     assert parse_robots_sitemaps(
         "User-agent: *\n# c\nSITEMAP:  https://h/x.xml \nSitemap:\nAllow: /\n"
     ) == ["https://h/x.xml"]
+    # '#' inside the URL is NOT a comment (only at line start / after
+    # whitespace — round-5 ADVICE): a fragment survives, a trailing
+    # comment is still stripped
+    assert parse_robots_sitemaps(
+        "Sitemap: https://h/x.xml#frag\nSitemap: https://h/y.xml # note\n"
+    ) == ["https://h/x.xml#frag", "https://h/y.xml"]
 
     connect, _log = site_server
     entries = robots_sitemap_urls(

