@@ -88,6 +88,15 @@ def rmtree(path: str) -> None:
         fs.delete_dir(p)
 
 
+def move(src: str, dst: str) -> None:
+    """Directory/file move. Atomic rename on local filesystems; on
+    object stores pyarrow implements it as copy+delete (weaker — the
+    corpus swap documents this)."""
+    fs, p_src = resolve(src)
+    _, p_dst = resolve(dst)
+    fs.move(p_src, p_dst)
+
+
 def read_bytes(path: str) -> bytes:
     fs, p = resolve(path)
     with fs.open_input_file(p) as f:

@@ -248,13 +248,18 @@ def minhash_lsh_candidates(
     bands: int = LSH_BANDS,
     k: int = MINHASH_K,
     max_bucket: int | None = None,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
     shingle → minhash → band → bucket-join; only bucket keys shuffle.
     ``max_bucket`` bounds the quadratic per-bucket join (see
     cap_buckets; report the drops with bucket_drop_report over
-    minhash_bands)."""
-    banded = minhash_bands(df, id_col, text_col, bands, k)
+    minhash_bands). ``banded`` supplies a precomputed/persisted
+    ``minhash_bands`` table — the minhash pass is the dominant CPU, so
+    callers that also materialize the bands (the corpus bridge's
+    incremental state) must not pay it twice."""
+    if banded is None:
+        banded = minhash_bands(df, id_col, text_col, bands, k)
     if max_bucket is not None:
         banded = cap_buckets(banded, ("band", "bucket"), max_bucket)
     x = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
@@ -273,14 +278,19 @@ def minhash_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int | None = None,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verify.
 
     The verify stage computes Jaccard ONLY for candidate pairs, via
     array_intersect on the per-doc gram-hash arrays — never the full
     gram-explode self-join (which blows up quadratically on common
-    shingles and is exactly what LSH exists to avoid at scale)."""
-    cand = minhash_lsh_candidates(df, id_col, text_col, max_bucket=max_bucket)
+    shingles and is exactly what LSH exists to avoid at scale).
+    ``banded`` forwards a precomputed band table (see
+    minhash_lsh_candidates)."""
+    cand = minhash_lsh_candidates(
+        df, id_col, text_col, max_bucket=max_bucket, banded=banded
+    )
     grams = df.select(
         F.col(id_col).alias("doc_id"),
         gram_hashes(F.col(text_col)).alias("ghs"),

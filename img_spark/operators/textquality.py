@@ -166,6 +166,47 @@ def lang_id_with_model(text: Column, model_fn) -> Column:
     return f(text)
 
 
+def load_lang_model(path: str):
+    """Load a weighted-token language model (``lang<TAB>token<TAB>
+    weight`` lines; '#' comments) into a ``model_fn`` for
+    ``lang_id_with_model`` — the demo instance is
+    ``resources/lang_model_demo.txt``, a deterministic stand-in that
+    exercises the model hook end-to-end under the driver gate the way
+    the BPE demo merges file does for the real merge loop. Scoring:
+    whitespace-tokenize the lowercased text, sum each language's
+    weights over token occurrences, argmax (ties break to the
+    lexicographically smallest language; zero evidence → 'und').
+    Weights should be dyadic so sums are order-exact (the oracle's
+    argmax must never hinge on float association)."""
+    import re as _re
+
+    table: dict = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            lang, tok, w = line.split("\t")
+            table.setdefault(tok, []).append((lang, float(w)))
+
+    def model_fn(texts):
+        out = []
+        for t in texts:
+            scores: dict = {}
+            for tok in _re.split(r"\s+", (t or "").lower().strip()):
+                for lang, w in table.get(tok, ()):
+                    scores[lang] = scores.get(lang, 0.0) + w
+            if not scores:
+                out.append("und")
+            else:
+                out.append(
+                    min(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                )
+        return out
+
+    return model_fn
+
+
 def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style quality gates as portable integer/boolean signals
     (ints and bools hash robustly in the cross-engine value check;

@@ -24,25 +24,17 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from img_spark import fsio
 
 
-def crawl_documents(
-    spark: SparkSession, checkpoint_dir: str
-) -> DataFrame:
-    """One row per successfully fetched page across every generation
-    of a crawl checkpoint: (doc_id=page_url, host, title, text,
-    generation). Reads only the extracted deltas (each generation's
-    pages appear exactly once — the seen-set guarantees a URL is
-    fetched once), pruning to the page-level columns so the img rows'
-    fan-out collapses map-side."""
+def _committed_generations(checkpoint_dir: str) -> list:
+    """Extracted-delta generations bounded by the newest COMMITTED
+    manifest: an in-flight or crashed generation may have written a
+    partial extracted/g{n} dir before its manifest landed — reading it
+    would corrupt the corpus silently. Checkpoints without manifests
+    (hand-built test inputs) are taken as-is."""
     base = fsio.join(checkpoint_dir, "extracted")
     gens = sorted(
         int(fn[1:]) for fn in fsio.listdir(base)
         if fn.startswith("g") and fn[1:].isdigit()
     )
-    # bound by the newest COMMITTED manifest: an in-flight or crashed
-    # generation may have written a partial extracted/g{n} dir before
-    # its manifest landed — reading it would corrupt the corpus
-    # silently. Checkpoints without manifests (hand-built test inputs)
-    # are taken as-is.
     committed = [
         int(fn[len("manifest-g"):-len(".json")])
         for fn in fsio.listdir(checkpoint_dir)
@@ -51,7 +43,32 @@ def crawl_documents(
     if committed:
         gmax = max(committed)
         gens = [g for g in gens if g <= gmax]
+    return gens
+
+
+def crawl_documents(
+    spark: SparkSession, checkpoint_dir: str, min_generation: int = -1
+) -> DataFrame:
+    """One row per successfully fetched page across every generation
+    of a crawl checkpoint: (doc_id=page_url, host, title, text,
+    generation). Reads only the extracted deltas (each generation's
+    pages appear exactly once — the seen-set guarantees a URL is
+    fetched once), pruning to the page-level columns so the img rows'
+    fan-out collapses map-side. ``min_generation`` (incremental mode)
+    opens only deltas with generation > min_generation — an empty
+    slice returns an empty frame instead of raising."""
+    base = fsio.join(checkpoint_dir, "extracted")
+    gens = [
+        g for g in _committed_generations(checkpoint_dir)
+        if g > min_generation
+    ]
     if not gens:
+        if min_generation >= 0:
+            return spark.createDataFrame(
+                [],
+                "doc_id string, host string, title string, text string,"
+                " generation int",
+            )
         raise FileNotFoundError(f"no committed extracted deltas under {base}")
     df = spark.read.parquet(*[fsio.join(base, f"g{g}") for g in gens])
     # every parse status except the miss marker carries page text
@@ -107,6 +124,7 @@ def build_corpus(
     near_dup_threshold: float | None = None,
     near_dup_max_bucket: int | None = 10_000,
     documents: DataFrame | None = None,
+    write_state: bool = True,
 ) -> dict:
     """Materialize the curated corpus for a finished (or in-flight)
     crawl. Writes lang-partitioned parquet rows
@@ -120,7 +138,15 @@ def build_corpus(
     every non-representative member of a near-dup cluster (min doc_id
     survives — the standard fuzzy-dedup policy; ``near_dup_max_bucket``
     caps hot LSH buckets so one boilerplate shingle can't go
-    quadratic)."""
+    quadratic).
+
+    ``write_state=True`` additionally materializes the incremental-
+    curation state under ``{out_dir}/_state/`` (Spark readers ignore
+    underscore-prefixed dirs): the fingerprint→rep table, the LSH band
+    table and cluster assignments (near-dup mode), and a meta.json
+    watermark — everything ``build_corpus_incremental`` needs to fold
+    NEW crawl generations into the corpus without re-running the
+    per-document compute over the old ones."""
     from pyspark import StorageLevel
 
     from img_spark.operators.textquality import (
@@ -154,15 +180,21 @@ def build_corpus(
     # driver-checked curate_corpus gate): quality ∧ ¬dup ∧ ¬contaminated
     out = base.join(curation_flags(docs, benchmark), "doc_id")
     comps = None
+    banded = None
     if near_dup_threshold is not None:
         from img_spark.operators.dedup import (
             connected_components,
+            minhash_bands,
             minhash_dedup,
         )
 
+        # materialize the band table once: the LSH candidate join AND
+        # the incremental state write both consume it — the minhash
+        # pass is the dominant near-dup CPU and must not run twice
+        banded = minhash_bands(docs).persist(StorageLevel.MEMORY_AND_DISK)
         pairs = minhash_dedup(
             docs, threshold=near_dup_threshold,
-            max_bucket=near_dup_max_bucket,
+            max_bucket=near_dup_max_bucket, banded=banded,
         )
         comps = connected_components(pairs)
         near = comps.filter(F.col("doc_id") != F.col("rep_id")).select(
@@ -199,7 +231,334 @@ def build_corpus(
         F.count(F.when(~F.col("sampled"), 1)).alias("sampled_out"),
     )
     out.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
+    if write_state:
+        _write_corpus_state(
+            spark, out_dir, docs, checkpoint_dir,
+            near_dup_threshold, near_dup_max_bucket,
+            banded=banded, comps=comps,
+        )
     docs.unpersist()
+    if banded is not None:
+        banded.unpersist()
     if comps is not None:
         comps.unpersist()  # connected_components returns it persisted
+    return {k: int(v) for k, v in obs.get.items()}
+
+
+# ------------------------------------------------------------ incremental
+def _state_dir(out_dir: str) -> str:
+    # underscore prefix: Spark's file index treats _*/.* entries as
+    # hidden, so the state never pollutes spark.read.parquet(out_dir)
+    return fsio.join(out_dir, "_state")
+
+
+def _write_corpus_state(
+    spark,
+    out_dir: str,
+    docs: DataFrame,
+    checkpoint_dir: str | None,
+    near_dup_threshold,
+    near_dup_max_bucket,
+    banded: DataFrame | None,
+    comps: DataFrame | None,
+) -> None:
+    """Materialize the merge state a later incremental run needs:
+    fingerprints (fp → group-min rep), the uncapped LSH band table and
+    cluster assignments (near-dup mode), and the generation watermark.
+    All linear in the corpus; the expensive part (the minhash pass
+    behind ``banded``) is shared with the curation itself."""
+    import json as _json
+
+    from img_spark.operators.dedup import exact_dedup
+
+    st = _state_dir(out_dir)
+    exact_dedup(docs).select("fp", "rep_id").distinct().write.mode(
+        "overwrite"
+    ).parquet(fsio.join(st, "fingerprints"))
+    if banded is not None:
+        banded.write.mode("overwrite").parquet(fsio.join(st, "bands"))
+    if comps is not None:
+        comps.write.mode("overwrite").parquet(fsio.join(st, "comps"))
+    gens = _committed_generations(checkpoint_dir) if checkpoint_dir else []
+    fsio.write_bytes_atomic(
+        fsio.join(st, "meta.json"),
+        _json.dumps({
+            "max_generation": max(gens) if gens else 0,
+            "near_dup_threshold": near_dup_threshold,
+            "near_dup_max_bucket": near_dup_max_bucket,
+        }).encode(),
+    )
+
+
+def build_corpus_incremental(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    out_dir: str,
+    sample_rates: dict | None = None,
+    default_rate: float = 1.0,
+    benchmark: DataFrame | None = None,
+) -> dict:
+    """Fold the crawl generations NEWER than the corpus's watermark
+    into an existing ``build_corpus`` output — equivalent to a full
+    re-curation, at incremental cost: the per-document compute
+    (quality gates, language ID, token counts, fingerprints, minhash
+    signatures — the dominant CPU at 100 TB) runs over the NEW
+    documents only; old documents are only touched by the merge
+    contracts below and the final rewrite.
+
+    Merge contracts (each provably ≡ full re-curation):
+    - **exact dedup**: group rep = global min doc_id. New docs join
+      the stored fingerprint→rep table; a new doc with a smaller id
+      demotes the old rep to is_dup=True (the only way an old flag
+      can change — is_dup is monotone under adding docs).
+    - **near-dup**: new docs' LSH bands join against the stored band
+      table (old signatures are never recomputed); verified new edges
+      union the stored cluster assignments (each old cluster is the
+      transitive closure of its old edges, so CC over old-assignments
+      ∪ new-edges = CC over all edges) and clusters re-collapse.
+      is_near_dup is likewise monotone. With ``near_dup_max_bucket``
+      set, equivalence holds while no bucket crosses the cap between
+      runs (a bucket that grows past the cap drops future pairs in
+      both modes, but a full re-run would also retro-drop its old
+      pairs — incremental keeps them: strictly higher recall).
+    - **quality / lang / tokens / decontamination / sampling** are
+      per-document and deterministic — unchanged for old docs.
+      ``sample_rates``/``benchmark`` must match the original run.
+
+    The corpus is rewritten via tmp-dir + swap (old rows' flags can
+    flip, and parquet has no row-level update — an Iceberg sink would
+    make this a MERGE INTO touching only changed rows; the swap is
+    atomic on local/HDFS, copy+delete on object stores). Returns the
+    summary counts plus ``new_documents``."""
+    import json as _json
+
+    from pyspark import StorageLevel
+
+    from img_spark.operators.dedup import (
+        cap_buckets,
+        connected_components,
+        fingerprint,
+        gram_hashes,
+        minhash_bands,
+    )
+    from img_spark.operators.textquality import (
+        lang_id,
+        quality_signals,
+        stratified_sample,
+        token_count,
+    )
+
+    st = _state_dir(out_dir)
+    meta = _json.loads(fsio.read_bytes(fsio.join(st, "meta.json")))
+    since = int(meta["max_generation"])
+    thr = meta.get("near_dup_threshold")
+    cap = meta.get("near_dup_max_bucket")
+    gens = _committed_generations(checkpoint_dir)
+    gmax = max(gens) if gens else 0
+    if gmax <= since:
+        return {"new_documents": 0, "unchanged": True}
+
+    new_docs = crawl_documents(
+        spark, checkpoint_dir, min_generation=since
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    old = spark.read.parquet(out_dir)
+
+    # ---- per-doc features for NEW docs only
+    base_new = new_docs.withColumns({
+        "lang": lang_id(F.col("text")),
+        "n_tokens": token_count(F.col("text")),
+        "n_chars": F.length("text"),
+    })
+    q_new = quality_signals(new_docs).select(
+        "doc_id", F.col("keep").alias("quality_keep")
+    )
+    if benchmark is not None:
+        from img_spark.operators.dedup import ngram_decontaminate
+
+        cont_new = ngram_decontaminate(new_docs, benchmark).select(
+            "doc_id", "contaminated"
+        )
+    else:
+        cont_new = new_docs.select(
+            "doc_id", F.lit(False).alias("contaminated")
+        )
+    samp_new = stratified_sample(
+        base_new.select("doc_id", "lang"),
+        rates=sample_rates or {},
+        default_rate=default_rate,
+        strat_col="lang",
+    ).select("doc_id", "sampled")
+
+    # ---- exact-dedup merge against the fingerprint state
+    fstate = spark.read.parquet(fsio.join(st, "fingerprints")).select(
+        "fp", F.col("rep_id").alias("old_rep")
+    )
+    nf = new_docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    nmin = nf.groupBy("fp").agg(F.min("doc_id").alias("new_min"))
+    merged = nmin.join(fstate, "fp", "left").withColumn(
+        "rep", F.least(F.coalesce("old_rep", "new_min"), F.col("new_min"))
+    ).persist()
+    dup_new = nf.join(merged.select("fp", "rep"), "fp").select(
+        "doc_id", (F.col("doc_id") != F.col("rep")).alias("is_dup")
+    )
+    # the ONLY old rows exact dedup can flip: previous reps demoted by
+    # a smaller new id
+    dup_flips = merged.filter(
+        F.col("old_rep").isNotNull() & (F.col("new_min") < F.col("old_rep"))
+    ).select(F.col("old_rep").alias("doc_id"), F.lit(True).alias("__dup"))
+    fstate_out = (
+        fstate.join(nmin, "fp", "left")
+        .select(
+            "fp",
+            F.least(
+                F.col("old_rep"), F.coalesce("new_min", "old_rep")
+            ).alias("rep_id"),
+        )
+        .unionByName(
+            nmin.join(fstate, "fp", "left_anti").select(
+                "fp", F.col("new_min").alias("rep_id")
+            )
+        )
+    )
+
+    # ---- near-dup merge against the band + cluster state
+    comps_all = None
+    bands_out = None
+    if thr is not None:
+        bstate = spark.read.parquet(fsio.join(st, "bands"))
+        bnew = minhash_bands(new_docs).persist(StorageLevel.MEMORY_AND_DISK)
+        allb = bstate.unionByName(bnew)
+        if cap is not None:
+            allb = cap_buckets(allb, ("band", "bucket"), cap)
+        # candidate pairs with ≥1 NEW member (old-old pairs are already
+        # folded into the stored assignments)
+        raw = (
+            allb.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+            .join(
+                bnew.select(F.col("doc_id").alias("doc_b"), "band", "bucket"),
+                ["band", "bucket"],
+            )
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+            )
+            .distinct()
+        )
+        # verify stage: gram arrays ONLY for docs in candidate pairs —
+        # new docs from the new batch, old docs re-shingled from the
+        # corpus text (candidate-sized, not corpus-sized)
+        ids = raw.select(F.col("doc_a").alias("doc_id")).unionByName(
+            raw.select(F.col("doc_b").alias("doc_id"))
+        ).distinct()
+        texts = (
+            new_docs.select("doc_id", "text")
+            .unionByName(old.select("doc_id", "text"))
+            .join(ids, "doc_id", "left_semi")
+        )
+        grams = texts.select(
+            "doc_id", gram_hashes(F.col("text")).alias("ghs")
+        )
+        ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("ghs").alias("ga"))
+        gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("ghs").alias("gb"))
+        inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+        union_sz = F.size("ga") + F.size("gb") - inter
+        new_pairs = (
+            raw.join(ga, "doc_a").join(gb, "doc_b")
+            .withColumn("jaccard", F.round(inter / union_sz, 6))
+            .filter(F.col("jaccard") >= thr)
+            .select("doc_a", "doc_b")
+        )
+        cstate = spark.read.parquet(fsio.join(st, "comps"))
+        old_edges = cstate.select(
+            F.col("doc_id").alias("doc_a"), F.col("rep_id").alias("doc_b")
+        )
+        comps_all = connected_components(
+            new_pairs.unionByName(old_edges)
+        )
+        bands_out = bstate.unionByName(bnew)
+    near_set = (
+        comps_all.filter(F.col("doc_id") != F.col("rep_id")).select(
+            "doc_id", F.lit(True).alias("__near")
+        )
+        if comps_all is not None
+        else spark.createDataFrame([], "doc_id string, __near boolean")
+    )
+
+    # ---- assemble: old rows (monotone flag flips only) + new rows
+    old_out = (
+        old.join(F.broadcast(dup_flips), "doc_id", "left")
+        .join(near_set, "doc_id", "left")
+        .withColumns({
+            "is_dup": F.col("is_dup") | F.coalesce("__dup", F.lit(False)),
+            "is_near_dup":
+                F.col("is_near_dup") | F.coalesce("__near", F.lit(False)),
+        })
+        .drop("__dup", "__near")
+    )
+    new_out = (
+        base_new.join(q_new, "doc_id")
+        .join(dup_new, "doc_id")
+        .join(cont_new, "doc_id")
+        .join(near_set, "doc_id", "left")
+        .withColumn("is_near_dup", F.coalesce("__near", F.lit(False)))
+        .drop("__near")
+        .join(samp_new, "doc_id")
+    )
+    cols = [c for c in old.columns if c != "keep"]
+    result = (
+        old_out.select(*cols, "keep").unionByName(
+            new_out.withColumn("keep", F.lit(False)).select(*cols, "keep")
+        )
+        .withColumn(
+            "keep",
+            F.col("quality_keep") & ~F.col("is_dup") & ~F.col("is_near_dup")
+            & ~F.col("contaminated") & F.col("sampled"),
+        )
+    )
+
+    from pyspark.sql import Observation
+
+    obs = Observation("corpus-incr")
+    result = result.observe(
+        obs,
+        F.count("*").alias("documents"),
+        F.count(F.when(F.col("keep"), 1)).alias("kept"),
+        F.count(F.when(F.col("is_dup"), 1)).alias("dups"),
+        F.count(F.when(F.col("is_near_dup"), 1)).alias("near_dups"),
+        F.count(F.when(~F.col("quality_keep"), 1)).alias("quality_dropped"),
+        F.count(F.when(F.col("contaminated"), 1)).alias("contaminated"),
+        F.count(F.when(~F.col("sampled"), 1)).alias("sampled_out"),
+        F.count(F.when(F.col("generation") > since, 1)).alias("new_documents"),
+    )
+    # tmp + swap: the write READS the old corpus (flag flips ride the
+    # old rows), so it cannot overwrite out_dir in place. State lands
+    # inside the tmp dir BEFORE the swap — its reads also come from the
+    # old state, and after the swap the new corpus carries its own.
+    tmp = out_dir.rstrip("/") + "__incr_tmp"
+    fsio.rmtree(tmp)
+    result.write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    stt = _state_dir(tmp)
+    fstate_out.write.mode("overwrite").parquet(
+        fsio.join(stt, "fingerprints")
+    )
+    if thr is not None:
+        bands_out.write.mode("overwrite").parquet(fsio.join(stt, "bands"))
+        comps_all.select("doc_id", "rep_id").write.mode("overwrite").parquet(
+            fsio.join(stt, "comps")
+        )
+        comps_all.unpersist()
+        bnew.unpersist()
+    fsio.write_bytes_atomic(
+        fsio.join(stt, "meta.json"),
+        _json.dumps({
+            "max_generation": gmax,
+            "near_dup_threshold": thr,
+            "near_dup_max_bucket": cap,
+        }).encode(),
+    )
+    merged.unpersist()
+    new_docs.unpersist()
+    fsio.rmtree(out_dir)
+    fsio.move(tmp, out_dir)
     return {k: int(v) for k, v in obs.get.items()}

@@ -567,14 +567,32 @@ LANG_PROBES = [
 
 
 def q_lang_id(spark, sf_dir):
-    """Heuristic language ID over a 10-way input mix: the natural (en)
-    document text plus synthesized probe runs for every other branch."""
+    """Language ID over a 10-way input mix — BOTH branches under the
+    driver gate: the expression-only stopword heuristic (lang_pred)
+    AND the pluggable model hook (model_lang) running the shipped
+    demo weighted-token model Arrow-batched through
+    ``lang_id_with_model`` (round-5 verdict item 6). The oracle
+    replays the model's exact scoring (token-join → weight sum →
+    argmax with lexicographic ties, 'und' on zero evidence) in SQL."""
+    import os
+
+    from img_spark.operators.textquality import (
+        lang_id_with_model,
+        load_lang_model,
+    )
+
+    model = load_lang_model(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "resources", "lang_model_demo.txt",
+    ))
     n = len(LANG_PROBES) + 1
     text = F.col("text")
     for i, (_, probe) in enumerate(LANG_PROBES):
         text = F.when(F.col("doc_id") % n == i, F.lit(probe)).otherwise(text)
     return _docs(spark, sf_dir).select(
-        "doc_id", lang_id(text).alias("lang_pred")
+        "doc_id",
+        lang_id(text).alias("lang_pred"),
+        lang_id_with_model(text, model).alias("model_lang"),
     )
 
 
@@ -600,6 +618,27 @@ def _lang_sql_parts():
     return cols, " ".join(whens), LANG_ORDER[-1]
 
 
+def _sql_lang_model_values():
+    """The demo model file as SQL VALUES — read from the SAME file the
+    Spark query loads, so the oracle can never drift from the shipped
+    model."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "resources", "lang_model_demo.txt",
+    )
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            lang, tok, w = line.split("\t")
+            rows.append(f"('{lang}','{tok}',{float(w)})")
+    return ", ".join(rows)
+
+
 def _sql_lang_id():
     cols, chain, fallback = _lang_sql_parts()
     n = len(LANG_PROBES) + 1
@@ -612,6 +651,19 @@ WITH t AS (
   SELECT doc_id,
     CASE doc_id % {n} {probe_whens} ELSE text END AS text
   FROM documents),
+m(mlang, tok, w) AS (VALUES {_sql_lang_model_values()}),
+tk AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM t),
+sc AS (
+  SELECT doc_id, mlang, sum(w) AS score
+  FROM tk JOIN m USING (tok) GROUP BY doc_id, mlang),
+best AS (
+  SELECT doc_id, mlang,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, mlang) AS rn
+  FROM sc),
 s AS (
   SELECT doc_id, text,
     {cols}
@@ -619,8 +671,10 @@ s AS (
 SELECT doc_id,
   CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
        {chain}
-       ELSE '{fallback}' END AS lang_pred
-FROM s
+       ELSE '{fallback}' END AS lang_pred,
+  coalesce(b.mlang, 'und') AS model_lang
+FROM s LEFT JOIN (SELECT doc_id, mlang FROM best WHERE rn = 1) b
+  USING (doc_id)
 """
 
 

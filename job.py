@@ -430,13 +430,27 @@ def main(argv=None) -> int:
             break
 
     if args.curate:
-        from img_spark.plans.corpus import build_corpus
-
-        summary = build_corpus(
-            spark, args.checkpoint, args.curate,
-            sample_rates=_sample_rates(args.curate_rates),
-            near_dup_threshold=args.curate_near_dup,
+        from img_spark import fsio
+        from img_spark.plans.corpus import (
+            build_corpus,
+            build_corpus_incremental,
         )
+
+        # a corpus with merge state under OUT/_state means a previous
+        # --curate ran: fold only the NEW generations in (incremental
+        # ≡ full re-curation — plans/corpus.py merge contracts) instead
+        # of re-running the per-document compute over the whole corpus
+        if fsio.exists(fsio.join(args.curate, "_state", "meta.json")):
+            summary = build_corpus_incremental(
+                spark, args.checkpoint, args.curate,
+                sample_rates=_sample_rates(args.curate_rates),
+            )
+        else:
+            summary = build_corpus(
+                spark, args.checkpoint, args.curate,
+                sample_rates=_sample_rates(args.curate_rates),
+                near_dup_threshold=args.curate_near_dup,
+            )
         print(json.dumps({"curated": args.curate, **summary}), flush=True)
 
     print(json.dumps({

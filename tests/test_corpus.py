@@ -103,6 +103,81 @@ def test_build_corpus_near_dup_clustering(spark, tmp_path):
     assert got["https://b.test/1"][0] is False
 
 
+def test_build_corpus_incremental_equals_full_recuration(spark, tmp_path):
+    """The incremental watermark mode (round-5 verdict item 5): curate
+    at g=1, add a g=2 delta, curate incrementally — the result must be
+    ROW-IDENTICAL to a full re-curation of both generations. The g2
+    batch is built to hit every merge contract: an exact-dup with a
+    SMALLER id (demotes the old rep — the only old exact flag that can
+    flip), a near-dup joining an existing cluster, a near-dup with a
+    smaller id than the old cluster rep (flips the old rep's
+    is_near_dup), and a fresh unique doc."""
+    from img_spark.plans.corpus import build_corpus_incremental
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    ddl = (
+        "page_url string, host string, title string,"
+        " extracted_text string, status string, generation int"
+    )
+    g1 = [
+        ("https://a.test/1", "a.test", "T1", base + " ending one", "ok", 1),
+        ("https://a.test/2", "a.test", "T2", base + " ending two", "ok", 1),
+        ("https://b.test/1", "b.test", "T3",
+         " ".join(f"other{i}" for i in range(60)), "ok", 1),
+        ("https://d.test/9", "d.test", "T4",
+         " ".join(f"exact{i}" for i in range(40)), "ok", 1),
+    ]
+    g2 = [
+        # exact text of d9 under a smaller id → d9 must flip to is_dup
+        ("https://d.test/1", "d.test", "T5",
+         " ".join(f"exact{i}" for i in range(40)), "ok", 2),
+        # joins the {a1, a2} near-dup cluster
+        ("https://a.test/3", "a.test", "T6", base + " ending three", "ok", 2),
+        # smaller id than the old cluster rep a1 → a1 flips near-dup
+        ("https://a.test/0", "a.test", "T7", base + " ending zero", "ok", 2),
+        # fresh unique doc
+        ("https://c.test/1", "c.test", "T8",
+         " ".join(f"fresh{i}" for i in range(60)), "ok", 2),
+    ]
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame(g1, ddl).write.parquet(f"{ckpt}/extracted/g1")
+    out = str(tmp_path / "corpus")
+    build_corpus(spark, ckpt, out, near_dup_threshold=0.5)
+
+    spark.createDataFrame(g2, ddl).write.parquet(f"{ckpt}/extracted/g2")
+    summary = build_corpus_incremental(spark, ckpt, out)
+    assert summary["new_documents"] == 4
+    assert summary["documents"] == 8
+
+    out_full = str(tmp_path / "corpus_full")
+    build_corpus(spark, ckpt, out_full, near_dup_threshold=0.5)
+
+    cols = sorted(spark.read.parquet(out_full).columns)
+    incr = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(out).collect()
+    )
+    full = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(out_full).collect()
+    )
+    assert incr == full
+    by_id = {
+        r["doc_id"]: r for r in spark.read.parquet(out).collect()
+    }
+    assert by_id["https://d.test/9"]["is_dup"] is True          # demoted
+    assert by_id["https://d.test/1"]["is_dup"] is False
+    assert by_id["https://a.test/1"]["is_near_dup"] is True     # flipped
+    assert by_id["https://a.test/0"]["is_near_dup"] is False    # new rep
+    assert by_id["https://a.test/3"]["is_near_dup"] is True
+    assert by_id["https://c.test/1"]["keep"] is True
+
+    # watermark: a second incremental run with no new deltas is a no-op
+    assert build_corpus_incremental(spark, ckpt, out) == {
+        "new_documents": 0, "unchanged": True,
+    }
+
+
 def test_pages_documents_no_crawl_path(spark, tmp_path):
     """The no-crawl entry: a pages table (WARC/WET shape) feeds
     build_corpus directly through pages_documents and job.py

@@ -338,6 +338,31 @@ def test_lang_id_model_hook(spark):
     assert got == {0: "en", 1: "zz", 2: "en"}
 
 
+def test_load_lang_model_demo_scoring():
+    """The shipped demo model (resources/lang_model_demo.txt): weight
+    sums over token occurrences, argmax with lexicographic tie-break,
+    'und' on zero evidence — the closed-form contract the lang_id
+    driver oracle replays in SQL."""
+    import os
+
+    from img_spark.operators import textquality as tq
+
+    model = tq.load_lang_model(os.path.join(
+        os.path.dirname(os.path.abspath(tq.__file__)), "..",
+        "resources", "lang_model_demo.txt",
+    ))
+    got = model([
+        "the cat and the dog",      # en: 2+1+2 = 5
+        "Der Hund und die Katze",   # de: 2+2+1.5 (case-folded)
+        "le et les",                # fr
+        "el y los",                 # es: 2+1+1.5 = 4.5
+        "nothing matches here",     # no evidence
+        None,                       # null-safe
+        "the the und und",          # en 4.0 = de 4.0 → tie: 'de' < 'en'
+    ])
+    assert got == ["en", "de", "fr", "es", "und", "und", "de"]
+
+
 def test_quality_signals(docs, local_docs):
     got = {r["doc_id"]: r for r in quality_signals(docs).collect()}
     for did, text in local_docs[:30]:
