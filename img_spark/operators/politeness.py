@@ -285,21 +285,12 @@ def robots_compact(robots: DataFrame) -> DataFrame:
     )
 
 
-def apply_robots_rules(candidates: DataFrame, compact: DataFrame) -> DataFrame:
-    """Shuffle-free twin of ``apply_robots`` over the compacted rules
-    table: broadcast join on host (no fan-out — one rules array per
-    host), then longest-matching-prefix selection as pure array
-    expressions. ``apply_robots`` needs a per-candidate window (a
-    candidate-batch shuffle every generation) to collapse the rule
-    fan-out; this form never fans out, so the crawl loop's candidate
-    path keeps ZERO robots shuffles. RFC 9309 matching (see the kernel
-    above) via each rule's precompiled regex; equal-length ties break
-    to allow=True then higher crawl_delay (the same order the window
-    form uses). Rows whose host has no rules (or no matching pattern)
-    default to allowed=True, crawl_delay=0.0."""
-    j = candidates.withColumn(
-        "__path", _pct_norm_expr(_url_path())
-    ).join(F.broadcast(compact), "host", "left")
+def compile_robots_match() -> dict:
+    """Build-once Column fragments for ``apply_robots_rules``: the
+    crawl loop robots-checks a candidate batch every generation, and
+    rebuilding the normalize + lambda + struct-sort trees costs ~0.2 s
+    of py4j plan-construction per call. Column trees are immutable —
+    one compiled dict serves every generation of a Crawler."""
     matched = F.filter(
         F.col("rules"),
         lambda r: F.regexp_like(F.col("__path"), r["re"]),
@@ -321,9 +312,37 @@ def apply_robots_rules(candidates: DataFrame, compact: DataFrame) -> DataFrame:
         ),
         0,
     )
-    return j.withColumns({
+    return {
+        "path": _pct_norm_expr(_url_path()),
         "allowed": F.coalesce(best["allow"], F.lit(True)),
         "crawl_delay": F.coalesce(best["crawl_delay"], F.lit(0.0)),
+    }
+
+
+def apply_robots_rules(
+    candidates: DataFrame,
+    compact: DataFrame,
+    compiled: dict | None = None,
+) -> DataFrame:
+    """Shuffle-free twin of ``apply_robots`` over the compacted rules
+    table: broadcast join on host (no fan-out — one rules array per
+    host), then longest-matching-prefix selection as pure array
+    expressions. ``apply_robots`` needs a per-candidate window (a
+    candidate-batch shuffle every generation) to collapse the rule
+    fan-out; this form never fans out, so the crawl loop's candidate
+    path keeps ZERO robots shuffles. RFC 9309 matching (see the kernel
+    above) via each rule's precompiled regex; equal-length ties break
+    to allow=True then higher crawl_delay (the same order the window
+    form uses). Rows whose host has no rules (or no matching pattern)
+    default to allowed=True, crawl_delay=0.0. ``compiled`` takes a
+    ``compile_robots_match()`` dict built once per crawl."""
+    c = compiled or compile_robots_match()
+    j = candidates.withColumn("__path", c["path"]).join(
+        F.broadcast(compact), "host", "left"
+    )
+    return j.withColumns({
+        "allowed": c["allowed"],
+        "crawl_delay": c["crawl_delay"],
     }).drop("__path", "rules")
 
 

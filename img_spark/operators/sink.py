@@ -35,13 +35,11 @@ def content_type_name_udf(names: pd.Series, ctypes: pd.Series) -> pd.Series:
     )
 
 
-def with_download_columns(extracted: DataFrame) -> DataFrame:
-    """Adds the download-sink columns (S4) to extracted rows in place:
-    download_url, dir (F12), filename (F10), needs_ext_detection (S6),
-    referer (main.rs:641), enc_url (F11). Embeds (`data:image/`) carry
-    nulls — the default build counts them, never saves (main.rs:566-577).
-    Two-level ``"url | title"`` pairs: left part downloads, right part
-    names the file (main.rs:580-609)."""
+def download_columns() -> dict:
+    """The Column dict behind ``with_download_columns``, exposed so the
+    crawl loop can build it ONCE per Crawler: Column trees are
+    immutable and reusable across generations, and rebuilding this set
+    every step costs ~0.15 s of py4j plan-construction time."""
     dl = F.col("img_url").isNotNull() & ~F.col("img_url").startswith(
         "data:image/"
     )
@@ -50,17 +48,26 @@ def with_download_columns(extracted: DataFrame) -> DataFrame:
         F.substring_index(F.col("img_url"), " | ", 1),
     ).otherwise(F.col("img_url"))
     fname = filename_expr(F.col("img_url"))
-    # one withColumns call: this runs on the crawl loop's per-
-    # generation hot path, where each chained withColumn is a py4j
-    # round-trip of driver plan-construction time
-    return extracted.withColumns({
+    return {
         "download_url": F.when(dl, u),
         "dir": F.when(dl, F.translate(F.col("dir_title"), "/", ":")),
         "filename": F.when(dl, fname),
         "needs_ext_detection": dl & fname.isNull(),
         "referer": F.when(dl, F.concat(F.lit("https://"), F.col("host"))),
         "enc_url": F.when(dl, percent_encode_udf(u)),
-    })
+    }
+
+
+def with_download_columns(extracted: DataFrame, cols: dict | None = None) -> DataFrame:
+    """Adds the download-sink columns (S4) to extracted rows in place:
+    download_url, dir (F12), filename (F10), needs_ext_detection (S6),
+    referer (main.rs:641), enc_url (F11). Embeds (`data:image/`) carry
+    nulls — the default build counts them, never saves (main.rs:566-577).
+    Two-level ``"url | title"`` pairs: left part downloads, right part
+    names the file (main.rs:580-609). ``cols`` takes a precompiled
+    ``download_columns()`` dict (one withColumns call — this runs on
+    the crawl loop's per-generation hot path)."""
+    return extracted.withColumns(cols or download_columns())
 
 
 def downloads_table(extracted: DataFrame) -> DataFrame:

