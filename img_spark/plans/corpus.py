@@ -236,6 +236,7 @@ def build_corpus(
             spark, out_dir, docs, checkpoint_dir,
             near_dup_threshold, near_dup_max_bucket,
             banded=banded, comps=comps,
+            sample_rates=sample_rates, default_rate=default_rate,
         )
     docs.unpersist()
     if banded is not None:
@@ -261,6 +262,8 @@ def _write_corpus_state(
     near_dup_max_bucket,
     banded: DataFrame | None,
     comps: DataFrame | None,
+    sample_rates: dict | None = None,
+    default_rate: float = 1.0,
 ) -> None:
     """Materialize the merge state a later incremental run needs:
     fingerprints (fp → group-min rep), the uncapped LSH band table and
@@ -286,6 +289,8 @@ def _write_corpus_state(
             "max_generation": max(gens) if gens else 0,
             "near_dup_threshold": near_dup_threshold,
             "near_dup_max_bucket": near_dup_max_bucket,
+            "sample_rates": sample_rates or {},
+            "default_rate": default_rate,
         }).encode(),
     )
 
@@ -353,6 +358,24 @@ def build_corpus_incremental(
     since = int(meta["max_generation"])
     thr = meta.get("near_dup_threshold")
     cap = meta.get("near_dup_max_bucket")
+    # sampling params must MATCH the original run or the old rows'
+    # per-doc decisions silently diverge from what a full re-curation
+    # with the new rates would produce; None = inherit the stored ones
+    stored_rates = meta.get("sample_rates", {})
+    stored_default = meta.get("default_rate", 1.0)
+    if sample_rates is None:
+        sample_rates = stored_rates
+    elif dict(sample_rates) != dict(stored_rates):
+        raise ValueError(
+            f"incremental curation with sample_rates={sample_rates} but the"
+            f" corpus was built with {stored_rates} — old rows' sampling"
+            " would not match; re-run a full build_corpus to change rates"
+        )
+    if default_rate != stored_default:
+        raise ValueError(
+            f"incremental default_rate={default_rate} != stored"
+            f" {stored_default} — re-run a full build_corpus to change it"
+        )
     gens = _committed_generations(checkpoint_dir)
     gmax = max(gens) if gens else 0
     if gmax <= since:
@@ -555,6 +578,8 @@ def build_corpus_incremental(
             "max_generation": gmax,
             "near_dup_threshold": thr,
             "near_dup_max_bucket": cap,
+            "sample_rates": sample_rates or {},
+            "default_rate": default_rate,
         }).encode(),
     )
     merged.unpersist()

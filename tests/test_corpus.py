@@ -176,6 +176,13 @@ def test_build_corpus_incremental_equals_full_recuration(spark, tmp_path):
     assert build_corpus_incremental(spark, ckpt, out) == {
         "new_documents": 0, "unchanged": True,
     }
+    # sampling params are part of the equivalence contract: changing
+    # them incrementally would silently diverge old rows from a full
+    # re-curation — the state meta records them and mismatches refuse
+    with pytest.raises(ValueError, match="sample_rates"):
+        build_corpus_incremental(spark, ckpt, out, sample_rates={"en": 0.5})
+    with pytest.raises(ValueError, match="default_rate"):
+        build_corpus_incremental(spark, ckpt, out, default_rate=0.5)
 
 
 def test_pages_documents_no_crawl_path(spark, tmp_path):
