@@ -531,8 +531,6 @@ class Crawler:
             .distinct()
             .join(F.broadcast(fresh.select("host")), "host", "left_anti")
         )
-        if need.isEmpty():
-            return
         from pyspark import StorageLevel
 
         from img_spark.operators.fetch import (
@@ -550,8 +548,16 @@ class Crawler:
             # robots fetches included (round-5 ADVICE)
             retries=self.cfg.http_retries,
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        got.count()  # materialize ONCE — the branches below read it
-        # several times, and the HTTP fetch must not re-run per consumer
+        # ONE action materializes both the emptiness probe and the
+        # fetch (a separate need.isEmpty() pre-check was a whole extra
+        # Spark job per candidate batch — twice per live generation;
+        # an all-fresh batch makes the mapInPandas fetch a no-op over
+        # zero rows, so folding the probe into the count is free). The
+        # persist also pins the fetch: the branches below read it
+        # several times and the HTTP fetch must not re-run per consumer
+        if got.count() == 0:
+            got.unpersist()
+            return
 
         def allow_all(hosts_only):
             return hosts_only.select(

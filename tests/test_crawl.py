@@ -396,6 +396,56 @@ def test_robots_pattern_kernel():
     assert robots_pattern_regex("/a(b)+c") == r"^/a\(b\)\+c"
 
 
+def test_robots_pattern_spark_python_differential(spark):
+    """The Column-expression wildcard kernel ≡ the pure-Python twin on
+    a randomized sweep of adversarial patterns and paths (regex
+    metachars, '%' escapes in both cases, bare '%', mid/trailing '$',
+    stacked '*') — string-for-string on the compiled regex AND the
+    percent-normalized path, verdict-for-verdict on the match."""
+    import random
+    import re
+
+    from pyspark.sql import functions as F
+
+    from img_spark.operators.politeness import (
+        _pattern_regex_expr,
+        _pct_norm_expr,
+        robots_pattern_regex,
+    )
+
+    rng = random.Random(42)
+    alphabet = list("ab/.*$%3Cc?+()[]\\|^{}-_~ ")
+    pats = ["/" + "".join(rng.choice(alphabet)
+                          for _ in range(rng.randrange(0, 10)))
+            for _ in range(48)]
+    paths = ["/" + "".join(rng.choice(alphabet)
+                           for _ in range(rng.randrange(0, 14)))
+             for _ in range(48)]
+    pats += ["/*.pdf$", "/a%3cb", "/a%3Cb", "/%zz", "/", "/a$b$",
+             "/**", "/*$", "/%3", "/a{2}b"]
+    paths += ["/docs/x.pdf", "/a%3Cb", "/a%3cb", "/%ZZ", "/x", "/a$b$",
+              "/%3cx%3C", "/a{2}b"]
+    rows = [(p, q) for p in pats for q in paths]
+    df = spark.createDataFrame(rows, "pattern string, path string").select(
+        "pattern", "path",
+        _pattern_regex_expr(F.col("pattern")).alias("re"),
+        _pct_norm_expr(F.col("path")).alias("npath"),
+    ).withColumn(
+        "match", F.regexp_like(F.col("npath"), F.col("re"))
+    )
+
+    def py_norm(s):
+        return re.sub("%([0-9a-fA-F]{2})",
+                      lambda m: "%" + m.group(1).upper(), s)
+
+    for r in df.collect():
+        want_re = robots_pattern_regex(r["pattern"])
+        assert r["re"] == want_re, (r["pattern"], r["re"], want_re)
+        assert r["npath"] == py_norm(r["path"]), r["path"]
+        want = re.search(want_re, py_norm(r["path"])) is not None
+        assert r["match"] == want, (r["pattern"], r["path"])
+
+
 def test_bfs_vs_dfs_priority(spark, tmp_path_factory):
     """Priority-queue frontier: a nested-album site where DFS descends
     into the sub-album before the sibling leaf, while BFS fetches the
