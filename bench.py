@@ -232,6 +232,39 @@ def _dedup_kernel_chunk(texts):
     return n
 
 
+ANN_FAMILY = (
+    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "embedding_near_dups",
+)
+
+
+def ann_kernel_control(spark, sample=2000, queries_n=64):
+    """Same-window bare-numpy control for the ANN family: brute-force
+    cosine top-k (normalize → matmul → argpartition) over the same
+    embeddings table, repeated to ≥~1 s. ``ann_normalized[q] =
+    control_sec / query_sec`` is the host-noise-free series per ANN
+    query (the r5 ann_* times moved −13..−28% in one round with
+    unchanged code — same adjudication gap the dedup family had)."""
+    import numpy as np
+
+    rows = spark.read.parquet(
+        os.path.join(SF_DIR, "embeddings.parquet")
+    ).select("embedding").limit(sample).collect()
+    m = np.array([r["embedding"] for r in rows], dtype=np.float32)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-9)
+    q = m[:queries_n]
+    # warm once, then repeat until ≥1 s of work
+    np.argpartition(q @ m.T, -3, axis=1)
+    reps = 0
+    t0 = time.time()
+    while time.time() - t0 < 1.0:
+        sims = q @ m.T
+        np.argpartition(sims, -3, axis=1)
+        reps += 1
+    dt = time.time() - t0
+    return reps * len(q) * len(m), dt
+
+
 def dedup_kernel_control(spark, sample=2000, procs=None):
     """Same-window bare-multiprocessing control for the DEDUP family
     (round-5 verdict item 4): the parse-kernel control normalizes the
@@ -447,6 +480,16 @@ def main():
         if queries.get(q)
     }
     prev_dedup_norm = _prev_bench_field("dedup_normalized")
+
+    # ANN-family control: speed ratio vs a bare-numpy brute-force
+    # cosine kernel in the same window
+    ann_pairs, ann_dt = ann_kernel_control(spark)
+    ann_norm = {
+        q: round(ann_dt / queries[q], 4)
+        for q in ANN_FAMILY
+        if queries.get(q)
+    }
+    prev_ann_norm = _prev_bench_field("ann_normalized")
     total = round(time.time() - t_all, 3)
 
     print(json.dumps({
@@ -477,6 +520,9 @@ def main():
                           "corpus_docs": int(docs_n)},
         "dedup_normalized": dedup_norm,
         "dedup_normalized_prev": prev_dedup_norm,
+        "ann_control": {"pairs": int(ann_pairs), "sec": round(ann_dt, 3)},
+        "ann_normalized": ann_norm,
+        "ann_normalized_prev": prev_ann_norm,
         "crawl": {"fetched": int(fetched), "generations": int(gens),
                   "pages_per_sec": round(fetched / dt_crawl, 1),
                   # crawl-loop twin of normalized_throughput: loop
