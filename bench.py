@@ -241,10 +241,16 @@ ANN_FAMILY = (
 def ann_kernel_control(spark, sample=2000, queries_n=64):
     """Same-window bare-numpy control for the ANN family: brute-force
     cosine top-k (normalize → matmul → argpartition) over the same
-    embeddings table, repeated to ≥~1 s. ``ann_normalized[q] =
-    control_sec / query_sec`` is the host-noise-free series per ANN
-    query (the r5 ann_* times moved −13..−28% in one round with
-    unchanged code — same adjudication gap the dedup family had)."""
+    embeddings table, repeated to ≥~1 s. The control's WORK RATE
+    (pairs/s) is the host-speed proxy — its wall time is pinned at
+    ~1 s by construction and must never be used as a numerator.
+    ``ann_normalized[q] = query_sec × control_pairs_per_sec / 1e6``
+    ("millions of control-pairs' worth of host compute the query
+    consumed", LOWER = faster engine): a 20% host slowdown raises
+    query_sec and lowers pairs/s by the same factor, so the product
+    isolates engine drift (the r5 ann_* times moved −13..−28% in one
+    round with unchanged code — same adjudication gap the dedup
+    family had)."""
     import numpy as np
 
     rows = spark.read.parquet(
@@ -481,11 +487,12 @@ def main():
     }
     prev_dedup_norm = _prev_bench_field("dedup_normalized")
 
-    # ANN-family control: speed ratio vs a bare-numpy brute-force
-    # cosine kernel in the same window
+    # ANN-family control: each query's time scaled by the same-window
+    # bare-numpy work rate (see ann_kernel_control — lower = faster)
     ann_pairs, ann_dt = ann_kernel_control(spark)
+    ann_pps = ann_pairs / ann_dt
     ann_norm = {
-        q: round(ann_dt / queries[q], 4)
+        q: round(queries[q] * ann_pps / 1e6, 2)
         for q in ANN_FAMILY
         if queries.get(q)
     }
@@ -520,7 +527,8 @@ def main():
                           "corpus_docs": int(docs_n)},
         "dedup_normalized": dedup_norm,
         "dedup_normalized_prev": prev_dedup_norm,
-        "ann_control": {"pairs": int(ann_pairs), "sec": round(ann_dt, 3)},
+        "ann_control": {"pairs": int(ann_pairs), "sec": round(ann_dt, 3),
+                        "pairs_per_sec": round(ann_pps, 1)},
         "ann_normalized": ann_norm,
         "ann_normalized_prev": prev_ann_norm,
         "crawl": {"fetched": int(fetched), "generations": int(gens),

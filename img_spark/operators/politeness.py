@@ -245,11 +245,18 @@ def apply_robots(
     first-match window would nondeterministically collapse them).
     """
     cand = candidates.withColumn("__path", _pct_norm_expr(_url_path()))
-    rb = robots.withColumn("__re", _pattern_regex_expr(F.col("path_prefix")))
+    rb = robots.withColumns({
+        "__re": _pattern_regex_expr(F.col("path_prefix")),
+        "__wild": _is_wild_expr(F.col("path_prefix")),
+        "__np": _pct_norm_expr(F.col("path_prefix")),
+    })
     j = cand.join(F.broadcast(rb), "host", "left").withColumn(
         "__match",
         F.col("path_prefix").isNotNull()
-        & F.regexp_like(F.col("__path"), F.col("__re")),
+        & F.when(
+            F.col("__wild"),
+            F.regexp_like(F.col("__path"), F.col("__re")),
+        ).otherwise(F.col("__path").startswith(F.col("__np"))),
     )
     w = Window.partitionBy(*key_cols).orderBy(
         F.when(F.col("__match"), F.length("path_prefix")).otherwise(-1).desc(),
@@ -266,20 +273,35 @@ def apply_robots(
                 F.when(F.col("__match"), F.col("crawl_delay"))
                 .otherwise(F.lit(0.0)),
         })
-        .drop("__rn", "__match", "__path", "__re", "path_prefix", "allow")
+        .drop("__rn", "__match", "__path", "__re", "__wild", "__np",
+              "path_prefix", "allow")
     )
+
+
+def _is_wild_expr(pat):
+    """Does a robots pattern need regex matching? Only '*' anywhere or
+    a trailing '$' — everything else is a literal prefix."""
+    return pat.contains("*") | pat.endswith("$")
 
 
 def robots_compact(robots: DataFrame) -> DataFrame:
     """ONE row per host: its rules as an array (precompute once per
     crawl — the rules table is static across generations). Each rule
-    carries its compiled match regex (``_pattern_regex_expr``) so the
-    per-candidate path never pays pattern translation."""
+    carries its match machinery precompiled: ``wild`` (does it need
+    regex at all), ``re`` (the compiled pattern regex) and ``np`` (the
+    percent-normalized literal prefix). The matchers take the regex
+    path ONLY for wildcard rules: a non-foldable regex pattern defeats
+    RLike's single-entry compile cache, so candidates×rules
+    Pattern.compile calls would land on the hot path — while the
+    overwhelming majority of real robots rules are plain prefixes that
+    a startswith handles inside codegen."""
     return robots.groupBy("host").agg(
         F.collect_list(
             F.struct(
                 "path_prefix", "allow", "crawl_delay",
                 _pattern_regex_expr(F.col("path_prefix")).alias("re"),
+                _is_wild_expr(F.col("path_prefix")).alias("wild"),
+                _pct_norm_expr(F.col("path_prefix")).alias("np"),
             )
         ).alias("rules")
     )
@@ -290,10 +312,16 @@ def compile_robots_match() -> dict:
     crawl loop robots-checks a candidate batch every generation, and
     rebuilding the normalize + lambda + struct-sort trees costs ~0.2 s
     of py4j plan-construction per call. Column trees are immutable —
-    one compiled dict serves every generation of a Crawler."""
+    one compiled dict serves every generation of a Crawler. Wildcard
+    rules match via their precompiled regex; plain-prefix rules (the
+    overwhelming majority in real robots.txt) stay on a codegen
+    startswith against the percent-normalized prefix — no per-row
+    Pattern.compile on the hot path (see robots_compact)."""
     matched = F.filter(
         F.col("rules"),
-        lambda r: F.regexp_like(F.col("__path"), r["re"]),
+        lambda r: F.when(
+            r["wild"], F.regexp_like(F.col("__path"), r["re"])
+        ).otherwise(F.col("__path").startswith(r["np"])),
     )
     # F.get (not getItem): a host can have rules but none matching the
     # path — ANSI mode makes [0] on the empty array an error, get()

@@ -166,6 +166,22 @@ def lang_id_with_model(text: Column, model_fn) -> Column:
     return f(text)
 
 
+def read_lang_model_rows(path: str) -> list:
+    """Parse a ``lang<TAB>token<TAB>weight`` model file ('#' comments,
+    blank lines skipped) into (lang, token, weight) tuples — the ONE
+    parser shared by ``load_lang_model`` and the driver oracle's SQL
+    VALUES builder, so a format change can never make them drift."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            lang, tok, w = line.split("\t")
+            rows.append((lang, tok, float(w)))
+    return rows
+
+
 def load_lang_model(path: str):
     """Load a weighted-token language model (``lang<TAB>token<TAB>
     weight`` lines; '#' comments) into a ``model_fn`` for
@@ -181,13 +197,8 @@ def load_lang_model(path: str):
     import re as _re
 
     table: dict = {}
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line or line.startswith("#"):
-                continue
-            lang, tok, w = line.split("\t")
-            table.setdefault(tok, []).append((lang, float(w)))
+    for lang, tok, w in read_lang_model_rows(path):
+        table.setdefault(tok, []).append((lang, w))
 
     def model_fn(texts):
         out = []

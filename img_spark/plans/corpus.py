@@ -237,6 +237,7 @@ def build_corpus(
             near_dup_threshold, near_dup_max_bucket,
             banded=banded, comps=comps,
             sample_rates=sample_rates, default_rate=default_rate,
+            had_benchmark=benchmark is not None,
         )
     docs.unpersist()
     if banded is not None:
@@ -264,6 +265,7 @@ def _write_corpus_state(
     comps: DataFrame | None,
     sample_rates: dict | None = None,
     default_rate: float = 1.0,
+    had_benchmark: bool = False,
 ) -> None:
     """Materialize the merge state a later incremental run needs:
     fingerprints (fp → group-min rep), the uncapped LSH band table and
@@ -291,6 +293,7 @@ def _write_corpus_state(
             "near_dup_max_bucket": near_dup_max_bucket,
             "sample_rates": sample_rates or {},
             "default_rate": default_rate,
+            "had_benchmark": had_benchmark,
         }).encode(),
     )
 
@@ -302,6 +305,7 @@ def build_corpus_incremental(
     sample_rates: dict | None = None,
     default_rate: float = 1.0,
     benchmark: DataFrame | None = None,
+    near_dup_threshold: float | None = None,
 ) -> dict:
     """Fold the crawl generations NEWER than the corpus's watermark
     into an existing ``build_corpus`` output — equivalent to a full
@@ -328,13 +332,18 @@ def build_corpus_incremental(
       pairs — incremental keeps them: strictly higher recall).
     - **quality / lang / tokens / decontamination / sampling** are
       per-document and deterministic — unchanged for old docs.
-      ``sample_rates``/``benchmark`` must match the original run.
+      ``sample_rates``/``default_rate``/``near_dup_threshold`` and
+      benchmark PRESENCE are recorded in the state meta and enforced
+      (mismatch raises); the benchmark's CONTENT cannot be verified —
+      pass the same eval set the corpus was built with.
 
-    The corpus is rewritten via tmp-dir + swap (old rows' flags can
-    flip, and parquet has no row-level update — an Iceberg sink would
-    make this a MERGE INTO touching only changed rows; the swap is
-    atomic on local/HDFS, copy+delete on object stores). Returns the
-    summary counts plus ``new_documents``."""
+    The corpus is rewritten via tmp-dir + rename-aside swap (old rows'
+    flags can flip, and parquet has no row-level update — an Iceberg
+    sink would make this a MERGE INTO touching only changed rows). The
+    unreadable window is one rename on local/HDFS; on object stores
+    each move is copy+delete. A crash mid-swap leaves the corpus at
+    ``OUT__incr_old`` (recoverable by hand), never silently empty.
+    Returns the summary counts plus ``new_documents``."""
     import json as _json
 
     from pyspark import StorageLevel
@@ -358,6 +367,25 @@ def build_corpus_incremental(
     since = int(meta["max_generation"])
     thr = meta.get("near_dup_threshold")
     cap = meta.get("near_dup_max_bucket")
+    # the near-dup threshold is state, not a per-run knob: a different
+    # value here cannot be applied incrementally (old pairs were found
+    # at the stored threshold) — refuse instead of silently ignoring
+    if near_dup_threshold is not None and near_dup_threshold != thr:
+        raise ValueError(
+            f"incremental curation with near_dup_threshold="
+            f"{near_dup_threshold} but the corpus was built with {thr} — "
+            "re-run a full build_corpus to change it"
+        )
+    # benchmark decontamination must also match: old rows' contaminated
+    # flags were computed against the original eval set (presence is
+    # recorded; the caller is responsible for passing the SAME set)
+    if bool(meta.get("had_benchmark")) != (benchmark is not None):
+        raise ValueError(
+            "incremental curation benchmark mismatch: the corpus was "
+            + ("built WITH" if meta.get("had_benchmark") else "built WITHOUT")
+            + " a decontamination benchmark — pass the same eval set "
+            "(or none) as the original build_corpus run"
+        )
     # sampling params must MATCH the original run or the old rows'
     # per-doc decisions silently diverge from what a full re-curation
     # with the new rates would produce; None = inherit the stored ones
@@ -580,10 +608,18 @@ def build_corpus_incremental(
             "near_dup_max_bucket": cap,
             "sample_rates": sample_rates or {},
             "default_rate": default_rate,
+            "had_benchmark": benchmark is not None,
         }).encode(),
     )
     merged.unpersist()
     new_docs.unpersist()
-    fsio.rmtree(out_dir)
+    # rename-aside swap: the no-corpus window is one rename, not a
+    # delete-then-move (a crash between rmtree and move would leave
+    # NOTHING at out_dir and the orphaned tmp where no reader looks —
+    # the next --curate would then silently fall back to a FULL build)
+    aside = out_dir.rstrip("/") + "__incr_old"
+    fsio.rmtree(aside)
+    fsio.move(out_dir, aside)
     fsio.move(tmp, out_dir)
+    fsio.rmtree(aside)
     return {k: int(v) for k, v in obs.get.items()}

@@ -88,10 +88,15 @@ SEP = " | "
 # {checkpoint}/robots/
 ROBOTS_STORE_DDL = ROBOTS_DDL + ", fetched_at double"
 
-# every status the loop can assign (observation metric keys)
+# every status the loop can assign (observation metric keys).
+# 'redirected' exists only under redirect_policy='strict': the
+# redirecting URL yielded no content but is NOT a failure — keeping it
+# out of status=fetch_failed keeps the backoff circuit breaker blind to
+# healthy redirect-heavy hosts (a www/https canonicalizing site would
+# otherwise trip the breaker and get its budget zeroed)
 STATUSES = (
     "pending", "fetched", "fetch_failed", "duplicate", "disallowed",
-    "rejected",
+    "rejected", "redirected",
 )
 
 
@@ -330,6 +335,7 @@ class Crawler:
         # caches backing them (unpersisted at end of step)
         self._step_redirects: list = []
         self._strict_caches: list = []
+        self._t_eager = 0.0
         self._plan = self._compile_plan_fragments()
         self._reload_robots()
 
@@ -419,6 +425,10 @@ class Crawler:
                 "kind", F.lit("fetch_failed").alias("status"),
             ],
             "failed_post": ["crawl_delay"],
+            "redirected_pre": [
+                "url", "url_canon", "host", "depth", "path", "parent_url",
+                "kind", F.lit("redirected").alias("status"),
+            ],
             "seen_cols": {
                 "h64": F.xxhash64(F.col("url_canon")),
             },
@@ -511,6 +521,13 @@ class Crawler:
         index, and the only driver touch is the is-empty check)."""
         if not self._live_robots:
             return
+        t_eager0 = time.time()
+        try:
+            self._ensure_robots_inner(cand)
+        finally:
+            self._t_eager += time.time() - t_eager0
+
+    def _ensure_robots_inner(self, cand: DataFrame) -> None:
         now = time.time()
         fresh = self._robots_known.filter(
             F.col("fetched_at") > F.lit(now - self.cfg.robots_ttl_s)
@@ -794,6 +811,7 @@ class Crawler:
         t_step0 = time.time()
         g = self.generation + 1
         self._step_redirects, self._strict_caches = [], []
+        self._t_eager = 0.0  # eager Spark work inside the "plan" window
         # only the status=pending subdir of the previous generation is
         # opened — the terminal-status history is never touched
         pending = read_pending(
@@ -843,6 +861,7 @@ class Crawler:
             # the files this batch's URLs can live in
             from img_spark.sources.tables import PAGES_BUCKET_COL
 
+            t_eager0 = time.time()
             mods = [
                 r["b"]
                 for r in dispatch.select(
@@ -852,24 +871,34 @@ class Crawler:
                     ).cast("int").alias("b")
                 ).distinct().collect()
             ]
+            self._t_eager += time.time() - t_eager0
             pages = pages.filter(F.col(PAGES_BUCKET_COL).isin(mods))
         fetched_cache = None
+        fetch_pinned = False  # strict mode: raw fetch persisted upstream
         if self.cfg.fetch_mode == "http":
             from pyspark import StorageLevel
 
             fetched = self._fetch_http(
                 dispatch.select("url", "host", "crawl_delay")
             )
-            # persist UNCONDITIONALLY (disk-backed): the extracted and
-            # state sinks are two concurrent consumers, and a task
-            # retry or cache eviction must never re-execute a live
-            # fetch mid-generation — re-hitting hosts breaks pacing
-            # and a replayed fetch can return different rows on
-            # shuffle replay (ONE fetch per URL per generation,
-            # archived or not)
-            fetched = fetched_cache = fetched.persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
+            if self.cfg.redirect_policy == "strict":
+                # _fetch_http already persisted the RAW fetch (html +
+                # redirect rows, tracked in _strict_caches) — the
+                # filtered projection recomputes from that cache for
+                # every consumer; persisting it again would hold every
+                # page body in TWO cache entries per generation
+                fetch_pinned = True
+            else:
+                # persist UNCONDITIONALLY (disk-backed): the extracted
+                # and state sinks are two concurrent consumers, and a
+                # task retry or cache eviction must never re-execute a
+                # live fetch mid-generation — re-hitting hosts breaks
+                # pacing and a replayed fetch can return different rows
+                # on shuffle replay (ONE fetch per URL per generation,
+                # archived or not)
+                fetched = fetched_cache = fetched.persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
         else:
             # the scan reads warc_ts only when archiving needs it —
             # otherwise column pruning keeps the fetch join two-column
@@ -882,7 +911,7 @@ class Crawler:
         if self.cfg.archive_dir:
             from img_spark.operators.sink import write_warc_archives
 
-            if fetched_cache is None:
+            if fetched_cache is None and not fetch_pinned:
                 # table mode: the archive write and the extraction are
                 # two consumers — persist so pages is scanned once
                 fetched = fetched_cache = fetched.persist()
@@ -920,6 +949,19 @@ class Crawler:
         failed = dispatch.join(
             F.broadcast(results.select("url")), "url", "left_anti"
         )  # dispatched URLs absent from the pages table (main.rs:105-108)
+        redirected = None
+        if self._step_redirects:
+            # strict mode: a cross-host-redirecting URL emitted no
+            # result row, but it is status='redirected', not a fetch
+            # failure (see STATUSES) — split it out of the miss set
+            red0 = self._step_redirects[0]
+            for x in self._step_redirects[1:]:
+                red0 = red0.unionByName(x)
+            red_parents = F.broadcast(
+                red0.select(F.col("parent_url").alias("url")).distinct()
+            )
+            redirected = failed.join(red_parents, "url", "left_semi")
+            failed = failed.join(red_parents, "url", "left_anti")
 
         # ---- extracted sink delta (explode imgs)
         # per-page counters ride along (constant per page, repeated per
@@ -1003,6 +1045,13 @@ class Crawler:
                 *P["failed_post"],
             )
         )
+        if redirected is not None:
+            done = done.unionByName(
+                redirected.select(
+                    *P["redirected_pre"], F.lit(g).alias("generation"),
+                    *P["failed_post"],
+                )
+            )
         # ONE status-partitioned write per generation: rewritten pending
         # (held + newly discovered) + this generation's terminal delta
         # (done already unions the fetch_failed rows). History ('rest')
@@ -1040,7 +1089,11 @@ class Crawler:
             return counts, time.time() - t
 
         t0 = time.time()
-        t_plan = t0 - t_step0  # driver-side plan construction (py4j)
+        # plan = pure driver-side construction (py4j + eager Catalyst
+        # analysis); eager Spark work inside the window (_ensure_robots
+        # fetches, bucket-id collects) is accounted separately so the
+        # attribution in BENCH/CRAWL_OVERHEAD.md measures what it names
+        t_plan = t0 - t_step0 - self._t_eager
         with concurrent.futures.ThreadPoolExecutor(2) as pool:
             fut_e = pool.submit(_write_extracted)
             fut_s = pool.submit(_write_frontier)
@@ -1067,6 +1120,7 @@ class Crawler:
         # feedback loop for tuning per-generation overhead)
         self.last_step_times = {
             "plan": round(t_plan, 3),
+            "eager": round(self._t_eager, 3),
             "extract": round(t_extract, 3),
             "state": round(t_state, 3),
             "writes_wall": round(t_writes, 3),

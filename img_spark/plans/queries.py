@@ -619,24 +619,21 @@ def _lang_sql_parts():
 
 
 def _sql_lang_model_values():
-    """The demo model file as SQL VALUES — read from the SAME file the
-    Spark query loads, so the oracle can never drift from the shipped
-    model."""
+    """The demo model file as SQL VALUES — read through the SAME parser
+    the Spark query's loader uses (textquality.read_lang_model_rows),
+    so the oracle can never drift from the shipped model."""
     import os
+
+    from img_spark.operators.textquality import read_lang_model_rows
 
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "resources", "lang_model_demo.txt",
     )
-    rows = []
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line or line.startswith("#"):
-                continue
-            lang, tok, w = line.split("\t")
-            rows.append(f"('{lang}','{tok}',{float(w)})")
-    return ", ".join(rows)
+    return ", ".join(
+        f"('{lang}','{tok}',{w})"
+        for lang, tok, w in read_lang_model_rows(path)
+    )
 
 
 def _sql_lang_id():

@@ -441,9 +441,13 @@ def main(argv=None) -> int:
         # ≡ full re-curation — plans/corpus.py merge contracts) instead
         # of re-running the per-document compute over the whole corpus
         if fsio.exists(fsio.join(args.curate, "_state", "meta.json")):
+            # near-dup threshold is corpus state — a differing
+            # --curate-near-dup raises instead of being silently
+            # ignored (the stored threshold governs the merge)
             summary = build_corpus_incremental(
                 spark, args.checkpoint, args.curate,
                 sample_rates=_sample_rates(args.curate_rates),
+                near_dup_threshold=args.curate_near_dup,
             )
         else:
             summary = build_corpus(

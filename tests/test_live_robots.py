@@ -351,7 +351,7 @@ def test_strict_redirect_policy_reenqueues_through_robots(
 ):
     """redirect_policy='strict' (round-5 verdict item 2): a cross-host
     3xx target is NOT fetched inline — the redirecting URL records
-    fetch_failed, the target becomes a kind='redirect' candidate, and
+    status='redirected', the target becomes a kind='redirect' candidate, and
     the target host's live-fetched Disallow kills it at admission. The
     disallowed page is never requested from host-z."""
     connect, site, log = xy_server
@@ -362,7 +362,10 @@ def test_strict_redirect_policy_reenqueues_through_robots(
 
     frontier = read_frontier(spark, ckpt, c.generation)
     status = {r["url"]: (r["status"], r["kind"]) for r in frontier.collect()}
-    assert status["https://host-y.test/p/2"][0] == "fetch_failed"
+    # the redirecting URL is 'redirected', NOT fetch_failed — it must
+    # never feed the backoff circuit breaker (a canonicalizing host
+    # would otherwise get its dispatch budget zeroed)
+    assert status["https://host-y.test/p/2"][0] == "redirected"
     assert status["https://host-z.test/land/1"] == ("disallowed", "redirect")
     z_paths = {p for h, p, _t in log if h == "host-z.test"}
     assert z_paths == {"/robots.txt"}  # rules consulted, page never hit
