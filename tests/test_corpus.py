@@ -183,6 +183,69 @@ def test_build_corpus_incremental_equals_full_recuration(spark, tmp_path):
         build_corpus_incremental(spark, ckpt, out, sample_rates={"en": 0.5})
     with pytest.raises(ValueError, match="default_rate"):
         build_corpus_incremental(spark, ckpt, out, default_rate=0.5)
+    with pytest.raises(ValueError, match="near_dup_threshold"):
+        build_corpus_incremental(spark, ckpt, out, near_dup_threshold=0.9)
+    with pytest.raises(ValueError, match="benchmark"):
+        build_corpus_incremental(
+            spark, ckpt, out,
+            benchmark=spark.createDataFrame(
+                [("b0", "some eval text here")], "doc_id string, text string"
+            ),
+        )
+
+
+def test_build_corpus_incremental_with_benchmark_and_rates(spark, tmp_path):
+    """Incremental ≡ full with the OTHER per-doc gates active:
+    benchmark decontamination (an overlapping NEW doc must flag) and
+    stratified sampling rates (inherited from the state meta when the
+    incremental caller passes none)."""
+    from img_spark.plans.corpus import build_corpus_incremental
+
+    ddl = (
+        "page_url string, host string, title string,"
+        " extracted_text string, status string, generation int"
+    )
+    eval_text = " ".join(f"ev{i}" for i in range(30))
+    g1 = [
+        ("https://a.test/1", "a.test", "T1",
+         " ".join(f"one{i}" for i in range(40)), "ok", 1),
+    ]
+    g2 = [
+        # contains the benchmark n-grams → must flag contaminated
+        ("https://a.test/2", "a.test", "T2",
+         "prefix words " + eval_text + " suffix words", "ok", 2),
+        ("https://a.test/3", "a.test", "T3",
+         " ".join(f"three{i}" for i in range(40)), "ok", 2),
+    ]
+    bench = spark.createDataFrame(
+        [("b0", eval_text)], "doc_id string, text string"
+    )
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame(g1, ddl).write.parquet(f"{ckpt}/extracted/g1")
+    out = str(tmp_path / "corpus")
+    rates = {"en": 0.9}
+    build_corpus(spark, ckpt, out, sample_rates=rates, benchmark=bench)
+
+    spark.createDataFrame(g2, ddl).write.parquet(f"{ckpt}/extracted/g2")
+    # rates inherited from meta; benchmark re-passed (presence enforced)
+    build_corpus_incremental(spark, ckpt, out, benchmark=bench)
+
+    out_full = str(tmp_path / "corpus_full")
+    build_corpus(spark, ckpt, out_full, sample_rates=rates, benchmark=bench)
+    cols = sorted(spark.read.parquet(out_full).columns)
+    incr = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(out).collect()
+    )
+    full = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(out_full).collect()
+    )
+    assert incr == full
+    by_id = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert by_id["https://a.test/2"]["contaminated"] is True
+    assert by_id["https://a.test/2"]["keep"] is False
+    assert by_id["https://a.test/3"]["contaminated"] is False
 
 
 def test_pages_documents_no_crawl_path(spark, tmp_path):
