@@ -153,11 +153,39 @@ def resolve_css_imports(
     return images.distinct()
 
 
+def compile_second_level() -> dict:
+    """Build-once Column trees for ``resolve_second_level`` — the
+    two-level pass runs every generation of a two-level crawl, and its
+    merge-back when/coalesce/transform trees are generation-invariant
+    (same pattern as Crawler._compile_plan_fragments)."""
+    return {
+        "exploded": [
+            F.col("url").alias("page_url"),
+            "second_level_sel",
+            F.explode("first_level_urls").alias("fetch_url"),
+        ],
+        "second_agg": F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("second_imgs")))
+        ).alias("second_imgs"),
+        "imgs": F.when(
+            F.col("second_level_sel") != "",
+            F.coalesce(
+                F.col("second_imgs"), F.array().cast("array<string>")
+            ),
+        ).otherwise(F.col("imgs")),
+        "origins": F.when(
+            F.col("second_level_sel") != "",
+            F.transform(F.col("imgs"), lambda _: F.lit("html")),
+        ).otherwise(F.col("origins")),
+    }
+
+
 def resolve_second_level(
     extracted: DataFrame,
     pages: DataFrame,
     pages_buckets: int = 0,
     fetch_fn=None,
+    compiled: dict | None = None,
 ) -> DataFrame:
     """Fill ``imgs`` for two-level pages: explode first-level URLs, join
     the pages table (the sandbox "fetch"), run extraction pass 2 grouped
@@ -178,14 +206,11 @@ def resolve_second_level(
     the pages join is replaced by a real fetch of the distinct
     first-level URLs — same inner-join merge-back, so a failed live
     fetch degrades to an empty imgs array exactly like a table miss."""
+    c = compiled or compile_second_level()
     two = extracted.filter(F.col("second_level_sel") != "").select(
         "url", "second_level_sel", "first_level_urls"
     )
-    exploded = two.select(
-        F.col("url").alias("page_url"),
-        "second_level_sel",
-        F.explode("first_level_urls").alias("fetch_url"),
-    )
+    exploded = two.select(*c["exploded"])
     if fetch_fn is not None:
         got = fetch_fn(
             exploded.select(F.col("fetch_url").alias("url")).distinct()
@@ -233,24 +258,12 @@ def resolve_second_level(
     per_row = fetched.select(
         "page_url", "second_level_sel", "html"
     ).mapInPandas(run, schema="url string, second_imgs array<string>")
-    second = per_row.groupBy("url").agg(
-        F.array_sort(
-            F.array_distinct(F.flatten(F.collect_list("second_imgs")))
-        ).alias("second_imgs")
-    )
+    second = per_row.groupBy("url").agg(c["second_agg"])
     # `second` holds one row per two-level origin page (≤ dispatch
     # batch) — broadcast it so the merge-back never sort-merge-shuffles
-    merged = extracted.join(F.broadcast(second), "url", "left").withColumn(
-        "imgs",
-        F.when(
-            F.col("second_level_sel") != "",
-            F.coalesce(F.col("second_imgs"), F.array().cast("array<string>")),
-        ).otherwise(F.col("imgs")),
-    ).withColumn(
-        "origins",
-        F.when(
-            F.col("second_level_sel") != "",
-            F.transform(F.col("imgs"), lambda _: F.lit("html")),
-        ).otherwise(F.col("origins")),
+    merged = (
+        extracted.join(F.broadcast(second), "url", "left")
+        .withColumn("imgs", c["imgs"])
+        .withColumn("origins", c["origins"])
     )
     return merged.drop("second_imgs")

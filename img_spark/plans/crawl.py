@@ -348,6 +348,7 @@ class Crawler:
         session, so a Crawler compiles them once; only the
         generation-dependent ``F.lit(g)`` literals are created per
         step."""
+        from img_spark.operators.extract_udf import compile_second_level
         from img_spark.operators.politeness import compile_robots_match
         from img_spark.operators.sink import download_columns
 
@@ -356,6 +357,7 @@ class Crawler:
         ).alias("path")
         return {
             "robots": compile_robots_match(),
+            "second": compile_second_level(),
             "dl_cols": download_columns(),
             # extracted delta: [:5] + lit(g) + [5:]
             "ext1_pre": [
@@ -934,6 +936,7 @@ class Crawler:
             first_level = results.persist()
             results = resolve_second_level(
                 first_level, self.pages, pages_buckets=self.cfg.pages_buckets,
+                compiled=self._plan["second"],
                 fetch_fn=(
                     # leaf fetches: strict-mode cross-host redirects
                     # are dropped, never enqueued (see CrawlConfig)
