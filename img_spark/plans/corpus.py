@@ -378,8 +378,12 @@ def build_corpus_incremental(
         )
     # benchmark decontamination must also match: old rows' contaminated
     # flags were computed against the original eval set (presence is
-    # recorded; the caller is responsible for passing the SAME set)
-    if bool(meta.get("had_benchmark")) != (benchmark is not None):
+    # recorded; the caller is responsible for passing the SAME set).
+    # A meta without the key (state written before the guard existed)
+    # is UNKNOWN — skip the check rather than misreading it as False
+    if "had_benchmark" in meta and bool(meta["had_benchmark"]) != (
+        benchmark is not None
+    ):
         raise ValueError(
             "incremental curation benchmark mismatch: the corpus was "
             + ("built WITH" if meta.get("had_benchmark") else "built WITHOUT")

@@ -186,18 +186,22 @@ def metrics_df(spark: SparkSession, checkpoint_dir: str, generation: int) -> Dat
         F.sum("empty_dup").alias("empty_dup"),
         F.sum("embed").alias("embed"),
     )
-    fdir = fsio.join(
-        checkpoint_dir, "frontier", f"g{generation}", "status=fetch_failed"
-    )
-    if fsio.isdir(fdir):
-        fails = (
-            spark.read.schema(_DDL_NO_STATUS).parquet(fdir)
-            .groupBy("host").agg(F.count("*").alias("fetch_failed"))
+    for st in ("fetch_failed", "redirected"):
+        d = fsio.join(
+            checkpoint_dir, "frontier", f"g{generation}", f"status={st}"
         )
-        m = m.join(fails, "host", "outer")
-    else:
-        m = m.withColumn("fetch_failed", F.lit(None).cast("long"))
-    return m.fillna(0, ["dispatched", "fetch_failed"]).withColumn(
+        if fsio.isdir(d):
+            extra = (
+                spark.read.schema(_DDL_NO_STATUS).parquet(d)
+                .groupBy("host").agg(F.count("*").alias(st))
+            )
+            m = m.join(extra, "host", "outer")
+        else:
+            m = m.withColumn(st, F.lit(None).cast("long"))
+    # 'redirected' exists only under redirect_policy='strict' — without
+    # it a redirect-everything host would be invisible here (no
+    # extracted rows, no fetch_failed rows)
+    return m.fillna(0, ["dispatched", "fetch_failed", "redirected"]).withColumn(
         "generation", F.lit(generation)
     )
 
@@ -274,8 +278,9 @@ class CrawlConfig:
     robots_ttl_s: float = 86400.0
     # fetch_mode='http' cross-host 3xx handling: 'follow' (default) =
     # inline follow, curl -L reference parity; 'strict' = the target
-    # is NOT fetched inline — the redirecting URL records fetch_failed
-    # and the target re-enqueues as a kind='redirect' candidate
+    # is NOT fetched inline — the redirecting URL records status
+    # 'redirected' (NOT fetch_failed: it must never feed the backoff
+    # breaker) and the target re-enqueues as a kind='redirect' candidate
     # through robots admission + the seen-set (closes the "redirect
     # fetches a host whose rules were never consulted" politeness
     # hole; POLITENESS.md). Same-host hops follow inline either way.
@@ -706,6 +711,11 @@ class Crawler:
         self.generation = 0
         return stats
 
+    def _add_eager(self, seconds: float) -> None:
+        """Callees report eager Spark work done inside the step's
+        pre-write window (see step_times' plan/eager split)."""
+        self._t_eager += seconds
+
     # ---------------------------------------------------------------- fetch
     def _fetch_http(
         self, batch: DataFrame, enqueue_redirects: bool = True
@@ -937,6 +947,7 @@ class Crawler:
             results = resolve_second_level(
                 first_level, self.pages, pages_buckets=self.cfg.pages_buckets,
                 compiled=self._plan["second"],
+                eager_timer=self._add_eager,
                 fetch_fn=(
                     # leaf fetches: strict-mode cross-host redirects
                     # are dropped, never enqueued (see CrawlConfig)
@@ -953,15 +964,19 @@ class Crawler:
             F.broadcast(results.select("url")), "url", "left_anti"
         )  # dispatched URLs absent from the pages table (main.rs:105-108)
         redirected = None
+        red_all = None
         if self._step_redirects:
-            # strict mode: a cross-host-redirecting URL emitted no
-            # result row, but it is status='redirected', not a fetch
-            # failure (see STATUSES) — split it out of the miss set
-            red0 = self._step_redirects[0]
+            # strict mode: fold the per-fetch redirect batches ONCE —
+            # both the failed/redirected split here and the candidate
+            # re-enqueue below consume the same union
+            red_all = self._step_redirects[0]
             for x in self._step_redirects[1:]:
-                red0 = red0.unionByName(x)
+                red_all = red_all.unionByName(x)
+            # a cross-host-redirecting URL emitted no result row, but
+            # it is status='redirected', not a fetch failure (see
+            # STATUSES) — split it out of the miss set
             red_parents = F.broadcast(
-                red0.select(F.col("parent_url").alias("url")).distinct()
+                red_all.select(F.col("parent_url").alias("url")).distinct()
             )
             redirected = failed.join(red_parents, "url", "left_semi")
             failed = failed.join(red_parents, "url", "left_anti")
@@ -994,17 +1009,14 @@ class Crawler:
         cand = albums.unionByName(nxt).select(
             *P["cand_pre"], F.lit(g).alias("generation")
         )
-        if self._step_redirects:
+        if red_all is not None:
             # strict redirect policy: parked cross-host targets become
             # candidates of kind='redirect' — same admission path as
             # albums/next (robots check + seen-set below). depth/path
             # come from the redirecting frontier row (fan-out is 1 per
             # parent, so the fixed 'fffffffe' child seq is unique and
             # sorts after every album/next child)
-            red = self._step_redirects[0]
-            for x in self._step_redirects[1:]:
-                red = red.unionByName(x)
-            red_cand = red.join(
+            red_cand = red_all.join(
                 F.broadcast(dispatch.select(
                     F.col("url").alias("parent_url"), "depth",
                     F.col("path").alias("ppath"),
