@@ -244,13 +244,13 @@ def ann_kernel_control(spark, sample=2000, queries_n=64):
     embeddings table, repeated to ≥~1 s. The control's WORK RATE
     (pairs/s) is the host-speed proxy — its wall time is pinned at
     ~1 s by construction and must never be used as a numerator.
-    ``ann_normalized[q] = query_sec × control_pairs_per_sec / 1e6``
-    ("millions of control-pairs' worth of host compute the query
-    consumed", LOWER = faster engine): a 20% host slowdown raises
-    query_sec and lowers pairs/s by the same factor, so the product
-    isolates engine drift (the r5 ann_* times moved −13..−28% in one
-    round with unchanged code — same adjudication gap the dedup
-    family had)."""
+    ``ann_normalized[q] = 1e6 / (query_sec × control_pairs_per_sec)``
+    (HIGHER = faster, same direction as dedup_normalized since r7; r6
+    recorded the inverse and prev values are inverted on read): a 20%
+    host slowdown raises query_sec and lowers pairs/s by the same
+    factor, so the product in the denominator isolates engine drift
+    (the r5 ann_* times moved −13..−28% in one round with unchanged
+    code — same adjudication gap the dedup family had)."""
     import numpy as np
 
     rows = spark.read.parquet(
@@ -452,8 +452,14 @@ def main():
     urls_per_sec = round(pages_n / dt, 1)
 
     # same-window bare-kernel control → normalized throughput (the
-    # cross-round comparison metric; raw urls/s swings with host load)
+    # cross-round comparison metric; raw urls/s swings with host load).
+    # Best-of-2 like the engine side it normalizes (round-6 verdict:
+    # an asymmetric best-of-2 numerator over a single-shot denominator
+    # conflates methodology with engine improvement) — the work count
+    # is identical per rep, so best = min wall.
     kn, kdt = kernel_control(spark, corpus, SCALING_PARAMS["hosts"])
+    _kn2, kdt2 = kernel_control(spark, corpus, SCALING_PARAMS["hosts"])
+    kdt = min(kdt, kdt2)
     kernel_pps = round(kn / kdt, 1)
     normalized = round(urls_per_sec / kernel_pps, 3)
     prev_norm = _prev_normalized()
@@ -488,21 +494,47 @@ def main():
     prev_dedup_norm = _prev_bench_field("dedup_normalized")
 
     # ANN-family control: each query's time scaled by the same-window
-    # bare-numpy work rate (see ann_kernel_control — lower = faster)
+    # bare-numpy work rate. Convention aligned with dedup_normalized
+    # (round-6 verdict: the two families pointed in opposite
+    # directions): HIGHER = faster — millions of control pairs per
+    # query-second-of-host-compute, 1e6 / (query_sec × pairs/s). Round
+    # 6 recorded the inverse; prev values are inverted on read so the
+    # regression comparison stays like-for-like.
     ann_pairs, ann_dt = ann_kernel_control(spark)
     ann_pps = ann_pairs / ann_dt
     ann_norm = {
-        q: round(queries[q] * ann_pps / 1e6, 2)
+        q: round(1e6 / (queries[q] * ann_pps), 4)
         for q in ANN_FAMILY
         if queries.get(q)
     }
     prev_ann_norm = _prev_bench_field("ann_normalized")
-    total = round(time.time() - t_all, 3)
+    if isinstance(prev_ann_norm, dict):
+        prev_ann_norm = {
+            q: (round(1.0 / v, 4) if v else None)
+            for q, v in prev_ann_norm.items()
+        }
+    harness_sec = round(time.time() - t_all, 3)
+    # 'value' is ENGINE work only — the sum of the recorded query
+    # times. Controls, warm-up, and extra best-of-2 reps are harness
+    # methodology and live in harness_sec (round-6 verdict: the r6
+    # 'value' wall-clock read as a 47% regression that was really ~10 s
+    # of added harness work). Series break noted in BENCH/BASELINE.md.
+    total = round(sum(queries.values()), 3)
 
     print(json.dumps({
         "metric": "urls_fetched_parsed_per_sec",
         "value": total,
         "unit": "sec",
+        "harness_sec": harness_sec,
+        "methodology": {
+            "value": "sum of per-query seconds (engine work only; "
+                     "controls/warmup/extra reps excluded since r7)",
+            "fetch_parse": {"reps": 2, "agg": "min"},
+            "kernel_control": {"reps": 2, "agg": "min"},
+            "ann_normalized": "1e6/(sec*ctrl_pairs_per_s); higher = "
+                              "faster (inverted vs r6; prev inverted "
+                              "on read)",
+        },
         "queries": queries,
         "sf": SF_DIR,
         "cpus": CPUS,
@@ -682,6 +714,33 @@ same-window control; against the (different-window) round-1 kernel
 table below, r2's 41,016 and r3's 36,474 urls/s would be ~0.77 and
 ~0.68 — consistent with host-load spread, but not comparable enough to
 call either way. The discriminating series starts at BENCH_r04.
+
+## Methodology series breaks (round 7)
+
+Three recording changes land in BENCH_r07 — compare across rounds
+accordingly (each is also recorded in the JSON's `methodology` field):
+
+1. **`value` is now the sum of per-query engine seconds.** Through r6
+   it was the harness wall-clock, which r6 inflated ~10 s by adding
+   the dedup/ANN controls and a second fetch_parse rep — the r6→r5
+   `value` jump was harness work, not an engine regression. The wall
+   clock is now `harness_sec`.
+2. **`kernel_control` is best-of-2**, matching the best-of-2
+   fetch_parse it normalizes (r6 made only the numerator best-of-2,
+   flattering `normalized_throughput` by one methodology change —
+   0.781→0.914 conflated the two).
+3. **`ann_normalized` flipped to higher-is-faster** (`1e6 / (sec ×
+   control pairs/s)`), aligning with `dedup_normalized`'s direction;
+   the r6-recorded values are the inverse and are inverted on read
+   into `ann_normalized_prev`.
+
+Round-6 bench-window adjudication (recorded so it isn't re-litigated):
+the across-the-board r6 raw-time regressions were HOST NOISE — an A/B
+of the one session-wide change (`AQE coalescePartitions.
+parallelismFirst=false`) showed <3% effect on the four most-regressed
+queries, and quiet-window re-runs landed at or below r5 times. The
+per-family normalized series (`dedup_normalized`, `ann_normalized`)
+now exists so BENCH_r08+ can adjudicate such windows from JSON alone.
 
 ## Why 2→8 is the valid N→4N pair on this box
 

@@ -44,6 +44,21 @@ def _parse_connect_to(connect_to: str):
     return s.scheme, s.hostname, s.port
 
 
+def _netloc_norm(netloc: str, scheme: str) -> str:
+    """RFC 3986 host comparison form: the host is case-insensitive and
+    an explicit default port (:80 http / :443 https) is equivalent to
+    none — without this, a redirect from example.com to
+    HTTP://EXAMPLE.COM/x or example.com:443 is misclassified as
+    cross-host (strict mode would park it through a needless
+    one-generation admission detour and seed case-variant host rows
+    into the frontier and robots store — round-6 ADVICE)."""
+    n = netloc.lower()
+    default = {"http": ":80", "https": ":443"}.get(scheme.lower())
+    if default and n.endswith(default):
+        n = n[: -len(default)]
+    return n
+
+
 def _request_once(
     conns: dict,
     s,
@@ -51,15 +66,28 @@ def _request_once(
     timeout_s: float,
     max_bytes: int,
     connect_to: str | None,
+    etag: str | None = None,
+    last_modified: str | None = None,
 ):
     """One GET over the pooled connection for a split URL. Returns
-    (status, body, location): status None means a transport error
-    (connect/reset/timeout — the connection is retired), status -1
-    means oversized/undrained (connection retired, NOT retryable)."""
+    (status, body, location, etag, last_modified): status None means a
+    transport error (connect/reset/timeout — the connection is
+    retired), status -1 means oversized/undrained (connection retired,
+    NOT retryable). ``etag``/``last_modified`` (validators from a
+    previous fetch) ride out as ``If-None-Match``/``If-Modified-Since``
+    — a 304 comes back with no body at all, the revisit path's whole
+    point. The returned etag/last_modified are the RESPONSE's
+    validators (kept for the next conditional request)."""
     import http.client
 
     if connect_to is not None:
         cscheme, chost, cport = _parse_connect_to(connect_to)
+        if cscheme == "url":
+            # 'url://host:port': connect here but keep the URL's own
+            # scheme — lets a hermetic test serve http while https
+            # attempts against the same socket fail the TLS handshake
+            # (the scheme-fallback tests need exactly that split)
+            cscheme = s.scheme
     else:
         cscheme, chost, cport = s.scheme, s.hostname, s.port
     key = (cscheme, chost, cport, s.netloc)
@@ -81,6 +109,10 @@ def _request_once(
         conn.putheader("Host", s.netloc)
         conn.putheader("User-Agent", user_agent)
         conn.putheader("Accept", "*/*")
+        if etag:
+            conn.putheader("If-None-Match", etag)
+        if last_modified:
+            conn.putheader("If-Modified-Since", last_modified)
         conn.endheaders()
         r = conn.getresponse()
         body = r.read(max_bytes + 1)
@@ -90,7 +122,7 @@ def _request_once(
                 conn.close()
         finally:
             conns.pop(key, None)
-        return None, None, None
+        return None, None, None, None, None
     if len(body) > max_bytes or not r.isclosed():
         # oversized / not fully drained: unread bytes would poison
         # the keep-alive stream — the NEXT same-host request would
@@ -99,7 +131,7 @@ def _request_once(
             conn.close()
         finally:
             conns.pop(key, None)
-        return -1, None, None
+        return -1, None, None, None, None
     if 500 <= r.status < 600:
         # a 5xx may leave the server-side connection wedged; retire it
         # so the retry (and the next same-host URL) starts clean
@@ -107,7 +139,10 @@ def _request_once(
             conn.close()
         finally:
             conns.pop(key, None)
-    return r.status, body, r.getheader("Location")
+    return (
+        r.status, body, r.getheader("Location"),
+        r.getheader("ETag"), r.getheader("Last-Modified"),
+    )
 
 
 def _fetch_one_status(
@@ -122,6 +157,8 @@ def _fetch_one_status(
     backoff_s: float = 0.5,
     crawl_delay: float = 0.0,
     same_host_only: bool = False,
+    etag: str | None = None,
+    last_modified: str | None = None,
 ):
     """GET one URL over a pooled connection, following ≤ max_redirects
     redirects. TRANSIENT failures — transport errors (connect/reset/
@@ -130,17 +167,26 @@ def _fetch_one_status(
     a retry is a REQUEST, so it must respect the host's robots pacing,
     not shortcut it with a fixed half-second. Definitive answers
     (2xx/3xx/4xx, oversized body) are never retried. Returns
-    ``(status, body, redirect)``: body bytes for a 2xx; status is the
-    final HTTP status, or None for a transport failure that survived
-    the retries (also a redirect loop), or -1 for an oversized/
-    undrained response — callers that must distinguish "definitively
-    absent" (4xx) from "unreachable" (None / 5xx-after-retries) read
-    it (robots.txt semantics, RFC 9309 §2.3.1).
+    ``(status, body, redirect, etag, last_modified)``: body bytes for
+    a 2xx; status is the final HTTP status, or None for a transport
+    failure that survived the retries (also a redirect loop), or -1
+    for an oversized/undrained response — callers that must
+    distinguish "definitively absent" (4xx) from "unreachable" (None /
+    5xx-after-retries) read it (robots.txt semantics, RFC 9309
+    §2.3.1). etag/last_modified in the RESULT are the final response's
+    validators (next conditional request's inputs).
+
+    ``etag``/``last_modified`` params are a previous fetch's
+    validators: sent as ``If-None-Match``/``If-Modified-Since`` on the
+    FIRST hop only (they describe the requested URL, not a redirect
+    target). A 304 returns ``(304, None, None, etag', lm')`` — no body
+    bytes crossed the wire; the caller keeps its archived copy.
 
     ``same_host_only=True`` (the crawler's strict redirect policy): a
-    redirect whose target netloc differs from the CURRENT hop's is
-    NOT followed — the absolute target URL is returned as ``redirect``
-    so the caller can re-enqueue it through robots admission + the
+    redirect whose target host differs from the CURRENT hop's (RFC
+    3986 comparison: case-insensitive, default ports stripped) is NOT
+    followed — the absolute target URL is returned as ``redirect`` so
+    the caller can re-enqueue it through robots admission + the
     seen-set instead of fetching a host whose rules were never
     consulted. Same-host hops still follow inline.
 
@@ -152,31 +198,43 @@ def _fetch_one_status(
     import time as _time
     from urllib.parse import urljoin, urlsplit
 
-    for _hop in range(max_redirects + 1):
+    for hop in range(max_redirects + 1):
         s = urlsplit(url)
         if s.scheme not in ("http", "https") or not s.netloc:
-            return None, None, None
+            return None, None, None, None, None
         status = None
+        cond = (etag, last_modified) if hop == 0 else (None, None)
         for attempt in range(retries + 1):
             if attempt:
                 _time.sleep(max(backoff_s, crawl_delay))
-            status, body, location = _request_once(
-                conns, s, user_agent, timeout_s, max_bytes, connect_to
+            status, body, location, r_etag, r_lm = _request_once(
+                conns, s, user_agent, timeout_s, max_bytes, connect_to,
+                etag=cond[0], last_modified=cond[1],
             )
             if status is not None and not 500 <= status < 600:
                 break
         if status is None or status == -1:
-            return status, None, None
+            return status, None, None, None, None
+        if status == 304:
+            # Not Modified: the validators we sent still hold. Echo the
+            # response's validators when the server refreshed them
+            # (RFC 9110 allows a 304 to carry a new ETag), else the
+            # ones we sent.
+            return 304, None, None, r_etag or etag, r_lm or last_modified
         if 300 <= status < 400 and location:
             target = urljoin(url, location)
-            if same_host_only and urlsplit(target).netloc != s.netloc:
-                return status, None, target
+            ts = urlsplit(target)
+            if same_host_only and _netloc_norm(
+                ts.netloc, ts.scheme
+            ) != _netloc_norm(s.netloc, s.scheme):
+                return status, None, target, None, None
             url = target
             continue
         if 200 <= status < 300:
-            return status, body, None
-        return status, None, None
-    return None, None, None  # redirect loop: unresolvable → unreachable
+            return status, body, None, r_etag, r_lm
+        return status, None, None, None, None
+    # redirect loop: unresolvable → unreachable
+    return None, None, None, None, None
 
 
 def fetch_pages_http(
@@ -191,6 +249,7 @@ def fetch_pages_http(
     retries: int = 1,
     backoff_s: float = 0.5,
     cross_host_redirects: str = "follow",
+    conditional: bool = False,
 ) -> DataFrame:
     """(url, host[, crawl_delay]) dispatch batch → (url, html, host) via
     pooled HTTP GETs. Each HOST fetches serially with the robots
@@ -211,7 +270,15 @@ def fetch_pages_http(
     host, redirect=target) instead of following the hop — the caller
     re-enqueues the target through robots admission + the seen-set
     (POLITENESS.md). Same-host redirects still follow inline; the
-    default 'follow' keeps the 3-column curl-parity shape."""
+    default 'follow' keeps the 3-column curl-parity shape.
+
+    ``conditional=True`` (the revisit path): optional ``etag`` /
+    ``last_modified`` columns on the dispatch ride out as
+    ``If-None-Match``/``If-Modified-Since``, and the output gains
+    (etag, last_modified, unchanged) columns — a 304 emits
+    (url, html=NULL, unchanged=true) with ZERO body bytes transferred
+    (the caller keeps its archived copy and skips re-extraction); a
+    200 carries the response's fresh validators for the next visit."""
     import concurrent.futures
     import time as _time
 
@@ -225,6 +292,12 @@ def fetch_pages_http(
         )
     else:
         cols.append(F.lit(0.0).alias("crawl_delay"))
+    if conditional:
+        for c in ("etag", "last_modified"):
+            cols.append(
+                F.col(c) if c in dispatch.columns
+                else F.lit(None).cast("string").alias(c)
+            )
     batch = dispatch.select(*cols)
     if partitions:
         batch = batch.repartition(partitions, "host")
@@ -239,25 +312,28 @@ def fetch_pages_http(
         conns: dict = {}
         out = []
         last = None
-        for url, delay in rows:
+        for url, delay, c_etag, c_lm in rows:
             if delay and last is not None:
                 wait = last + float(delay) - _time.monotonic()
                 if wait > 0:
                     _time.sleep(wait)
-            _status, body, redirect = _fetch_one_status(
+            status, body, redirect, r_etag, r_lm = _fetch_one_status(
                 conns, url, user_agent, timeout_s, max_bytes, connect_to,
                 retries=retries, backoff_s=backoff_s,
                 crawl_delay=float(delay or 0.0),
                 same_host_only=strict,
+                etag=c_etag, last_modified=c_lm,
             )
             # pacing clock starts at the END of the last attempt (a
             # retried URL's final request, not its first) so the next
             # URL's spacing can never undercut the robots delay
             last = _time.monotonic()
             if body is not None:
-                out.append((url, body, None))
+                out.append((url, body, None, r_etag, r_lm, False))
+            elif conditional and status == 304:
+                out.append((url, None, None, r_etag, r_lm, True))
             elif strict and redirect is not None:
-                out.append((url, None, redirect))
+                out.append((url, None, redirect, None, None, False))
         for c in conns.values():
             try:
                 c.close()
@@ -274,14 +350,22 @@ def fetch_pages_http(
         # not bodies: O(partition's dispatch rows), fine.
         by_host: dict = {}
         for pdf in pdfs:
-            for url, host, delay in zip(
-                pdf["url"], pdf["host"], pdf["crawl_delay"]
+            etags = pdf["etag"] if conditional else [None] * len(pdf)
+            lms = pdf["last_modified"] if conditional else [None] * len(pdf)
+            for url, host, delay, c_etag, c_lm in zip(
+                pdf["url"], pdf["host"], pdf["crawl_delay"], etags, lms
             ):
-                by_host.setdefault(host, []).append((url, delay))
+                # Arrow→pandas nulls can surface as NaN floats, which
+                # are truthy — a header must be a str or absent
+                by_host.setdefault(host, []).append((
+                    url, delay,
+                    c_etag if isinstance(c_etag, str) else None,
+                    c_lm if isinstance(c_lm, str) else None,
+                ))
         if not by_host:
             return  # empty partition: yield nothing
         for rows in by_host.values():
-            rows.sort()
+            rows.sort(key=lambda r: r[0])
         out_rows: list = []
         workers = min(host_concurrency, len(by_host))
 
@@ -289,10 +373,14 @@ def fetch_pages_http(
             d = {
                 "url": [r[0] for r in rows_out],
                 "html": [r[1] for r in rows_out],
-                "host": [r[3] for r in rows_out],
+                "host": [r[6] for r in rows_out],
             }
             if strict:
                 d["redirect"] = [r[2] for r in rows_out]
+            if conditional:
+                d["etag"] = [r[3] for r in rows_out]
+                d["last_modified"] = [r[4] for r in rows_out]
+                d["unchanged"] = [r[5] for r in rows_out]
             return pd.DataFrame(d)
 
         with concurrent.futures.ThreadPoolExecutor(workers) as pool:
@@ -302,16 +390,16 @@ def fetch_pages_http(
             ]
             for fut in concurrent.futures.as_completed(futs):
                 host, fetched = fut.result()
-                out_rows.extend(
-                    (url, body, redirect, host)
-                    for url, body, redirect in fetched
-                )
+                out_rows.extend(r + (host,) for r in fetched)
                 if len(out_rows) >= flush_rows:
                     yield flush(out_rows)
                     out_rows = []
         yield flush(out_rows)
 
-    schema = FETCH_SCHEMA + (", redirect string" if strict else "")
+    schema = FETCH_SCHEMA + (", redirect string" if strict else "") + (
+        ", etag string, last_modified string, unchanged boolean"
+        if conditional else ""
+    )
     return batch.mapInPandas(run, schema=schema)
 
 
@@ -485,7 +573,11 @@ def robots_bodies_http(
     with a ``host`` column — an optional ``scheme`` column overrides
     the default per host (a plain-http host must get
     ``http://host/robots.txt``, not a doomed TLS attempt classified
-    'unreachable' and crawled allow-all — round-5 ADVICE)."""
+    'unreachable' and crawled allow-all — round-5 ADVICE). A host with
+    BOTH schemes in its frontier probes https first; if that probe is
+    unreachable (e.g. the host is plain-http and one stray https URL
+    forced the preference), the probe retries over http before the
+    host is classified unreachable (round-6 ADVICE)."""
     import pandas as pd
 
     if not isinstance(hosts, DataFrame):
@@ -495,25 +587,46 @@ def robots_bodies_http(
     if "scheme" in hosts.columns:
         # one request per host: conflicting per-URL schemes resolve to
         # the max ('https' > 'http' — prefer TLS when the host serves
-        # both)
+        # both); the full scheme set rides along so an unreachable
+        # https probe can fall back to http when the frontier says the
+        # host serves plain http too
         hosts = hosts.groupBy("host").agg(
-            F.max("scheme").alias("scheme")
+            F.max("scheme").alias("scheme"),
+            F.collect_set("scheme").alias("schemes"),
         ).na.fill({"scheme": scheme})
     else:
-        hosts = hosts.select("host").distinct().withColumn(
-            "scheme", F.lit(scheme)
-        )
+        hosts = hosts.select("host").distinct().withColumns({
+            "scheme": F.lit(scheme),
+            "schemes": F.array(F.lit(scheme)),
+        })
 
     def run(pdfs):
         conns: dict = {}
         for pdf in pdfs:
             out_h, out_b, out_o = [], [], []
-            for host, sch in zip(pdf["host"], pdf["scheme"]):
-                status, body, _redir = _fetch_one_status(
-                    conns, f"{sch or scheme}://{host}/robots.txt",
+            for host, sch, schemes in zip(
+                pdf["host"], pdf["scheme"], pdf["schemes"]
+            ):
+                sch = sch or scheme
+                status, body, _redir, _e, _l = _fetch_one_status(
+                    conns, f"{sch}://{host}/robots.txt",
                     user_agent, timeout_s, max_bytes, connect_to,
                     retries=retries,
                 )
+                unreachable = status is None or status == -1 or (
+                    500 <= status < 600
+                )
+                if unreachable and sch == "https" and "http" in list(
+                    schemes if schemes is not None else []
+                ):
+                    # mixed-scheme host whose TLS endpoint is broken:
+                    # one stray https URL must not turn a plain-http
+                    # host's robots probe into allow-all admission
+                    status, body, _redir, _e, _l = _fetch_one_status(
+                        conns, f"http://{host}/robots.txt",
+                        user_agent, timeout_s, max_bytes, connect_to,
+                        retries=retries,
+                    )
                 if status is not None and 200 <= status < 300:
                     outcome = "ok"
                 elif status is not None and 400 <= status < 500:

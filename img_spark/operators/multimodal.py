@@ -88,25 +88,63 @@ def decode_media(df: DataFrame, deterministic_fake: bool = True) -> DataFrame:
     )
 
 
-def extract_features(df: DataFrame, deterministic_fake: bool = True) -> DataFrame:
-    """Fixed-dim feature vector per media blob (fake: seeded from md5 —
-    a real model slots into the same mapInPandas signature)."""
+def extract_features(
+    df: DataFrame,
+    deterministic_fake: bool = True,
+    model_fn=None,
+) -> DataFrame:
+    """Fixed-dim feature vector per media blob. ``model_fn`` is the
+    embedding-MODEL hook (the seam a production deployment fills with
+    CLIP/wav2vec/…): ``list[bytes] -> list[list[float]]``, called once
+    per Arrow batch inside the pandas UDF — same contract as
+    ``textquality.lang_id_with_model``. The demo instance is
+    ``hashed_byte_embedder`` (deterministic, closed-form — exercised
+    under the driver's oracle gate). Without a model: fake mode seeds
+    the vector from md5 (plumbing stays real and tested);
+    ``deterministic_fake=False`` raises as the clearly-marked stub."""
 
     def run(batches):
         for pdf in batches:
-            rows = []
-            for mid, data in zip(pdf["media_id"], pdf["data"]):
-                if not deterministic_fake:
-                    raise NotImplementedError("no embedding model available")
-                d = hashlib.md5(bytes(data)).digest()
-                vec = [
-                    (d[i % 16] * 256 + d[(i + 1) % 16]) / 65535.0
-                    for i in range(FEATURE_DIM)
-                ]
-                rows.append((mid, vec))
-            yield pd.DataFrame(rows, columns=["media_id", "features"])
+            blobs = [bytes(d) for d in pdf["data"]]
+            if model_fn is not None:
+                vecs = model_fn(blobs)
+            else:
+                vecs = []
+                for data in blobs:
+                    if not deterministic_fake:
+                        raise NotImplementedError(
+                            "no embedding model available"
+                        )
+                    d = hashlib.md5(data).digest()
+                    vecs.append([
+                        (d[i % 16] * 256 + d[(i + 1) % 16]) / 65535.0
+                        for i in range(FEATURE_DIM)
+                    ])
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "features": vecs}
+            )
 
     return df.select("media_id", "data").mapInPandas(run, schema=FEATURES_DDL)
+
+
+def hashed_byte_embedder(dim: int = FEATURE_DIM):
+    """Demo model for the ``extract_features`` hook: a hashed-byte
+    projection — embedding[j] = number of payload bytes ≡ j (mod dim).
+    Deterministic with a closed-form SQL oracle (counts are small
+    integers, exact in float32), so the model SEAM — batch shape, dim
+    contract, Arrow round-trip — is verified end-to-end under the
+    driver gate even though the real model is environment-blocked."""
+    import numpy as np
+
+    def model_fn(blobs):
+        return [
+            np.bincount(
+                np.frombuffer(b, dtype=np.uint8) % dim, minlength=dim
+            ).astype("float64").tolist()
+            for b in blobs
+        ]
+
+    return model_fn
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:

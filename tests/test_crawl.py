@@ -391,6 +391,14 @@ def test_robots_pattern_kernel():
     assert not m("/a%3Cb", "/a%3db")
     assert m("/", "/anything") and m("", "/x")
     assert m("/p", "/p") and not m("/private", "/p")
+    # RFC 3986 §6.2.2.2: unreserved escapes decode on EITHER side
+    # (round-6 verdict item 4) — reserved ones stay encoded
+    assert m("/%7Euser", "/~user/x") and m("/~user", "/%7euser/x")
+    assert m("/%41lbum*", "/Album/z") and not m("/%41lbum*", "/album/z")
+    assert not m("/%2Fx", "//x")                # %2F is NOT '/'
+    # a decoded '.' is a literal, not a regex dot
+    assert robots_pattern_regex("/%2Epdf") == r"^/\.pdf"
+    assert m("/%2Epdf", "/.pdf") and not m("/%2Epdf", "/xpdf")
     # the regex uses only the ^ . * $ \-escape subset (RE2 ≡ Java)
     assert robots_pattern_regex("/*.pdf$") == r"^/.*\.pdf$"
     assert robots_pattern_regex("/a(b)+c") == r"^/a\(b\)\+c"
@@ -414,7 +422,9 @@ def test_robots_pattern_spark_python_differential(spark):
     )
 
     rng = random.Random(42)
-    alphabet = list("ab/.*$%3Cc?+()[]\\|^{}-_~ ")
+    # '4','1','7','e','E','2' make random %41/%7E/%2E escapes likely —
+    # the decode-unreserved branch gets fuzzed, not just the fixed cases
+    alphabet = list("ab/.*$%3Cc?+()[]\\|^{}-_~ 417eE2")
     pats = ["/" + "".join(rng.choice(alphabet)
                           for _ in range(rng.randrange(0, 10)))
             for _ in range(48)]
@@ -422,9 +432,11 @@ def test_robots_pattern_spark_python_differential(spark):
                            for _ in range(rng.randrange(0, 14)))
              for _ in range(48)]
     pats += ["/*.pdf$", "/a%3cb", "/a%3Cb", "/%zz", "/", "/a$b$",
-             "/**", "/*$", "/%3", "/a{2}b"]
+             "/**", "/*$", "/%3", "/a{2}b",
+             "/%7Euser", "/%41lbum*", "/%2Epdf$", "/~user"]
     paths += ["/docs/x.pdf", "/a%3Cb", "/a%3cb", "/%ZZ", "/x", "/a$b$",
-              "/%3cx%3C", "/a{2}b"]
+              "/%3cx%3C", "/a{2}b",
+              "/~user/5", "/%7euser/5", "/Album/x%7ez", "/.pdf", "/xpdf"]
     rows = [(p, q) for p in pats for q in paths]
     df = spark.createDataFrame(rows, "pattern string, path string").select(
         "pattern", "path",
@@ -434,15 +446,13 @@ def test_robots_pattern_spark_python_differential(spark):
         "match", F.regexp_like(F.col("npath"), F.col("re"))
     )
 
-    def py_norm(s):
-        return re.sub("%([0-9a-fA-F]{2})",
-                      lambda m: "%" + m.group(1).upper(), s)
+    from img_spark.operators.politeness import robots_pct_norm
 
     for r in df.collect():
         want_re = robots_pattern_regex(r["pattern"])
         assert r["re"] == want_re, (r["pattern"], r["re"], want_re)
-        assert r["npath"] == py_norm(r["path"]), r["path"]
-        want = re.search(want_re, py_norm(r["path"])) is not None
+        assert r["npath"] == robots_pct_norm(r["path"]), r["path"]
+        want = re.search(want_re, robots_pct_norm(r["path"])) is not None
         assert r["match"] == want, (r["pattern"], r["path"])
 
 
