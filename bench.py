@@ -168,13 +168,16 @@ def kernel_control(spark, corpus_path, n_hosts, sample=96_000, procs=None):
     return done, dt
 
 
-def _prev_bench_field(key: str):
-    """Newest recorded value of a bench JSON field from the driver's
-    BENCH_r{N}.json files (None when no round recorded it)."""
+def _prev_bench_record(key: str):
+    """The FULL parsed record of the newest BENCH_r{N}.json that
+    carries ``key`` (None when no round recorded it) — callers that
+    must interpret a field under the convention it was recorded with
+    (e.g. the r7 ann_normalized direction flip) read sibling fields
+    like ``methodology`` off the same record."""
     import glob
     import re
 
-    best_round, val = -1, None
+    best_round, rec = -1, None
     for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if not m:
@@ -184,17 +187,18 @@ def _prev_bench_field(key: str):
         except Exception:
             continue
         # the round driver nests bench.py's JSON line under "parsed"
-        v = data.get(key)
-        if v is None and isinstance(data.get("parsed"), dict):
-            v = data["parsed"].get(key)
-        if v is not None and int(m.group(1)) > best_round:
-            best_round, val = int(m.group(1)), v
-    return val
+        if data.get(key) is None and isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
+        if data.get(key) is not None and int(m.group(1)) > best_round:
+            best_round, rec = int(m.group(1)), data
+    return rec
 
 
-def _prev_normalized() -> float | None:
-    """Newest recorded normalized_throughput (absent before round 4)."""
-    return _prev_bench_field("normalized_throughput")
+def _prev_bench_field(key: str):
+    """Newest recorded value of a bench JSON field from the driver's
+    BENCH_r{N}.json files (None when no round recorded it)."""
+    rec = _prev_bench_record(key)
+    return rec.get(key) if rec is not None else None
 
 
 # the queries whose drift the dedup-family control adjudicates
@@ -462,9 +466,20 @@ def main():
     kdt = min(kdt, kdt2)
     kernel_pps = round(kn / kdt, 1)
     normalized = round(urls_per_sec / kernel_pps, 3)
-    prev_norm = _prev_normalized()
+    prev_norm_rec = _prev_bench_record("normalized_throughput")
+    prev_norm = (
+        prev_norm_rec.get("normalized_throughput") if prev_norm_rec else None
+    )
+    # like-for-like only: a prev recorded before the r7 methodology
+    # change (single-shot kernel control vs best-of-2 now) would make
+    # the >10% flag fire on the methodology break itself, not on the
+    # engine — suppress the comparison across the break
+    norm_comparable = prev_norm_rec is not None and (
+        "methodology" in prev_norm_rec
+    )
     norm_regressed = (
-        prev_norm is not None and normalized < 0.9 * prev_norm
+        norm_comparable and prev_norm is not None
+        and normalized < 0.9 * prev_norm
     )
 
     # albums=64 → ~3.6k pages/generation: the amortized regime a real
@@ -507,8 +522,13 @@ def main():
         for q in ANN_FAMILY
         if queries.get(q)
     }
-    prev_ann_norm = _prev_bench_field("ann_normalized")
-    if isinstance(prev_ann_norm, dict):
+    prev_rec = _prev_bench_record("ann_normalized")
+    prev_ann_norm = prev_rec.get("ann_normalized") if prev_rec else None
+    if isinstance(prev_ann_norm, dict) and "methodology" not in prev_rec:
+        # the previous record predates the r7 direction flip (records
+        # carrying a `methodology` field are already higher-is-faster —
+        # inverting those would corrupt the series from r8 onward):
+        # convert the old lower-is-faster values
         prev_ann_norm = {
             q: (round(1.0 / v, 4) if v else None)
             for q, v in prev_ann_norm.items()
@@ -549,6 +569,10 @@ def main():
                            "pages_per_sec": kernel_pps},
         "normalized_throughput": normalized,
         "normalized_prev": prev_norm,
+        # False ACROSS the r7 methodology break (prev lacks the
+        # methodology field → not like-for-like); comparable-from
+        # records which side of the break the comparison stands on
+        "normalized_prev_comparable": bool(norm_comparable),
         "normalized_regressed_gt_10pct": bool(norm_regressed),
         # per-family normalization (round-5 verdict item 4): each dedup
         # query's docs/s over the same-window bare dedup-kernel docs/s —

@@ -88,6 +88,18 @@ def rmtree(path: str) -> None:
         fs.delete_dir(p)
 
 
+def rmpath(path: str) -> None:
+    """Delete a file OR a directory tree; missing paths are a no-op
+    (corpus-migration cleanup deletes a mixed bag of part files,
+    markers, and lang=*/ dirs)."""
+    fs, p = resolve(path)
+    t = fs.get_file_info(p).type
+    if t == pafs.FileType.Directory:
+        fs.delete_dir(p)
+    elif t == pafs.FileType.File:
+        fs.delete_file(p)
+
+
 def move(src: str, dst: str) -> None:
     """Directory/file move. Atomic rename on local filesystems; on
     object stores pyarrow implements it as copy+delete (weaker — the

@@ -159,8 +159,10 @@ def _url_path(url_col=None):
 # every other escape keeps its encoding with the hex digits
 # case-normalized (%3c ≡ %3C — §6.2.2.1). Decoding reserved octets
 # would CHANGE meaning (%2F is not '/'), so they stay encoded.
-# Precedence is the RFC's most-specific rule: longest pattern in
-# octets wins, Allow wins length ties.
+# Precedence is the RFC's most-specific rule: longest NORMALIZED
+# pattern in octets wins (the raw spelling's length is an encoding
+# artifact — '/%61%62' IS the 3-octet pattern '/ab'), Allow wins
+# length ties.
 
 _RE_SPECIALS = r"([.\[\]{}()+?^$|\\])"  # regex metachars to escape ('*' excluded)
 
@@ -287,8 +289,13 @@ def apply_robots(
             F.regexp_like(F.col("__path"), F.col("__re")),
         ).otherwise(F.col("__path").startswith(F.col("__np"))),
     )
+    # specificity = octets of the NORMALIZED pattern (RFC 9309 §2.2.2
+    # "most octets" over what actually matched): decode-unreserved can
+    # shorten a pattern ('/%61%62' → '/ab'), and ranking by the raw
+    # spelling would let a 7-octet spelling of a 3-octet pattern beat
+    # a genuinely more specific 5-octet rule
     w = Window.partitionBy(*key_cols).orderBy(
-        F.when(F.col("__match"), F.length("path_prefix")).otherwise(-1).desc(),
+        F.when(F.col("__match"), F.length("__np")).otherwise(-1).desc(),
         F.when(F.col("__match"), F.col("allow")).otherwise(F.lit(False)).desc(),
         F.when(F.col("__match"), F.col("crawl_delay")).otherwise(F.lit(0.0)).desc(),
     )
@@ -355,12 +362,15 @@ def compile_robots_match() -> dict:
     # F.get (not getItem): a host can have rules but none matching the
     # path — ANSI mode makes [0] on the empty array an error, get()
     # returns NULL and the coalesce below applies the allow-all default
+    # specificity = octets of the NORMALIZED pattern (np) — see the
+    # matching rationale in apply_robots; both matchers and the DuckDB
+    # oracle rank identically
     best = F.get(
         F.sort_array(
             F.transform(
                 matched,
                 lambda r: F.struct(
-                    F.length(r["path_prefix"]).alias("l"),
+                    F.length(r["np"]).alias("l"),
                     r["allow"].alias("allow"),
                     r["crawl_delay"].alias("crawl_delay"),
                 ),

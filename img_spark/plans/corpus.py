@@ -51,12 +51,16 @@ def crawl_documents(
 ) -> DataFrame:
     """One row per successfully fetched page across every generation
     of a crawl checkpoint: (doc_id=page_url, host, title, text,
-    generation). Reads only the extracted deltas (each generation's
-    pages appear exactly once — the seen-set guarantees a URL is
-    fetched once), pruning to the page-level columns so the img rows'
-    fan-out collapses map-side. ``min_generation`` (incremental mode)
-    opens only deltas with generation > min_generation — an empty
-    slice returns an empty frame instead of raising."""
+    generation). Reads only the extracted deltas, pruning to the
+    page-level columns so the img rows' fan-out collapses map-side.
+    A one-shot crawl extracts each URL once (seen-set); a REVISIT
+    crawl (revisit_after_s>0) re-extracts changed pages into later
+    generations — the NEWEST generation's row wins deterministically
+    (struct-max on generation), so the corpus carries the freshest
+    text and ``generation`` is the stamp of that text.
+    ``min_generation`` (incremental mode) opens only deltas with
+    generation > min_generation — an empty slice returns an empty
+    frame instead of raising."""
     base = fsio.join(checkpoint_dir, "extracted")
     gens = [
         g for g in _committed_generations(checkpoint_dir)
@@ -77,15 +81,21 @@ def crawl_documents(
     return (
         df.filter(F.col("status") != "fetch_failed")
         .groupBy("page_url")
+        # newest-generation row wins (revisit re-extraction); the
+        # struct comparison is deterministic across partitionings
+        # (generation first, then text/title/host as tiebreak — within
+        # one generation a page's rows are img-fanout copies anyway)
         .agg(
-            F.first("host").alias("host"),
-            F.first("title").alias("title"),
-            F.first("extracted_text").alias("text"),
-            F.min("generation").alias("generation"),
+            F.max(F.struct(
+                "generation", "extracted_text", "title", "host"
+            )).alias("s")
         )
         .select(
             F.col("page_url").alias("doc_id"),
-            "host", "title", "text", "generation",
+            F.col("s.host").alias("host"),
+            F.col("s.title").alias("title"),
+            F.col("s.extracted_text").alias("text"),
+            F.col("s.generation").alias("generation"),
         )
     )
 
@@ -170,9 +180,17 @@ def build_corpus(
     # to surface as a silent full rebuild over an empty dir)
     recover_corpus_swap(out_dir)
     cur = corpus_version(out_dir)
+    legacy_leftover: list = []
     if versioned or cur is not None:
         n = int(cur[8:]) + 1 if cur else 1
         version_name = f"corpus_v{n}"
+        if cur is None:
+            # migrating a legacy flat corpus (or building fresh into a
+            # versioned root): whatever flat data/state sits in out_dir
+            # is superseded by this full rebuild — prune it after the
+            # publish, or readers of the root would see a corrupt mix
+            # of lang=*/ partitions and corpus_v*/ dirs forever
+            legacy_leftover = _legacy_entries(out_dir)
         data_dir = fsio.join(out_dir, version_name)
         fsio.rmtree(data_dir)  # leftover of a crashed, unpublished run
     else:
@@ -262,8 +280,11 @@ def build_corpus(
         )
     if version_name is not None:
         # data + state are complete — one atomic pointer write
-        # publishes the version, then older versions prune
-        _publish_version(out_dir, version_name)
+        # publishes the version, then older versions prune (the one
+        # just superseded survives for in-flight readers)
+        _publish_version(out_dir, version_name, keep=cur)
+        for fn in legacy_leftover:
+            fsio.rmpath(fsio.join(out_dir, fn))
     docs.unpersist()
     if banded is not None:
         banded.unpersist()
@@ -320,18 +341,34 @@ def read_corpus(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(resolve_corpus(out_dir))
 
 
-def _publish_version(out_dir: str, name: str, prune: bool = True) -> None:
+def _legacy_entries(out_dir: str) -> list:
+    """Entries of a LEGACY flat corpus living directly in ``out_dir``
+    (everything that is not versioned-layout bookkeeping) — snapshot
+    BEFORE a migration build so exactly these can be pruned after the
+    pointer publish."""
+    return [
+        fn for fn in fsio.listdir(out_dir)
+        if fn != CORPUS_POINTER and not fn.startswith("corpus_v")
+    ]
+
+
+def _publish_version(
+    out_dir: str, name: str, keep: str | None = None
+) -> None:
     """Atomically repoint CURRENT at ``name``; then (and only then)
-    prune superseded version dirs."""
+    prune superseded version dirs — EXCEPT ``keep`` (the version just
+    superseded): a reader that resolved the pointer moments before the
+    swap may still be mid-scan on it, so the previous version survives
+    one more publish cycle (disk cost: ≤2 versions on disk)."""
     fsio.write_bytes_atomic(
         fsio.join(out_dir, CORPUS_POINTER), name.encode()
     )
-    if prune:
-        for fn in fsio.listdir(out_dir):
-            if fn.startswith("corpus_v") and fn != name and fsio.isdir(
-                fsio.join(out_dir, fn)
-            ):
-                fsio.rmtree(fsio.join(out_dir, fn))
+    for fn in fsio.listdir(out_dir):
+        if (
+            fn.startswith("corpus_v") and fn != name and fn != keep
+            and fsio.isdir(fsio.join(out_dir, fn))
+        ):
+            fsio.rmtree(fsio.join(out_dir, fn))
 
 
 def recover_corpus_swap(out_dir: str) -> str | None:
@@ -354,17 +391,59 @@ def recover_corpus_swap(out_dir: str) -> str | None:
     - out_dir absent, ONLY the aside present → the tmp vanished
       mid-swap (or was already moved elsewhere): restore the aside —
       the corpus is back at its pre-rewrite state.
+
+    The two branches where out_dir is PRESENT delete the leftover;
+    that classification relies on moves being atomic renames, which
+    holds on local filesystems/HDFS but NOT on object stores (fsio
+    .move is copy+delete per file there — a crash mid-move leaves
+    BOTH sides partial, and 'out_dir present' does not mean 'out_dir
+    complete'). On a non-local filesystem those branches REFUSE with
+    guidance instead of deleting what may be the only complete copy;
+    the out_dir-absent branches stay safe everywhere (the tmp/aside
+    they promote was fully written before any move began). The
+    versioned pointer layout avoids this entirely.
+
+    On a VERSIONED root (pointer present) the version dirs are
+    authoritative: any flat entry beside them is a leftover of a
+    migration that crashed between the pointer publish and its prune
+    — finished here.
     """
+    from pyarrow import fs as pafs
+
     tmp = out_dir.rstrip("/") + "__incr_tmp"
     aside = out_dir.rstrip("/") + "__incr_old"
+    local = isinstance(fsio.resolve(out_dir)[0], pafs.LocalFileSystem)
+    if corpus_version(out_dir) is not None:
+        # versioned root: a pointer makes the version dirs
+        # authoritative, so any flat entry beside them is a leftover
+        # of a migration that crashed between the pointer publish and
+        # its prune — finish the prune (legacy readers of the root
+        # must never see a mixed layout)
+        leftovers = _legacy_entries(out_dir)
+        for fn in leftovers:
+            fsio.rmpath(fsio.join(out_dir, fn))
+        if leftovers:
+            return "pruned legacy entries beside the version pointer"
+        return None
     has_out, has_tmp, has_aside = (
         fsio.isdir(out_dir), fsio.isdir(tmp), fsio.isdir(aside)
     )
     if has_out:
-        if has_aside:
-            fsio.rmtree(aside)
-            return "pruned leftover __incr_old (swap had completed)"
-        if has_tmp:
+        if has_aside or has_tmp:
+            if not local:
+                raise RuntimeError(
+                    f"corpus at {out_dir} has leftover "
+                    f"{'__incr_old' if has_aside else '__incr_tmp'} "
+                    "from an interrupted rewrite, and on this "
+                    "filesystem moves are copy+delete — out_dir may "
+                    "itself be partial, so neither side can be safely "
+                    "deleted automatically. Inspect/merge by hand, or "
+                    "migrate to the versioned pointer layout "
+                    "(--curate-versioned) which has no such window"
+                )
+            if has_aside:
+                fsio.rmtree(aside)
+                return "pruned leftover __incr_old (swap had completed)"
             fsio.rmtree(tmp)
             return "dropped incomplete __incr_tmp (swap never started)"
         return None
@@ -430,6 +509,7 @@ def build_corpus_incremental(
     default_rate: float = 1.0,
     benchmark: DataFrame | None = None,
     near_dup_threshold: float | None = None,
+    versioned: bool = False,
 ) -> dict:
     """Fold the crawl generations NEWER than the corpus's watermark
     into an existing ``build_corpus`` output — equivalent to a full
@@ -460,6 +540,16 @@ def build_corpus_incremental(
       benchmark PRESENCE are recorded in the state meta and enforced
       (mismatch raises); the benchmark's CONTENT cannot be verified —
       pass the same eval set the corpus was built with.
+    - **revisit caveat** (revisit_after_s crawls): a changed page
+      re-extracts into a newer generation, so it reappears in the new
+      batch — its fresh row REPLACES the old corpus row (doc_id
+      anti-join; never duplicated) and its stale cluster edge is
+      dropped, but the old text's fingerprint/band entries linger in
+      the merge state until a full rebuild: a future doc matching the
+      REPLACED text can still be flagged its dup, and a changed
+      cluster REP keeps anchoring its old cluster. Both are
+      conservative (over-flagging, never under); the ≡-full guarantee
+      is exact for append-only (one-shot) crawls.
 
     Publish: in the VERSIONED layout (``out_dir`` carries a CURRENT
     pointer — see ``build_corpus(versioned=True)``) the rewrite lands
@@ -659,7 +749,17 @@ def build_corpus_incremental(
             .select("doc_a", "doc_b")
         )
         cstate = spark.read.parquet(fsio.join(st, "comps"))
-        old_edges = cstate.select(
+        # a REVISITED doc's text changed: its stored star edge
+        # (doc → old cluster rep) describes the old text — drop it so
+        # the new text is clustered on its own merits (its new bands
+        # re-join if still similar). Rep-side edges stay: the other
+        # members are still near-dups of each other and the rep id is
+        # just their cluster label (conservative: a changed REP keeps
+        # anchoring its old cluster — see the docstring's revisit
+        # caveat).
+        old_edges = cstate.join(
+            new_docs.select("doc_id"), "doc_id", "left_anti"
+        ).select(
             F.col("doc_id").alias("doc_a"), F.col("rep_id").alias("doc_b")
         )
         comps_all = connected_components(
@@ -674,9 +774,12 @@ def build_corpus_incremental(
         else spark.createDataFrame([], "doc_id string, __near boolean")
     )
 
-    # ---- assemble: old rows (monotone flag flips only) + new rows
+    # ---- assemble: old rows (monotone flag flips only) + new rows.
+    # A REVISITED doc appears in new_docs with fresh text — its new
+    # row REPLACES the old one (anti-join), never duplicates it.
     old_out = (
-        old.join(F.broadcast(dup_flips), "doc_id", "left")
+        old.join(new_docs.select("doc_id"), "doc_id", "left_anti")
+        .join(F.broadcast(dup_flips), "doc_id", "left")
         .join(near_set, "doc_id", "left")
         .withColumns({
             "is_dup": F.col("is_dup") | F.coalesce("__dup", F.lit(False)),
@@ -726,9 +829,20 @@ def build_corpus_incremental(
     # the publish. Legacy: tmp dir + rename-aside swap. State lands
     # inside the new dir BEFORE the publish — its reads also come from
     # the old state, and after the swap the new corpus carries its own.
+    legacy_leftover: list = []
     if cur:
         new_name = f"corpus_v{int(cur[8:]) + 1}"
         tmp = fsio.join(out_dir, new_name)
+    elif versioned:
+        # migrate the legacy flat corpus to the versioned layout in
+        # this rewrite (``--curate-versioned`` must not be silently
+        # ignored just because the corpus predates the flag): the new
+        # version is written beside the flat data, the pointer
+        # publishes it, and the superseded flat entries are pruned —
+        # a mixed root would corrupt legacy readers forever
+        new_name = "corpus_v1"
+        tmp = fsio.join(out_dir, new_name)
+        legacy_leftover = _legacy_entries(out_dir)
     else:
         new_name = None
         tmp = out_dir.rstrip("/") + "__incr_tmp"
@@ -760,9 +874,13 @@ def build_corpus_incremental(
     new_docs.unpersist()
     if new_name is not None:
         # versioned publish: data + state are complete at corpus_v{N+1}
-        # — one atomic pointer write flips readers over, then the old
-        # version prunes. No window where the corpus is absent.
-        _publish_version(out_dir, new_name)
+        # — one atomic pointer write flips readers over, then versions
+        # OLDER than the one just superseded prune (the previous
+        # version survives one cycle for in-flight readers). No window
+        # where the corpus is absent.
+        _publish_version(out_dir, new_name, keep=cur)
+        for fn in legacy_leftover:
+            fsio.rmpath(fsio.join(out_dir, fn))
     else:
         # legacy rename-aside swap: the no-corpus window is one rename,
         # not a delete-then-move (a crash between rmtree and move would

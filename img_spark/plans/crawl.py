@@ -107,14 +107,20 @@ STATUSES = (
 # per-URL fetch validators + revisit clock (revisit_after_s>0): one
 # delta dir per generation under {checkpoint}/validators/, newest row
 # per URL wins. depth/path ride along so a revisit re-enqueue can
-# reconstruct the frontier row; vb = pmod(xxhash64(url), partitions)
-# is written one-bucket-per-file (repartition by vb) so the
-# per-generation dispatch attach prunes row groups on parquet
-# min/max stats instead of scanning the whole store.
+# reconstruct the frontier row; vb = pmod(xxhash64(url),
+# VALIDATORS_BUCKETS) is written one-bucket-per-file (repartition by
+# vb) so the per-generation dispatch attach prunes row groups on
+# parquet min/max stats instead of scanning the whole store.
 VALIDATORS_DDL = (
     "url string, host string, depth int, path string, etag string,"
     " last_modified string, fetched_at double, vb int"
 )
+# the vb modulus is a STORE constant, deliberately independent of
+# cfg.partitions: stored rows keep their bucket across resumes, so a
+# crawl resumed with a different --partitions still prunes correctly
+# (a cfg-derived modulus would silently exclude stored rows from the
+# dispatch attach and every revisit would refetch unconditionally)
+VALIDATORS_BUCKETS = 64
 
 
 def read_pending(spark: SparkSession, checkpoint_dir: str, generation: int) -> DataFrame:
@@ -396,6 +402,14 @@ class Crawler:
         # restamps)
         self._step_unchanged: list = []
         self._step_validators: list = []
+        # sweep generations park the store's newest-per-URL reduction
+        # here so the dispatch attach reuses it (one O(store) job per
+        # sweep, not two)
+        self._step_val_newest = None
+        # highest MANIFEST-COMMITTED validators delta index (-1: none;
+        # None: resumed from a pre-validators manifest — trust all
+        # dirs). Gates delta visibility; see the validators section.
+        self._validators_committed: int | None = -1
         self._t_eager = 0.0
         self._plan = self._compile_plan_fragments()
         self._reload_robots()
@@ -729,17 +743,42 @@ class Crawler:
     # same log-structured shape as the robots store — committed delta
     # dirs, newest row per URL wins, folded into one dir past a
     # threshold (or at compact()).
+    #
+    # Unlike robots deltas (idempotent: a re-fetch of rules is
+    # harmless), a validators delta CHANGES the behavior of a retried
+    # generation: a crash after the delta's _SUCCESS but before the
+    # generation's manifest commit would otherwise leave the retry
+    # attaching the crashed attempt's ETags — its first-visit pages
+    # come back 304 and their content is NEVER extracted. So delta
+    # visibility is gated on the MANIFEST: each manifest records
+    # ``validators_max`` (the highest delta index the committed
+    # generation produced), ``_validators_dirs`` hides higher indexes,
+    # and ``resume`` deletes them outright. Compaction outputs carry a
+    # ``_COMPACTED`` marker exempting them (a compaction between a
+    # manifest commit and the next one must stay visible — and must
+    # never be deleted by a resume — even though its index is above
+    # the last recorded max).
     _VALIDATORS_COMPACT_DIRS = 64
 
-    def _validators_dirs(self) -> list:
+    def _validators_dirs(self, all_dirs: bool = False) -> list:
         base = self._p("validators")
         out = []
+        committed = self._validators_committed
         for fn in fsio.listdir(base):
-            if (
+            if not (
                 fn.startswith("d") and fn[1:].isdigit()
                 and fsio.exists(fsio.join(base, fn, "_SUCCESS"))
             ):
-                out.append((int(fn[1:]), fsio.join(base, fn)))
+                continue
+            idx, path = int(fn[1:]), fsio.join(base, fn)
+            if (
+                not all_dirs
+                and committed is not None
+                and idx > committed
+                and not fsio.exists(fsio.join(path, "_COMPACTED"))
+            ):
+                continue  # written but never manifest-committed
+            out.append((idx, path))
         return sorted(out)
 
     def _validators_df(self) -> DataFrame | None:
@@ -772,7 +811,15 @@ class Crawler:
         (parquet min/max stats — the store is written one bucket per
         file), semi-filtered against the broadcast dispatch (no
         shuffle of the store), and only then reduced newest-per-URL —
-        the groupBy shuffles a dispatch-sized set, never the store."""
+        the groupBy shuffles a dispatch-sized set, never the store.
+        A sweep generation already reduced the whole store
+        newest-per-URL (persisted on ``self._step_val_newest``) — reuse
+        it instead of a second O(store) scan in the same step."""
+        if self._step_val_newest is not None:
+            vals = self._step_val_newest.join(
+                F.broadcast(disp.select("url")), "url", "left_semi"
+            ).select("url", "etag", "last_modified")
+            return disp.join(F.broadcast(vals), "url", "left")
         store = self._validators_df()
         if store is None:
             return disp
@@ -780,7 +827,7 @@ class Crawler:
         vbs = [
             r["b"] for r in disp.select(
                 F.pmod(F.xxhash64(F.col("url")),
-                       F.lit(self.cfg.partitions)).cast("int").alias("b")
+                       F.lit(VALIDATORS_BUCKETS)).cast("int").alias("b")
             ).distinct().collect()
         ]
         self._t_eager += time.time() - t0
@@ -792,21 +839,27 @@ class Crawler:
         )
         return disp.join(F.broadcast(vals), "url", "left")
 
-    def _write_validators_delta(self, rows: DataFrame) -> None:
-        """Commit one validators delta (VALIDATORS_DDL rows without
+    def _write_validators_delta(self, rows: DataFrame) -> int:
+        """Write one validators delta (VALIDATORS_DDL rows without
         ``vb`` — added here) — repartitioned by the url-hash bucket so
         each output file covers one bucket value and later reads prune
-        on parquet stats."""
+        on parquet stats. Returns the delta index; the delta only
+        becomes VISIBLE once a manifest records it as committed (see
+        the visibility contract above)."""
         rows = rows.withColumn(
             "vb",
             F.pmod(F.xxhash64(F.col("url")),
-                   F.lit(self.cfg.partitions)).cast("int"),
-        ).repartition(self.cfg.partitions, "vb")
-        dirs = self._validators_dirs()
+                   F.lit(VALIDATORS_BUCKETS)).cast("int"),
+        ).repartition(VALIDATORS_BUCKETS, "vb")
+        # index allocation scans ALL dirs (an invisible orphan's index
+        # must not be reused by accident — overwrite would be safe,
+        # but distinct history is simpler to reason about)
+        dirs = self._validators_dirs(all_dirs=True)
         idx = dirs[-1][0] + 1 if dirs else 0
         out = self._p("validators", f"d{idx}")
         rows.write.mode("overwrite").parquet(out)
         fsio.write_bytes_atomic(fsio.join(out, "_SUCCESS"), b"")
+        return idx
 
     def _compact_validators_store(self) -> None:
         """Fold the validators deltas into ONE dir (newest row per
@@ -822,13 +875,19 @@ class Crawler:
             return
         store = self._validators_df()
         merged = self._validators_newest(store).repartition(
-            self.cfg.partitions, "vb"
+            VALIDATORS_BUCKETS, "vb"
         )
-        out = self._p("validators", f"d{dirs[-1][0] + 1}")
+        idx = self._validators_dirs(all_dirs=True)[-1][0] + 1
+        out = self._p("validators", f"d{idx}")
         merged.write.mode("overwrite").parquet(out)
+        # the marker (before _SUCCESS: an unmarked-but-committed
+        # compaction could be deleted by a resume) keeps the merged
+        # dir visible and resume-proof until a manifest records it
+        fsio.write_bytes_atomic(fsio.join(out, "_COMPACTED"), b"")
         fsio.write_bytes_atomic(fsio.join(out, "_SUCCESS"), b"")
         for _, p in dirs:
             fsio.rmtree(p)
+        self._validators_committed = idx
 
     def _inject_revisits(self, pending: DataFrame, g: int):
         """Revisit sweep (revisit_after_s>0, every revisit_every
@@ -848,7 +907,14 @@ class Crawler:
         if store is None:
             return pending, None
         now = time.time()
-        due = self._validators_newest(store).filter(
+        # ONE newest-per-URL reduction serves the whole step: the due
+        # filter here and the dispatch validator attach later
+        # (_dispatch_validators) — persisted, unpersisted with the
+        # step's other caches
+        newest = self._validators_newest(store).persist()
+        self._strict_caches.append(newest)
+        self._step_val_newest = newest
+        due = newest.filter(
             F.col("fetched_at") < F.lit(now - self.cfg.revisit_after_s)
         ).join(pending.select("url"), "url", "left_anti")
         cand = due.select(
@@ -1076,6 +1142,7 @@ class Crawler:
         self._step_redirects, self._strict_caches = [], []
         self._step_redirects2 = []
         self._step_unchanged, self._step_validators = [], []
+        self._step_val_newest = None
         self._t_eager = 0.0  # eager Spark work inside the "plan" window
         # only the status=pending subdir of the previous generation is
         # opened — the terminal-status history is never touched
@@ -1410,8 +1477,8 @@ class Crawler:
 
         def _write_validators():
             t = time.time()
-            self._write_validators_delta(val_delta)
-            return time.time() - t
+            idx = self._write_validators_delta(val_delta)
+            return time.time() - t, idx
 
         t0 = time.time()
         # plan = pure driver-side construction (py4j + eager Catalyst
@@ -1430,13 +1497,12 @@ class Crawler:
             t_extract = fut_e.result()
             state_counts, t_state = fut_s.result()
             if fut_v is not None:
-                t_validators = fut_v.result()
+                # recorded as committed by THIS generation's manifest
+                # below — a crash before that commit leaves the delta
+                # invisible and resume() deletes it (see validators
+                # visibility contract)
+                t_validators, self._validators_committed = fut_v.result()
         t_writes = time.time() - t0
-        if (
-            val_delta is not None
-            and len(self._validators_dirs()) > self._VALIDATORS_COMPACT_DIRS
-        ):
-            self._compact_validators_store()
         self._refresh_seen_blobs(g)
 
         # per-host metrics are NOT a third write job anymore: the
@@ -1461,6 +1527,7 @@ class Crawler:
         self._step_redirects, self._strict_caches = [], []
         self._step_redirects2 = []
         self._step_unchanged, self._step_validators = [], []
+        self._step_val_newest = None
         marked.unpersist()
         # per-phase wall times ride in the manifest (S8 lineage + the
         # feedback loop for tuning per-generation overhead)
@@ -1479,6 +1546,16 @@ class Crawler:
             extra["second_level_redirects_dropped"] = dropped2
         stats = self._commit_generation(g, extra, counts=state_counts)
         self.generation = g
+        # auto-compaction must run AFTER the manifest commit: a
+        # compaction folds this step's delta into a _COMPACTED dir that
+        # is exempt from the visibility gate — doing that before the
+        # commit would smuggle an uncommitted delta past the crash
+        # contract (round-7 review)
+        if (
+            val_delta is not None
+            and len(self._validators_dirs()) > self._VALIDATORS_COMPACT_DIRS
+        ):
+            self._compact_validators_store()
         return stats
 
     def _commit_generation(self, g: int, extra: dict, counts=None) -> dict:
@@ -1664,6 +1741,10 @@ class Crawler:
             "ts": time.time(),
             **extra,
         }
+        if self._conditional and self._validators_committed is not None:
+            # the validators-store visibility frontier rides the same
+            # atomic commit as the rest of the generation's state
+            m["validators_max"] = self._validators_committed
         # atomic commit on any pyarrow.fs scheme (rename locally, one
         # PUT on object stores)
         fsio.write_bytes_atomic(
@@ -1710,6 +1791,20 @@ class Crawler:
             for k, v in m.get("frontier_status", {}).items()
             if k != "pending"
         }
+        if self._conditional:
+            # restore the validators visibility frontier and DELETE
+            # deltas a crashed (never-committed) step left behind — a
+            # retried generation must refetch unconditionally, or its
+            # first-visit pages come back 304 and are never extracted.
+            # Compaction outputs (_COMPACTED) are exempt: they may
+            # legitimately postdate the last manifest.
+            self._validators_committed = m.get("validators_max")
+            if self._validators_committed is not None:
+                for idx, p in self._validators_dirs(all_dirs=True):
+                    if idx > self._validators_committed and not fsio.exists(
+                        fsio.join(p, "_COMPACTED")
+                    ):
+                        fsio.rmtree(p)
         return g
 
     def frontier_df(self) -> DataFrame:

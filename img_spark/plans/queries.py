@@ -319,13 +319,14 @@ def q_robots_allow_rules(spark, sf_dir):
 # the oracle carries each pattern's translated regex literally (same
 # ^ . * $ \-escape subset the engine emits — RE2 and Java read it
 # identically, with unreserved escapes pre-decoded: '/%7Euser' →
-# '^/~user') and replays the precedence order: longest RAW pattern in
-# octets, allow on ties, then crawl_delay. The only escapes the
+# '^/~user') and replays the precedence order: longest NORMALIZED
+# pattern (pn) in octets — RFC 9309's "most octets" over what actually
+# matched — allow on ties, then crawl_delay. The only escapes the
 # candidates generate are %3c (stays encoded, case-normalized) and
 # %41/%7e (unreserved — decode), so the oracle's normalization is the
 # literal replace chain.
 SQL_ROBOTS_ALLOW = """
-WITH rules(host, path_prefix, re, allow, crawl_delay) AS (VALUES
+WITH rules(host, pn, re, allow, crawl_delay) AS (VALUES
   ('h0.test','/private','^/private',FALSE,0.0::double),
   ('h0.test','/','^/',TRUE,0.0::double),
   ('h1.test','/','^/',FALSE,0.0::double),
@@ -335,8 +336,8 @@ WITH rules(host, path_prefix, re, allow, crawl_delay) AS (VALUES
   ('h3.test','/files/*/raw','^/files/.*/raw',FALSE,1.0::double),
   ('h4.test','/*?sort=','^/.*\\?sort=',FALSE,0.0::double),
   ('h4.test','/a%3Cb','^/a%3Cb',FALSE,0.0::double),
-  ('h5.test','/%7Euser','^/~user',FALSE,0.5::double),
-  ('h5.test','/%41lbum*','^/Album.*',FALSE,0.0::double)),
+  ('h5.test','/~user','^/~user',FALSE,0.5::double),
+  ('h5.test','/Album*','^/Album.*',FALSE,0.0::double)),
 c AS (
   SELECT doc_id, 'h' || (doc_id % 10)::varchar || '.test' AS host,
     CASE (doc_id // 10) % 10
@@ -359,11 +360,11 @@ n AS (SELECT doc_id, host, path,
 SELECT doc_id, 'https://' || host || path AS url,
   COALESCE((SELECT r.allow FROM rules r WHERE r.host=n.host
             AND regexp_matches(n.path_n, r.re)
-            ORDER BY length(r.path_prefix) DESC, r.allow DESC,
+            ORDER BY length(r.pn) DESC, r.allow DESC,
                      r.crawl_delay DESC LIMIT 1), TRUE) AS allowed,
   round(COALESCE((SELECT r.crawl_delay FROM rules r WHERE r.host=n.host
             AND regexp_matches(n.path_n, r.re)
-            ORDER BY length(r.path_prefix) DESC, r.allow DESC,
+            ORDER BY length(r.pn) DESC, r.allow DESC,
                      r.crawl_delay DESC LIMIT 1), 0.0), 6) AS crawl_delay
 FROM n
 """

@@ -100,6 +100,24 @@ def build_parser() -> argparse.ArgumentParser:
                    help="--fetch-mode http: re-fetch a host's live "
                         "robots.txt when its stored rules are older "
                         "than this many seconds")
+    p.add_argument("--revisit-after", type=float, default=0.0,
+                   help="--fetch-mode http: >0 turns the one-shot "
+                        "frontier into a continuous crawler — fetched "
+                        "URLs older than this many seconds re-enqueue "
+                        "for revisit and refetch CONDITIONALLY "
+                        "(If-None-Match/If-Modified-Since from the "
+                        "stored validators; 304 = zero body bytes, "
+                        "status 'unmodified'). POLITENESS.md")
+    p.add_argument("--revisit-every", type=int, default=1,
+                   help="with --revisit-after: run the revisit sweep "
+                        "(an O(validators-store) job) every N "
+                        "generations instead of every step")
+    p.add_argument("--revisit-poll", type=float, default=0.0,
+                   help="with --revisit-after: when the frontier "
+                        "drains, sleep this many seconds and keep "
+                        "stepping (continuous operation, bounded by "
+                        "--max-generations) instead of exiting; 0 = "
+                        "exit when drained (default)")
     p.add_argument("--host-budget", type=int, default=1)
     p.add_argument("--partitions", type=int, default=32,
                    help="seen-set salt shards / state write width")
@@ -405,6 +423,8 @@ def main(argv=None) -> int:
         robots_ttl_s=args.robots_ttl,
         http_retries=args.http_retries,
         redirect_policy=args.redirect_policy,
+        revisit_after_s=args.revisit_after,
+        revisit_every=args.revisit_every,
     )
     host_budgets = (
         spark.read.parquet(args.host_budgets).select("host", "budget")
@@ -436,6 +456,13 @@ def main(argv=None) -> int:
         if cfg.compact_every and crawler.generation % cfg.compact_every == 0:
             crawler.compact(prune=True)
         if not stats.get("pending", 0):
+            if cfg.revisit_after_s > 0 and args.revisit_poll > 0:
+                # continuous mode: the frontier is drained NOW, but
+                # fetched URLs come due for revisit as their TTL
+                # elapses — sleep and keep stepping (bounded by
+                # --max-generations)
+                time.sleep(args.revisit_poll)
+                continue
             break
 
     if args.curate:
@@ -469,6 +496,7 @@ def main(argv=None) -> int:
                 spark, args.checkpoint, args.curate,
                 sample_rates=_sample_rates(args.curate_rates),
                 near_dup_threshold=args.curate_near_dup,
+                versioned=args.curate_versioned,
             )
         else:
             summary = build_corpus(

@@ -364,17 +364,22 @@ def test_versioned_corpus_pointer_publish(spark, tmp_path):
     summary = build_corpus_incremental(spark, ckpt, out)
     assert summary["new_documents"] == 1 and summary["documents"] == 3
     assert corpus_version(out) == "corpus_v2"
-    assert not fsio.isdir(f"{out}/corpus_v1")  # pruned after publish
+    # the version just superseded survives ONE publish cycle — a
+    # reader that resolved the pointer moments before the swap may
+    # still be mid-scan on it
+    assert fsio.isdir(f"{out}/corpus_v1")
     assert sorted(
         r["doc_id"] for r in read_corpus(spark, out).collect()
     ) == v1_rows + ["https://c.test/1"]
     # the new version carries its own merge state (next incremental
     # resolves through the pointer)
     assert fsio.exists(f"{out}/corpus_v2/_state/meta.json")
-    # a versioned root stays versioned on a FULL rebuild too
+    # a versioned root stays versioned on a FULL rebuild too; versions
+    # older than the one just superseded prune (≤2 on disk)
     build_corpus(spark, ckpt, out)
     assert corpus_version(out) == "corpus_v3"
-    assert not fsio.isdir(f"{out}/corpus_v2")
+    assert fsio.isdir(f"{out}/corpus_v2")
+    assert not fsio.isdir(f"{out}/corpus_v1")
 
 
 def test_recover_interrupted_legacy_swap(spark, tmp_path):
@@ -423,3 +428,101 @@ def test_recover_interrupted_legacy_swap(spark, tmp_path):
     out = str(tmp_path / "c5")
     mk(out, "cur")
     assert recover_corpus_swap(out) is None
+
+
+def test_legacy_corpus_migrates_to_versioned_layout(spark, tmp_path):
+    """--curate-versioned on an EXISTING legacy flat corpus must not be
+    silently ignored (round-7 review): the incremental rewrite migrates
+    it — corpus_v1 + pointer published, the superseded flat entries
+    pruned so root readers never see a mixed layout."""
+    from img_spark import fsio
+    from img_spark.plans.corpus import (
+        build_corpus_incremental,
+        corpus_version,
+        read_corpus,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    ckpt = str(tmp_path / "ck")
+    _mini_crawl_docs(spark, ckpt, 1, [
+        ("https://a.test/1", "a.test", "T1", base + " one", "ok", 1),
+    ])
+    out = str(tmp_path / "corpus")
+    build_corpus(spark, ckpt, out)  # legacy flat layout
+    assert corpus_version(out) is None
+    assert fsio.exists(f"{out}/_state/meta.json")
+
+    _mini_crawl_docs(spark, ckpt, 2, [
+        ("https://b.test/1", "b.test", "T2",
+         " ".join(f"other{i}" for i in range(60)), "ok", 2),
+    ])
+    summary = build_corpus_incremental(spark, ckpt, out, versioned=True)
+    assert summary["new_documents"] == 1
+    assert corpus_version(out) == "corpus_v1"
+    got = sorted(r["doc_id"] for r in read_corpus(spark, out).collect())
+    assert got == ["https://a.test/1", "https://b.test/1"]
+    # the flat layout is gone: only versioned bookkeeping remains
+    left = sorted(fsio.listdir(out))
+    assert all(
+        fn == "CURRENT" or fn.startswith("corpus_v") for fn in left
+    ), left
+    # and the migrated corpus keeps working incrementally
+    _mini_crawl_docs(spark, ckpt, 3, [
+        ("https://c.test/1", "c.test", "T3",
+         " ".join(f"fresh{i}" for i in range(60)), "ok", 3),
+    ])
+    assert build_corpus_incremental(spark, ckpt, out)["new_documents"] == 1
+    assert corpus_version(out) == "corpus_v2"
+
+
+def test_incremental_replaces_revisited_doc_not_duplicates(spark, tmp_path):
+    """Revisit × corpus (round-7 review): a page whose text changed
+    between visits re-extracts into a later generation — the
+    incremental fold must REPLACE its corpus row with the fresh text
+    (one row per doc_id, never two), and the full-build reader must
+    pick the newest generation's text deterministically."""
+    from img_spark.plans.corpus import build_corpus_incremental
+
+    ddl = (
+        "page_url string, host string, title string,"
+        " extracted_text string, status string, generation int"
+    )
+    old_text = " ".join(f"tok{i}" for i in range(60)) + " version one"
+    new_text = " ".join(f"zzz{i}" for i in range(60)) + " version two"
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame([
+        ("https://a.test/x", "a.test", "T1", old_text, "ok", 1),
+        ("https://b.test/1", "b.test", "T2",
+         " ".join(f"other{i}" for i in range(60)), "ok", 1),
+    ], ddl).write.parquet(f"{ckpt}/extracted/g1")
+    out = str(tmp_path / "corpus")
+    build_corpus(spark, ckpt, out, near_dup_threshold=0.5)
+
+    # generation 2: the revisited page X with CHANGED text + a new doc
+    spark.createDataFrame([
+        ("https://a.test/x", "a.test", "T1b", new_text, "ok", 2),
+        ("https://c.test/1", "c.test", "T3",
+         " ".join(f"fresh{i}" for i in range(60)), "ok", 2),
+    ], ddl).write.parquet(f"{ckpt}/extracted/g2")
+    summary = build_corpus_incremental(spark, ckpt, out)
+    rows = spark.read.parquet(out).collect()
+    by_id: dict = {}
+    for r in rows:
+        assert r["doc_id"] not in by_id, f"duplicate {r['doc_id']}"
+        by_id[r["doc_id"]] = r
+    assert summary["documents"] == len(rows) == 3
+    x = by_id["https://a.test/x"]
+    assert x["text"] == new_text and x["generation"] == 2
+    assert x["keep"] is True and x["is_near_dup"] is False
+
+    # full rebuild agrees row-for-row on this scenario (newest text
+    # wins deterministically in crawl_documents)
+    out_full = str(tmp_path / "full")
+    build_corpus(spark, ckpt, out_full, near_dup_threshold=0.5)
+    cols = sorted(spark.read.parquet(out_full).columns)
+    incr = sorted(tuple(r[c] for c in cols) for r in rows)
+    full = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(out_full).collect()
+    )
+    assert incr == full

@@ -453,3 +453,49 @@ def test_revisit_requires_http_mode(spark, tmp_path):
                 revisit_after_s=60.0,
             ),
         )
+
+
+def test_validators_visibility_gated_on_manifest(spark, tmp_path):
+    """Crash-retry safety (round-7 review): a validators delta written
+    by a step whose manifest never committed must be INVISIBLE to the
+    retry (else its first-visit pages come back 304 and are never
+    extracted) and resume() deletes it; compaction outputs are exempt
+    from both the gate and the resume prune."""
+    from img_spark import fsio
+
+    ckpt = str(tmp_path / "ck")
+    c = _crawler(spark, ckpt, "http://127.0.0.1:9")  # connect unused
+    c.init([])  # commits manifest g0 (validators_max = -1)
+
+    rows = spark.createDataFrame(
+        [("https://h.test/1", "h.test", 0, "00000000", '"e1"', None, 1.0)],
+        "url string, host string, depth int, path string, etag string,"
+        " last_modified string, fetched_at double",
+    )
+    i0 = c._write_validators_delta(rows)
+    # written but not manifest-committed: invisible
+    assert c._validators_dirs() == []
+    assert c._validators_df() is None
+    # committed: visible (and recorded by the next manifest)
+    c._validators_committed = i0
+    assert [i for i, _ in c._validators_dirs()] == [i0]
+    c._commit_manifest(0, {"frontier_status": {}})
+
+    # an orphan from a crashed step: above the committed max
+    i1 = c._write_validators_delta(rows)
+    assert [i for i, _ in c._validators_dirs()] == [i0]
+    # a compaction output above the max IS visible (marker)
+    comp = f"{ckpt}/validators/d7"
+    fsio.makedirs(comp)
+    fsio.write_bytes_atomic(f"{comp}/_COMPACTED", b"")
+    fsio.write_bytes_atomic(f"{comp}/_SUCCESS", b"")
+    assert [i for i, _ in c._validators_dirs()] == [i0, 7]
+
+    # resume: restores the committed frontier, DELETES the orphan,
+    # keeps the compaction output
+    c2 = _crawler(spark, ckpt, "http://127.0.0.1:9")
+    c2.resume()
+    assert c2._validators_committed == i0
+    assert not fsio.isdir(f"{ckpt}/validators/d{i1}")
+    assert fsio.isdir(comp)
+    assert [i for i, _ in c2._validators_dirs()] == [i0, 7]
