@@ -113,7 +113,7 @@ STATUSES = (
 # parquet min/max stats instead of scanning the whole store.
 VALIDATORS_DDL = (
     "url string, host string, depth int, path string, etag string,"
-    " last_modified string, fetched_at double, vb int"
+    " last_modified string, fetched_at double, interval_s double, vb int"
 )
 # the vb modulus is a STORE constant, deliberately independent of
 # cfg.partitions: stored rows keep their bucket across resumes, so a
@@ -332,6 +332,16 @@ class CrawlConfig:
     # production crawl amortizes it across N generations instead of
     # paying an O(store) job per step
     revisit_every: int = 1
+    # ADAPTIVE recrawl intervals (the incremental-crawling AIMD
+    # policy): each URL carries its own revisit interval in the
+    # validators store — a 304 DOUBLES it (capped at revisit_max_s),
+    # changed content HALVES it (floored at revisit_min_s), a first
+    # fetch starts at revisit_after_s. Hot pages converge to the
+    # floor, static pages to the cap — recrawl bandwidth concentrates
+    # where content actually changes. Defaults of 0 pin both bounds to
+    # revisit_after_s, i.e. a fixed cadence.
+    revisit_min_s: float = 0.0
+    revisit_max_s: float = 0.0
 
 
 class Crawler:
@@ -404,8 +414,10 @@ class Crawler:
         self._step_validators: list = []
         # sweep generations park the store's newest-per-URL reduction
         # here so the dispatch attach reuses it (one O(store) job per
-        # sweep, not two)
+        # sweep, not two); the attach parks each dispatch URL's
+        # previous interval here for the AIMD update at delta build
         self._step_val_newest = None
+        self._step_prev_intervals = None
         # highest MANIFEST-COMMITTED validators delta index (-1: none;
         # None: resumed from a pre-validators manifest — trust all
         # dirs). Gates delta visibility; see the validators section.
@@ -818,7 +830,7 @@ class Crawler:
         if self._step_val_newest is not None:
             vals = self._step_val_newest.join(
                 F.broadcast(disp.select("url")), "url", "left_semi"
-            ).select("url", "etag", "last_modified")
+            ).select("url", "etag", "last_modified", "interval_s")
             return disp.join(F.broadcast(vals), "url", "left")
         store = self._validators_df()
         if store is None:
@@ -835,7 +847,7 @@ class Crawler:
             F.broadcast(disp.select("url")), "url", "left_semi"
         )
         vals = self._validators_newest(hit).select(
-            "url", "etag", "last_modified"
+            "url", "etag", "last_modified", "interval_s"
         )
         return disp.join(F.broadcast(vals), "url", "left")
 
@@ -914,13 +926,25 @@ class Crawler:
         newest = self._validators_newest(store).persist()
         self._strict_caches.append(newest)
         self._step_val_newest = newest
+        # per-URL adaptive interval (AIMD, see CrawlConfig), CLAMPED
+        # into the current config's bounds so a reconfigured crawl
+        # takes effect immediately (a store stamped under a 1-hour
+        # cadence must not ignore a new 60 s cap for an hour); rows
+        # from a pre-adaptive store fall back to the global TTL
+        base = F.lit(self.cfg.revisit_after_s)
+        mn = F.lit(self.cfg.revisit_min_s or self.cfg.revisit_after_s)
+        mx = F.lit(self.cfg.revisit_max_s or self.cfg.revisit_after_s)
+        eff = F.least(
+            F.greatest(F.coalesce(F.col("interval_s"), base), mn), mx
+        )
         due = newest.filter(
-            F.col("fetched_at") < F.lit(now - self.cfg.revisit_after_s)
+            F.col("fetched_at") < F.lit(now) - eff
         ).join(pending.select("url"), "url", "left_anti")
         cand = due.select(
             "url",
             F.col("url").alias("url_canon"),
             "host", "depth", "path", "etag", "last_modified",
+            "interval_s",
             F.lit(None).cast("string").alias("parent_url"),
             F.lit("revisit").alias("kind"),
             F.lit(g).alias("generation"),
@@ -943,11 +967,11 @@ class Crawler:
         blocked_terminal = blocked.withColumn(
             "status", F.lit("disallowed")
         ).select(*_frontier_cols())
-        # restamp the blocked URLs' clocks (etag/lm preserved)
+        # restamp the blocked URLs' clocks (etag/lm/interval preserved)
         self._step_validators.append(
             blocked.select(
                 "url", "host", "depth", "path", "etag", "last_modified",
-                F.lit(now).alias("fetched_at"),
+                F.lit(now).alias("fetched_at"), "interval_s",
             )
         )
         return pending.unionByName(revisits), blocked_terminal
@@ -1055,7 +1079,16 @@ class Crawler:
                 batch, self._robots_rules, compiled=self._plan["robots"]
             ).drop("allowed")
         if conditional:
-            batch = self._dispatch_validators(batch)
+            # persist the attach: the fetch consumes it now, and the
+            # validators-delta build joins back to it for each URL's
+            # PREVIOUS interval (the AIMD update input) — without the
+            # persist that join would re-run the store semi-scan
+            batch = self._dispatch_validators(batch).persist()
+            self._strict_caches.append(batch)
+            if "interval_s" in batch.columns:
+                self._step_prev_intervals = batch.select(
+                    "url", "interval_s"
+                )
         out = fetch_pages_http(
             batch,
             user_agent=self.cfg.http_user_agent,
@@ -1094,7 +1127,7 @@ class Crawler:
             self._step_validators.append(
                 out.filter(
                     F.col("html").isNotNull() | F.col("unchanged")
-                ).select("url", "host", "etag", "last_modified")
+                ).select("url", "host", "etag", "last_modified", "unchanged")
             )
         if strict or conditional:
             out = out.filter(F.col("html").isNotNull()).select(
@@ -1143,6 +1176,7 @@ class Crawler:
         self._step_redirects2 = []
         self._step_unchanged, self._step_validators = [], []
         self._step_val_newest = None
+        self._step_prev_intervals = None
         self._t_eager = 0.0  # eager Spark work inside the "plan" window
         # only the status=pending subdir of the previous generation is
         # opened — the terminal-status history is never touched
@@ -1454,6 +1488,31 @@ class Crawler:
         val_delta = None
         if self._step_validators:
             now_stamp = time.time()
+            # AIMD interval update (CrawlConfig.revisit_min_s/max_s):
+            # first fetch starts at the base TTL, a 304 doubles the
+            # previous interval (capped), changed content halves it
+            # (floored). With both bounds defaulted to the base this
+            # collapses to a fixed cadence.
+            base = F.lit(self.cfg.revisit_after_s)
+            mn = F.lit(self.cfg.revisit_min_s or self.cfg.revisit_after_s)
+            mx = F.lit(self.cfg.revisit_max_s or self.cfg.revisit_after_s)
+            prev = F.col("prev_interval")
+            # clamp the previous interval into the CURRENT bounds
+            # first, so reconfigured min/max take effect immediately
+            # instead of decaying in over many visits
+            prev_c = F.least(F.greatest(F.coalesce(prev, base), mn), mx)
+            interval = (
+                F.when(prev.isNull(), base)
+                .when(F.col("unchanged"), F.least(prev_c * 2, mx))
+                .otherwise(F.greatest(prev_c / 2, mn))
+            )
+            prev_ints = (
+                self._step_prev_intervals
+                if self._step_prev_intervals is not None
+                else dispatch.select(
+                    "url", F.lit(None).cast("double").alias("interval_s")
+                )
+            ).select("url", F.col("interval_s").alias("prev_interval"))
             parts = []
             for v in self._step_validators:
                 if "fetched_at" in v.columns:
@@ -1465,10 +1524,13 @@ class Crawler:
                                 dispatch.select("url", "depth", "path")
                             ),
                             "url", "inner",
+                        ).join(
+                            F.broadcast(prev_ints), "url", "left"
                         ).select(
                             "url", "host", "depth", "path", "etag",
                             "last_modified",
                             F.lit(now_stamp).alias("fetched_at"),
+                            interval.alias("interval_s"),
                         )
                     )
             val_delta = parts[0]
@@ -1528,6 +1590,7 @@ class Crawler:
         self._step_redirects2 = []
         self._step_unchanged, self._step_validators = [], []
         self._step_val_newest = None
+        self._step_prev_intervals = None
         marked.unpersist()
         # per-phase wall times ride in the manifest (S8 lineage + the
         # feedback loop for tuning per-generation overhead)

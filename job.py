@@ -112,6 +112,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --revisit-after: run the revisit sweep "
                         "(an O(validators-store) job) every N "
                         "generations instead of every step")
+    p.add_argument("--revisit-min", type=float, default=0.0,
+                   help="with --revisit-after: ADAPTIVE per-URL "
+                        "recrawl intervals (AIMD) — a 304 doubles a "
+                        "URL's interval up to --revisit-max, changed "
+                        "content halves it down to this floor; 0 = "
+                        "fixed cadence at --revisit-after")
+    p.add_argument("--revisit-max", type=float, default=0.0,
+                   help="interval cap for --revisit-min (0 = fixed "
+                        "cadence)")
     p.add_argument("--revisit-poll", type=float, default=0.0,
                    help="with --revisit-after: when the frontier "
                         "drains, sleep this many seconds and keep "
@@ -425,6 +434,8 @@ def main(argv=None) -> int:
         redirect_policy=args.redirect_policy,
         revisit_after_s=args.revisit_after,
         revisit_every=args.revisit_every,
+        revisit_min_s=args.revisit_min,
+        revisit_max_s=args.revisit_max,
     )
     host_budgets = (
         spark.read.parquet(args.host_budgets).select("host", "budget")

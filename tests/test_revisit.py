@@ -141,9 +141,10 @@ def _crawler(spark, ckpt, connect, **cfg_kw):
     kw = dict(
         checkpoint_dir=ckpt, partitions=4, host_budget=8,
         fetch_mode="http", http_connect_to=connect, live_robots=True,
-        # huge TTL during the drain: validators are WRITTEN but
-        # nothing comes due mid-crawl
-        revisit_after_s=3600.0,
+        # the drain WRITES validators (0.5 s base intervals) but its
+        # sweep cadence is effectively infinite, so nothing revisits
+        # mid-crawl; resumed test crawlers pass revisit_every=1
+        revisit_after_s=0.5, revisit_every=1_000_000,
     )
     kw.update(cfg_kw)
     return Crawler(
@@ -197,7 +198,10 @@ def test_revisit_304_zero_bytes_and_changed_page_reextracts(
     }
     log.clear()
     time.sleep(0.6)
-    c2 = _crawler(spark, ckpt, connect, revisit_after_s=0.5)
+    c2 = _crawler(
+        spark, ckpt, connect, revisit_every=1,
+        revisit_min_s=0.1, revisit_max_s=8.0,
+    )
     c2.resume()
     t_before = time.time()
     stats = c2.step()
@@ -246,6 +250,13 @@ def test_revisit_304_zero_bytes_and_changed_page_reextracts(
         assert vals[u]["fetched_at"] >= t_before, u
     assert vals["https://host-r.test/p/2"]["etag"] == '"p2-v2"'
     assert vals["https://host-r.test/p/1"]["etag"] == '"p1-v1"'
+    # ADAPTIVE intervals (AIMD): the drain stamped 0.5 s base
+    # intervals; a 304 doubles (→ 1.0, toward the 8 s cap) and changed
+    # content halves (→ 0.25, toward the 0.1 s floor) — static pages
+    # drift to the cap, hot pages to the floor
+    assert vals["https://host-r.test/p/1"]["interval_s"] == 1.0
+    assert vals["https://host-r.test/"]["interval_s"] == 1.0
+    assert vals["https://host-r.test/p/2"]["interval_s"] == 0.25
 
 
 def test_revisit_rechecks_robots_and_restamps_blocked(
@@ -267,7 +278,7 @@ def test_revisit_rechecks_robots_and_restamps_blocked(
     log.clear()
     time.sleep(0.6)
     c2 = _crawler(
-        spark, ckpt, connect, revisit_after_s=0.5, robots_ttl_s=0.1
+        spark, ckpt, connect, revisit_every=1, robots_ttl_s=0.1
     )
     c2.resume()
     t_before = time.time()
@@ -468,9 +479,10 @@ def test_validators_visibility_gated_on_manifest(spark, tmp_path):
     c.init([])  # commits manifest g0 (validators_max = -1)
 
     rows = spark.createDataFrame(
-        [("https://h.test/1", "h.test", 0, "00000000", '"e1"', None, 1.0)],
+        [("https://h.test/1", "h.test", 0, "00000000", '"e1"', None,
+          1.0, 60.0)],
         "url string, host string, depth int, path string, etag string,"
-        " last_modified string, fetched_at double",
+        " last_modified string, fetched_at double, interval_s double",
     )
     i0 = c._write_validators_delta(rows)
     # written but not manifest-committed: invisible
