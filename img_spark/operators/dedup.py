@@ -79,6 +79,75 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     ).withColumn("is_dup", F.col("doc_id") != F.col("rep_id"))
 
 
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 30,
+) -> DataFrame:
+    """LINE-level (paragraph) dedup, CCNet/RefinedWeb-style: split each
+    document on newlines and keep only the GLOBALLY FIRST occurrence
+    of every distinct substantive line — boilerplate (nav bars, cookie
+    banners, footers) repeats verbatim across a crawl and survives
+    doc-level dedup because the documents around it differ. First =
+    smallest (doc_id, position), deterministic across partitionings.
+    Lines shorter than ``min_chars`` (after trim) are exempt — short
+    strings ("Home", "1", "") collide naturally and carry no
+    boilerplate signal (CCNet's paragraph floor). Returns one row per
+    input doc: (doc_id, text, n_lines, n_removed) with ``text``
+    reassembled from the surviving lines in original order.
+
+    Scale shape: first-occurrence is a groupBy(line-hash).min(struct)
+    — MAP-COMBINABLE, so a boilerplate line repeated 10^8 times
+    partial-aggregates on the mappers instead of melting one reducer
+    (the window-rank formulation would); the verdict join shuffles the
+    line table once on the hash. Dedup keys are xxhash64(line) —
+    64-bit collisions at corpus scale are possible and would drop a
+    false-duplicate line; acceptable for boilerplate removal (CCNet
+    itself dedups on 64-bit SHA-1 prefixes)."""
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumns({
+        "lh": F.xxhash64("line"),
+        "eligible": F.length(F.trim(F.col("line"))) >= min_chars,
+    })
+    firsts = (
+        lines.filter(F.col("eligible"))
+        .groupBy("lh")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("first"))
+    )
+    kept = (
+        lines.join(firsts, "lh", "left")
+        .withColumn(
+            "keep",
+            ~F.col("eligible")
+            | (F.struct("doc_id", "pos") == F.col("first")),
+        )
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text"),
+            F.count("*").alias("n_lines"),
+            F.count(F.when(~F.col("keep"), 1)).alias("n_removed"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- jaccard
 def jaccard_pairs(
     df: DataFrame,

@@ -757,19 +757,69 @@ FROM documents
 """
 
 
+# shared boilerplate line for the line-dedup branch of the dedup_exact
+# row: planted into EVERY doc's synthesized 3-line text, so exactly one
+# doc (the global first) keeps it — the CCNet paragraph-dedup semantics
+_LD_BOILER = "SHARED BOILERPLATE NAVIGATION FOOTER LINE"
+
+
 def q_dedup_exact(spark, sf_dir):
-    return dedup.exact_dedup(_docs(spark, sf_dir)).select(
-        "doc_id", "fp", "rep_id", "is_dup"
+    """Exact doc-level dedup PLUS the line-level (CCNet paragraph)
+    dedup branch: each doc's text is re-synthesized as three lines —
+    a doc-specific head, the shared boilerplate, a doc-specific tail —
+    and ``dedup_lines`` keeps only each distinct line's globally first
+    (doc_id, pos) occurrence; identical-text docs also lose their
+    head/tail lines to the first copy. The oracle replays the
+    first-occurrence rule over the same closed-form lines."""
+    d = _docs(spark, sf_dir)
+    base = dedup.exact_dedup(d).select("doc_id", "fp", "rep_id", "is_dup")
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40), F.lit("\n"),
+            F.lit(_LD_BOILER), F.lit("\n"),
+            F.substring("text", 41, 40),
+        ).alias("text"),
     )
+    ld = dedup.dedup_lines(synth, min_chars=5).select(
+        "doc_id",
+        F.col("text").alias("ld_text"),
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.col("n_removed").cast("int").alias("n_removed"),
+    )
+    return base.join(ld, "doc_id")
 
 
 SQL_DEDUP_EXACT = r"""
 WITH f AS (
   SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
-  FROM documents)
-SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS rep_id,
-  doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
-FROM f
+  FROM documents),
+e AS (
+  SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS rep_id,
+    doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
+  FROM f),
+ln AS (
+  SELECT doc_id, 0 AS pos, substr(text, 1, 40) AS line FROM documents
+  UNION ALL
+  SELECT doc_id, 1, 'SHARED BOILERPLATE NAVIGATION FOOTER LINE'
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 2, substr(text, 41, 40) FROM documents),
+rk AS (
+  SELECT doc_id, pos, line,
+    length(trim(line)) >= 5 AS elig,
+    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM ln),
+ld AS (
+  SELECT doc_id,
+    coalesce(string_agg(line, chr(10) ORDER BY pos)
+             FILTER (WHERE (NOT elig) OR rn = 1), '') AS ld_text,
+    3::int AS n_lines,
+    (count(*) FILTER (WHERE elig AND rn <> 1))::int AS n_removed
+  FROM rk GROUP BY doc_id)
+SELECT e.doc_id, e.fp, e.rep_id, e.is_dup,
+       ld.ld_text, ld.n_lines, ld.n_removed
+FROM e JOIN ld ON e.doc_id = ld.doc_id
 """
 
 

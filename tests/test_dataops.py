@@ -657,3 +657,60 @@ def test_stratified_sample_deterministic_and_rate(spark):
     # pure projection: no shuffle at any scale
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_dedup_lines_ccnet_style(spark):
+    """Line-level dedup: the globally FIRST occurrence of a
+    substantive line survives (smallest (doc_id, pos) — deterministic),
+    later copies drop (cross-doc AND intra-doc), short lines are
+    exempt, and documents reassemble in original order."""
+    from img_spark.operators.dedup import dedup_lines
+
+    boiler = "accept our cookies to continue browsing this website"
+    nav = "home | products | about us | contact | privacy policy"
+    docs = [
+        ("d1", f"{boiler}\nunique first doc line with enough length\n"
+               f"{nav}\nok"),
+        # d2 repeats the boilerplate AND the nav; its own line survives
+        ("d2", f"{boiler}\nsecond document distinctive content line\n{nav}"),
+        # d0 sorts BEFORE d1: its copy of boiler is the global first
+        ("d0", f"intro line that is long enough to be eligible\n{boiler}"),
+        # intra-doc duplicate of a long line
+        ("d3", "repeated paragraph inside one single document here\n"
+               "repeated paragraph inside one single document here"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(
+            spark.createDataFrame(docs, "doc_id string, text string")
+        ).collect()
+    }
+    # d0 owns the boilerplate's first occurrence
+    assert out["d0"]["text"] == docs[2][1]
+    assert out["d0"]["n_removed"] == 0
+    # d1 keeps nav (its first global occurrence: d1.pos2 < d2.pos2)
+    # but loses the boilerplate to d0; 'ok' is short → exempt
+    assert out["d1"]["text"] == (
+        "unique first doc line with enough length\n" + nav + "\nok"
+    )
+    assert out["d1"]["n_removed"] == 1
+    # d2 loses both repeated lines
+    assert out["d2"]["text"] == "second document distinctive content line"
+    assert out["d2"]["n_removed"] == 2
+    # intra-doc: first copy survives, second drops
+    assert out["d3"]["text"] == (
+        "repeated paragraph inside one single document here"
+    )
+    assert out["d3"]["n_removed"] == 1
+    assert out["d3"]["n_lines"] == 2
+
+    # determinism across partitionings
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    a = sorted(map(tuple, dedup_lines(df.repartition(7)).collect()))
+    b = sorted(map(tuple, dedup_lines(df.coalesce(1)).collect()))
+    assert a == b
+    # the first-occurrence aggregate must partial-aggregate map-side
+    # (a hot boilerplate line must never melt one reducer) and the
+    # plan must not contain a cartesian product
+    plan = dedup_lines(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "partial_min" in plan
