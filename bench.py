@@ -21,6 +21,16 @@ import sys
 import tempfile
 import time
 
+# Pin BLAS to one thread BEFORE numpy loads (r7): the ANN control is a
+# small matmul where multithreaded OpenBLAS is both SLOWER (50M vs 83M
+# pairs/s measured) and wildly window-dependent next to a busy JVM
+# (2.9M→64M pairs/s across the r6/r7 bench windows — unusable as a
+# normalizer). One thread per process is also the right engine config:
+# Spark parallelizes via tasks, and 32 workers × 32 BLAS threads would
+# oversubscribe. Tests/production are unaffected (bench-process only).
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
@@ -554,6 +564,9 @@ def main():
             "ann_normalized": "1e6/(sec*ctrl_pairs_per_s); higher = "
                               "faster (inverted vs r6; prev inverted "
                               "on read)",
+            "dedup_exact": "workload grew at r7 (line-level dedup "
+                           "folded into the query); its normalized "
+                           "series breaks here",
         },
         "queries": queries,
         "sf": SF_DIR,
@@ -741,7 +754,7 @@ call either way. The discriminating series starts at BENCH_r04.
 
 ## Methodology series breaks (round 7)
 
-Three recording changes land in BENCH_r07 — compare across rounds
+Four recording changes land in BENCH_r07 — compare across rounds
 accordingly (each is also recorded in the JSON's `methodology` field):
 
 1. **`value` is now the sum of per-query engine seconds.** Through r6
@@ -756,7 +769,18 @@ accordingly (each is also recorded in the JSON's `methodology` field):
 3. **`ann_normalized` flipped to higher-is-faster** (`1e6 / (sec ×
    control pairs/s)`), aligning with `dedup_normalized`'s direction;
    the r6-recorded values are the inverse and are inverted on read
-   into `ann_normalized_prev`.
+   into `ann_normalized_prev`. The control is also now pinned to ONE
+   BLAS thread: unpinned, its absolute rate swung 2.9M→64M pairs/s
+   across the r6/r7 windows (small-matmul OpenBLAS threading contends
+   with the JVM), which no normalization survives — compare
+   `ann_normalized` across rounds only when the recorded
+   `ann_control.pairs_per_sec` values are within ~2×.
+4. **`dedup_exact`'s workload grew at r7** — the line-level (CCNet
+   paragraph) dedup branch was folded into the same registry query
+   (the driver caps the registry at 50 rows), roughly tripling the
+   query's work. Its `dedup_normalized` series breaks here
+   (r6 0.358 → r7 ~0.08-0.12 is the added work, not a regression);
+   the other four dedup-family keys are unchanged and comparable.
 
 Round-6 bench-window adjudication (recorded so it isn't re-litigated):
 the across-the-board r6 raw-time regressions were HOST NOISE — an A/B
