@@ -276,3 +276,38 @@ def resolve_second_level(
         .withColumn("origins", c["origins"])
     )
     return merged.drop("second_imgs")
+
+
+MAIN_TEXT_SCHEMA = (
+    "url string, extracted_text string, main_text string, main_tag string"
+)
+
+
+def extract_main_text(df: DataFrame) -> DataFrame:
+    """Main-content (boilerplate-removed) text per page alongside the
+    full-visible-text invariant, from ONE parse per page
+    (functions/maintext.py scoring over the shared DOM). df needs
+    url + html (binary); Arrow ``mapInPandas``, same batch shape as
+    ``extract_pages`` — the 100-TB path stays one JVM→Python crossing
+    per batch with the html blob pruned before any shuffle."""
+    from img_spark.functions.dom import Document
+    from img_spark.functions.extract import extract_text_from, lossy_decode
+    from img_spark.functions.maintext import main_content_from
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                if html is None:
+                    out.append((url, "", "", ""))
+                    continue
+                doc = Document(lossy_decode(bytes(html)))
+                full = extract_text_from(doc)
+                main, tag = main_content_from(doc)
+                out.append((url, full, main, tag))
+            yield pd.DataFrame(
+                out, columns=["url", "extracted_text", "main_text",
+                              "main_tag"],
+            )
+
+    return df.select("url", "html").mapInPandas(run, schema=MAIN_TEXT_SCHEMA)

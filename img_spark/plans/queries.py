@@ -497,17 +497,61 @@ SELECT page_url, img_url FROM (
 
 
 def q_extract_text(spark, sf_dir):
-    """Byte-identical extracted-text invariant over synthesized pages."""
-    pages = _doc_pages(spark, sf_dir)
-    out = extract_pages(pages)
-    return out.select(F.col("url").alias("page_url"), "extracted_text")
+    """Byte-identical extracted-text invariant over synthesized pages
+    PLUS the main-content (boilerplate-removal) branch: each page gets
+    a link-dense nav div, the doc's text inside a container whose TAG
+    varies article/div/section by doc_id, and a link footer. The
+    readability scorer (functions/maintext.py) must return exactly the
+    doc text with nav/footer stripped AND name the right container —
+    the oracle replays both closed-form. extract_pages and
+    extract_main_text share the page set; the engine operator parses
+    once per page for both text invariants."""
+    from img_spark.operators.extract_udf import extract_main_text
+
+    d = _docs(spark, sf_dir)
+    clean = F.regexp_replace(F.lower(F.col("text")), _CLEAN, "")
+    tag = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("article"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("div"))
+        .otherwise(F.lit("section"))
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), _did(),
+        F.lit(" - Photo Gallery</title></head><body>"),
+        F.lit('<div id="nav"><a href="/h">Home</a><a href="/ab">About'
+              '</a><a href="/c">Contact</a></div>'),
+        F.lit("<"), tag, F.lit(' id="m"><p>'), clean,
+        F.lit("</p></"), tag, F.lit(">"),
+        F.lit('<div id="f"><a href="/p">Privacy</a><a href="/t">Terms'
+              '</a></div></body></html>'),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://ex"), (F.col("doc_id") % 10).cast("string"),
+                 F.lit(".test/d/"), _did()).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+        F.lit(None).cast("string").alias("img_sel"),
+        F.lit(None).cast("string").alias("next_sel"),
+        F.lit(None).cast("string").alias("album_sel"),
+    )
+    return extract_main_text(pages).select(
+        F.col("url").alias("page_url"), "extracted_text", "main_text",
+        "main_tag",
+    )
 
 
 SQL_EXTRACT_TEXT = """
+WITH d AS (
+  SELECT doc_id,
+    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS clean,
+    CASE doc_id % 3 WHEN 0 THEN 'article' WHEN 1 THEN 'div'
+                    ELSE 'section' END AS tag
+  FROM documents)
 SELECT 'https://ex' || (doc_id % 10)::varchar || '.test/d/' || doc_id::varchar AS page_url,
-  'Doc ' || doc_id::varchar || ' - Photo Gallery' ||
-  regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS extracted_text
-FROM documents
+  'Doc ' || doc_id::varchar || ' - Photo GalleryHomeAboutContact' ||
+    clean || 'PrivacyTerms' AS extracted_text,
+  trim(regexp_replace(clean, ' +', ' ', 'g')) AS main_text,
+  CASE WHEN trim(clean) = '' THEN '' ELSE tag END AS main_tag
+FROM d
 """
 
 
