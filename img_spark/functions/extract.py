@@ -57,6 +57,10 @@ class PageResult:
     imgs_len: int = 0
     json_len: int = 0
     text: str = ""
+    # readability-lite main content (functions/maintext.py); computed
+    # only when parse_page(main_text=True) — an extra tree walk the
+    # image-crawl hot path doesn't pay unless the pipeline curates text
+    main_text: str = ""
     second_level_sel: str = ""   # non-empty → Spark layer must run pass 2
     first_level_urls: list = field(default_factory=list)
 
@@ -97,6 +101,7 @@ def parse_page(
     next_sel,
     album_sel,
     album_policy: str = "all",
+    main_text: bool = False,
 ) -> PageResult:
     r = PageResult()
     if check_host(addr) is None:
@@ -105,6 +110,10 @@ def parse_page(
     html = lossy_decode(html_bytes)
     page = Document(html)  # parse ONCE; text + extraction share the tree
     r.text = extract_text_from(page)
+    if main_text:
+        from .maintext import main_content_from
+
+        r.main_text = main_content_from(page)[0]
 
     # E3: raw-CSS scan only when the site has no Img selector (main.rs:117-121)
     css_img = css_image(html, addr) if img_sel is None else set()

@@ -20,16 +20,22 @@ EXTRACT_SCHEMA = (
     " albums array<string>, album_titles array<string>,"
     " empty_dup int, embed int, albums_len int, imgs_len int, json_len int,"
     " extracted_text string, second_level_sel string,"
-    " first_level_urls array<string>"
+    " first_level_urls array<string>, main_text string"
 )
 
 _IN_COLS = ["url", "html", "img_sel", "next_sel", "album_sel"]
 
 
-def extract_pages(df: DataFrame, album_policy: str = "all") -> DataFrame:
+def extract_pages(
+    df: DataFrame, album_policy: str = "all", main_text: bool = False,
+) -> DataFrame:
     """df columns required: url, html (binary, null → fetch_failed),
     img_sel, next_sel, album_sel. Extra columns are pruned (keeps the
-    html blob out of any downstream shuffle, SURVEY.md §7.8)."""
+    html blob out of any downstream shuffle, SURVEY.md §7.8).
+    ``main_text=True`` additionally computes the readability-lite main
+    content (functions/maintext.py) from the same parse; the column is
+    always in the schema (uniform delta schema across generations) and
+    empty when disabled."""
 
     def run(batches):
         for pdf in batches:
@@ -41,7 +47,7 @@ def extract_pages(df: DataFrame, album_policy: str = "all") -> DataFrame:
                 if html is None:
                     out.append(
                         (url, "fetch_failed", "", "", [], [], "", [], [],
-                         0, 0, 0, 0, 0, "", "", [])
+                         0, 0, 0, 0, 0, "", "", [], "")
                     )
                     continue
                 r = parse_page(
@@ -50,18 +56,19 @@ def extract_pages(df: DataFrame, album_policy: str = "all") -> DataFrame:
                     next_sel if next_sel is not None else None,
                     album_sel if album_sel is not None else None,
                     album_policy=album_policy,
+                    main_text=main_text,
                 )
                 out.append(
                     (url, r.status, r.title, r.dir_title, r.imgs, r.origins,
                      r.next_url, r.albums, r.album_titles, r.empty_dup,
                      r.embed, r.albums_len, r.imgs_len, r.json_len, r.text,
-                     r.second_level_sel, r.first_level_urls)
+                     r.second_level_sel, r.first_level_urls, r.main_text)
                 )
             yield pd.DataFrame(out, columns=[
                 "url", "status", "title", "dir_title", "imgs", "origins",
                 "next_url", "albums", "album_titles", "empty_dup", "embed",
                 "albums_len", "imgs_len", "json_len", "extracted_text",
-                "second_level_sel", "first_level_urls",
+                "second_level_sel", "first_level_urls", "main_text",
             ])
 
     return df.select(*_IN_COLS).mapInPandas(run, schema=EXTRACT_SCHEMA)

@@ -47,7 +47,8 @@ def _committed_generations(checkpoint_dir: str) -> list:
 
 
 def crawl_documents(
-    spark: SparkSession, checkpoint_dir: str, min_generation: int = -1
+    spark: SparkSession, checkpoint_dir: str, min_generation: int = -1,
+    text_source: str = "full",
 ) -> DataFrame:
     """One row per successfully fetched page across every generation
     of a crawl checkpoint: (doc_id=page_url, host, title, text,
@@ -60,7 +61,15 @@ def crawl_documents(
     text and ``generation`` is the stamp of that text.
     ``min_generation`` (incremental mode) opens only deltas with
     generation > min_generation — an empty slice returns an empty
-    frame instead of raising."""
+    frame instead of raising.
+
+    ``text_source``: 'full' curates the full visible text (WET-style),
+    'main' the readability-lite main content — requires the crawl to
+    have run with ``CrawlConfig(main_text=True)`` (fails loudly on a
+    checkpoint whose deltas lack the column)."""
+    if text_source not in ("full", "main"):
+        raise ValueError(f"text_source must be 'full'|'main', got"
+                         f" {text_source!r}")
     base = fsio.join(checkpoint_dir, "extracted")
     gens = [
         g for g in _committed_generations(checkpoint_dir)
@@ -75,6 +84,30 @@ def crawl_documents(
             )
         raise FileNotFoundError(f"no committed extracted deltas under {base}")
     df = spark.read.parquet(*[fsio.join(base, f"g{g}") for g in gens])
+    tcol = "extracted_text" if text_source == "full" else "main_text"
+    if tcol not in df.columns:
+        raise ValueError(
+            f"text_source={text_source!r} but the extracted deltas under "
+            f"{base} carry no {tcol} column — re-run the crawl with "
+            "CrawlConfig(main_text=True) to curate main content"
+        )
+    if text_source == "main":
+        # the column exists in every post-upgrade delta; whether it was
+        # POPULATED is the crawl config's call, recorded in the
+        # manifest — refuse an all-empty curation instead of silently
+        # producing an empty-text corpus
+        import json as _json
+
+        newest = max(_committed_generations(checkpoint_dir))
+        m = _json.loads(fsio.read_bytes(
+            fsio.join(checkpoint_dir, f"manifest-g{newest}.json")
+        ))
+        if not m.get("main_text", False):
+            raise ValueError(
+                "text_source='main' but the crawl ran with "
+                "CrawlConfig(main_text=False) — its main_text column is "
+                "empty; re-crawl with main_text=True"
+            )
     # every parse status except the miss marker carries page text
     # (ok | no_title | empty | bad_host); empty/low-quality pages are
     # the quality gates' job, not this reader's
@@ -87,14 +120,14 @@ def crawl_documents(
         # one generation a page's rows are img-fanout copies anyway)
         .agg(
             F.max(F.struct(
-                "generation", "extracted_text", "title", "host"
+                "generation", F.col(tcol).alias("text"), "title", "host"
             )).alias("s")
         )
         .select(
             F.col("page_url").alias("doc_id"),
             F.col("s.host").alias("host"),
             F.col("s.title").alias("title"),
-            F.col("s.extracted_text").alias("text"),
+            F.col("s.text").alias("text"),
             F.col("s.generation").alias("generation"),
         )
     )
@@ -136,6 +169,7 @@ def build_corpus(
     documents: DataFrame | None = None,
     write_state: bool = True,
     versioned: bool = False,
+    text_source: str = "full",
 ) -> dict:
     """Materialize the curated corpus for a finished (or in-flight)
     crawl. Writes lang-partitioned parquet rows
@@ -199,9 +233,15 @@ def build_corpus(
     # DataFrame (doc_id, host, title, text, generation) — e.g.
     # ``pages_documents`` over a WARC/WET-derived pages table
     if documents is not None:
+        if text_source != "full":
+            raise ValueError(
+                "text_source applies to checkpoint curation only — a "
+                "documents DataFrame already carries its final text"
+            )
         docs = documents
     elif checkpoint_dir is not None:
-        docs = crawl_documents(spark, checkpoint_dir)
+        docs = crawl_documents(spark, checkpoint_dir,
+                               text_source=text_source)
     else:
         raise ValueError("build_corpus needs checkpoint_dir or documents")
     # docs feeds ~6 consumers (projection, quality, dedup, optional
@@ -277,6 +317,7 @@ def build_corpus(
             banded=banded, comps=comps,
             sample_rates=sample_rates, default_rate=default_rate,
             had_benchmark=benchmark is not None,
+            text_source=text_source,
         )
     if version_name is not None:
         # data + state are complete — one atomic pointer write
@@ -469,6 +510,7 @@ def _write_corpus_state(
     sample_rates: dict | None = None,
     default_rate: float = 1.0,
     had_benchmark: bool = False,
+    text_source: str = "full",
 ) -> None:
     """Materialize the merge state a later incremental run needs:
     fingerprints (fp → group-min rep), the uncapped LSH band table and
@@ -497,6 +539,7 @@ def _write_corpus_state(
             "sample_rates": sample_rates or {},
             "default_rate": default_rate,
             "had_benchmark": had_benchmark,
+            "text_source": text_source,
         }).encode(),
     )
 
@@ -510,6 +553,7 @@ def build_corpus_incremental(
     benchmark: DataFrame | None = None,
     near_dup_threshold: float | None = None,
     versioned: bool = False,
+    text_source: str | None = None,
 ) -> dict:
     """Fold the crawl generations NEWER than the corpus's watermark
     into an existing ``build_corpus`` output — equivalent to a full
@@ -632,13 +676,25 @@ def build_corpus_incremental(
             f"incremental default_rate={default_rate} != stored"
             f" {stored_default} — re-run a full build_corpus to change it"
         )
+    # text_source is state too: old rows' text, fingerprints, and
+    # signatures were computed from the stored source; merging text
+    # from the other source would silently mix full and main text.
+    # Meta without the key = written before the knob existed = 'full'.
+    stored_source = meta.get("text_source", "full")
+    if text_source is not None and text_source != stored_source:
+        raise ValueError(
+            f"incremental curation with text_source={text_source!r} but "
+            f"the corpus was built from {stored_source!r} — re-run a "
+            "full build_corpus to switch text sources"
+        )
+    text_source = stored_source
     gens = _committed_generations(checkpoint_dir)
     gmax = max(gens) if gens else 0
     if gmax <= since:
         return {"new_documents": 0, "unchanged": True}
 
     new_docs = crawl_documents(
-        spark, checkpoint_dir, min_generation=since
+        spark, checkpoint_dir, min_generation=since, text_source=text_source
     ).persist(StorageLevel.MEMORY_AND_DISK)
     old = spark.read.parquet(src_dir)
 
@@ -868,6 +924,7 @@ def build_corpus_incremental(
             "sample_rates": sample_rates or {},
             "default_rate": default_rate,
             "had_benchmark": benchmark is not None,
+            "text_source": text_source,
         }).encode(),
     )
     merged.unpersist()

@@ -237,6 +237,12 @@ class CrawlConfig:
     host_budget: int = 1
     batch_window_s: float = 60.0
     album_policy: str = "all"
+    # also compute readability-lite main content (boilerplate-removed
+    # text, functions/maintext.py) per page into the extracted delta's
+    # main_text column — the corpus can then curate from main content
+    # (plans/corpus.py text_source='main'). Off by default: the
+    # image-crawl hot path doesn't pay the extra tree walk.
+    main_text: bool = False
     seen_mode: str = "cuckoo"     # 'cuckoo' | 'exact'
     cuckoo_capacity: int = 1 << 16
     max_generations: int = 10_000
@@ -452,7 +458,8 @@ class Crawler:
                 F.col("status"), F.col("dir_title"), F.col("title"),
             ],
             "ext1_post": [
-                F.col("extracted_text"), F.col("empty_dup"), F.col("embed"),
+                F.col("extracted_text"), F.col("main_text"),
+                F.col("empty_dup"), F.col("embed"),
                 F.size("albums").alias("n_albums"),
                 F.when(F.col("next_url") != "", 1).otherwise(0)
                 .alias("has_next"),
@@ -460,8 +467,8 @@ class Crawler:
             ],
             "ext2": [
                 "page_url", "host", "status", "dir_title", "title",
-                "generation", "extracted_text", "empty_dup", "embed",
-                "n_albums", "has_next",
+                "generation", "extracted_text", "main_text", "empty_dup",
+                "embed", "n_albums", "has_next",
                 F.col("z.imgs").alias("img_url"),
                 F.col("z.origins").alias("origin"),
             ],
@@ -1295,7 +1302,10 @@ class Crawler:
             fetched = fetched.drop("warc_ts")
         withcfg = attach_site_config(fetched, self._cfg_col)
 
-        results = extract_pages(withcfg, album_policy=self.cfg.album_policy)
+        results = extract_pages(
+            withcfg, album_policy=self.cfg.album_policy,
+            main_text=self.cfg.main_text,
+        )
         first_level = None
         if self.has_two_level:
             # cache the first-level extraction: the second-level pass
@@ -1801,6 +1811,10 @@ class Crawler:
             "frontier": self._p("frontier", f"g{g}"),
             "seen_blobs": dict(self.seen_blobs),
             "seen_mode": self.cfg.seen_mode,
+            # curation reads this to refuse text_source='main' on a
+            # checkpoint whose main_text column is all-empty (the
+            # column itself is always in the delta schema)
+            "main_text": bool(self.cfg.main_text),
             "ts": time.time(),
             **extra,
         }

@@ -151,6 +151,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "the previous generation is skipped for one "
                         "generation (per-host circuit breaker)")
     p.add_argument("--compact-every", type=int, default=0)
+    p.add_argument("--main-text", action="store_true",
+                   help="also compute readability-lite main content "
+                        "(boilerplate-removed text) per fetched page "
+                        "into the extracted deltas' main_text column — "
+                        "enables --curate-text main")
     p.add_argument("--resume", action="store_true",
                    help="continue from the newest committed manifest")
     p.add_argument("--curate", default=None, metavar="OUT",
@@ -175,6 +180,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "pointer via plans.corpus.resolve_corpus). An "
                         "OUT that already carries a pointer stays "
                         "versioned without the flag")
+    p.add_argument("--curate-text", choices=("full", "main"),
+                   default=None,
+                   help="with --curate: which extracted text feeds the "
+                        "corpus — 'full' = all visible text (WET-"
+                        "style), 'main' = readability-lite main "
+                        "content (requires --main-text on the crawl "
+                        "that wrote the checkpoint). Incremental "
+                        "re-curation inherits and enforces the stored "
+                        "choice")
     p.add_argument("--curate-from-pages", action="store_true",
                    help="with --curate: build the corpus directly "
                         "from the --pages input's text column "
@@ -415,6 +429,7 @@ def main(argv=None) -> int:
         partitions=args.partitions,
         host_budget=args.host_budget,
         album_policy=args.album_policy,
+        main_text=args.main_text,
         seen_mode=args.seen_mode,
         cuckoo_capacity=args.cuckoo_capacity,
         max_generations=args.max_generations,
@@ -508,6 +523,7 @@ def main(argv=None) -> int:
                 sample_rates=_sample_rates(args.curate_rates),
                 near_dup_threshold=args.curate_near_dup,
                 versioned=args.curate_versioned,
+                text_source=args.curate_text,
             )
         else:
             summary = build_corpus(
@@ -515,6 +531,7 @@ def main(argv=None) -> int:
                 sample_rates=_sample_rates(args.curate_rates),
                 near_dup_threshold=args.curate_near_dup,
                 versioned=args.curate_versioned,
+                text_source=args.curate_text or "full",
             )
         print(json.dumps({"curated": args.curate, **summary}), flush=True)
 

@@ -107,3 +107,100 @@ def test_extract_main_text_operator(spark):
     assert "Home" in got["u1"]["extracted_text"]
     assert got["u2"]["main_text"] == "" and got["u2"]["extracted_text"] == ""
     assert got["u3"]["main_text"] == "" and got["u3"]["main_tag"] == ""
+
+
+def test_crawl_to_main_text_corpus(spark, tmp_path_factory):
+    """E2E: a crawl run with CrawlConfig(main_text=True) writes the
+    boilerplate-stripped text into the extracted deltas, and corpus
+    curation with text_source='main' builds documents from it — while
+    'full' keeps the WET-style everything-text. A main_text=False
+    crawl refuses 'main' curation (manifest gate)."""
+    from img_spark.operators.politeness import robots_df
+    from img_spark.plans.corpus import crawl_documents
+    from img_spark.plans.crawl import CrawlConfig, Crawler
+    from img_spark.sources.synthweb import PAGES_DDL
+
+    def page(body):
+        return (f"<html><head><title>T - Site</title></head><body>{NAV}"
+                f"<article><p>{body}</p></article>{FOOT}"
+                "</body></html>").encode()
+
+    rows = [
+        ("https://mt.test/", None, page("alpha words one"), None, None),
+        ("https://mt.test/p2", None, page("beta words  two"), None, None),
+    ]
+    pages = spark.createDataFrame(rows, PAGES_DDL)
+
+    ckpt = tmp_path_factory.mktemp("ckpt_maintext")
+    c = Crawler(
+        spark, pages, [], robots_df(spark, []),
+        CrawlConfig(checkpoint_dir=str(ckpt), partitions=4, main_text=True),
+    )
+    c.run(seeds=["https://mt.test/", "https://mt.test/p2"])
+
+    main = {
+        r["doc_id"]: r["text"]
+        for r in crawl_documents(spark, str(ckpt),
+                                 text_source="main").collect()
+    }
+    assert main["https://mt.test/"] == "alpha words one"
+    assert main["https://mt.test/p2"] == "beta words two"  # ws-normalized
+    full = {
+        r["doc_id"]: r["text"]
+        for r in crawl_documents(spark, str(ckpt),
+                                 text_source="full").collect()
+    }
+    assert "Home" in full["https://mt.test/"]  # nav text retained
+    assert "alpha words one" in full["https://mt.test/"]
+
+    # a crawl WITHOUT the flag: column exists but empty → 'main' refused
+    ckpt2 = tmp_path_factory.mktemp("ckpt_nomain")
+    c2 = Crawler(
+        spark, pages, [], robots_df(spark, []),
+        CrawlConfig(checkpoint_dir=str(ckpt2), partitions=4),
+    )
+    c2.run(seeds=["https://mt.test/"])
+    with pytest.raises(ValueError, match="main_text=False"):
+        crawl_documents(spark, str(ckpt2), text_source="main")
+    with pytest.raises(ValueError, match="'full'\\|'main'"):
+        crawl_documents(spark, str(ckpt2), text_source="bogus")
+
+
+def test_main_text_corpus_state_guard(spark, tmp_path_factory):
+    """text_source is corpus state: incremental re-curation inherits
+    the stored source and refuses a flip."""
+    from img_spark.operators.politeness import robots_df
+    from img_spark.plans.corpus import (
+        build_corpus,
+        build_corpus_incremental,
+    )
+    from img_spark.plans.crawl import CrawlConfig, Crawler
+    from img_spark.sources.synthweb import PAGES_DDL
+
+    body = (f"<html><head><title>T - S</title></head><body>{NAV}"
+            "<article><p>corpus main words</p></article>"
+            f"{FOOT}</body></html>").encode()
+    pages = spark.createDataFrame(
+        [("https://mt2.test/", None, body, None, None)], PAGES_DDL
+    )
+    ckpt = tmp_path_factory.mktemp("ckpt_mt_corpus")
+    c = Crawler(
+        spark, pages, [], robots_df(spark, []),
+        CrawlConfig(checkpoint_dir=str(ckpt), partitions=4, main_text=True),
+    )
+    c.run(seeds=["https://mt.test/", "https://mt2.test/"])
+
+    out = str(tmp_path_factory.mktemp("corpus_mt"))
+    build_corpus(spark, str(ckpt), out, text_source="main")
+    got = spark.read.parquet(out)
+    texts = [r["text"] for r in got.collect()]
+    assert "corpus main words" in texts
+    assert all("Home" not in t for t in texts)
+    # no new generations + matching source → no-op, no error
+    r = build_corpus_incremental(spark, str(ckpt), out)
+    assert r.get("unchanged")
+    with pytest.raises(ValueError, match="text_source"):
+        build_corpus_incremental(spark, str(ckpt), out, text_source="full")
+    # documents= path cannot take a text_source
+    with pytest.raises(ValueError, match="documents"):
+        build_corpus(spark, None, out, documents=got, text_source="main")
