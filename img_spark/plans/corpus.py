@@ -133,18 +133,37 @@ def crawl_documents(
     )
 
 
-def pages_documents(pages: DataFrame) -> DataFrame:
+def pages_documents(
+    pages: DataFrame, text_source: str = "full",
+) -> DataFrame:
     """A (url, warc_ts, html, text, lang) pages table → corpus
     documents — the no-crawl entry: Common-Crawl WARC/WET input
     (``job.py --materialize-pages`` / ``read_warc_pages`` + WET text
     join) can feed ``build_corpus`` directly. Revisit duplicates
     collapse to the lexicographically-max text per url (the WET-join
     policy); html is pruned immediately so the binary column never
-    travels past the scan."""
+    travels past the scan.
+
+    ``text_source='main'`` extracts readability-lite main content from
+    the ``html`` column (operators/extract_udf.extract_main_text)
+    instead of taking the pre-extracted ``text`` — WET text is
+    everything-visible; curating from raw WARC HTML can strip the
+    chrome. The dedup-to-one-row-per-url policy is the same."""
     from img_spark.operators.urlexprs import host_of
 
+    if text_source == "main":
+        from img_spark.operators.extract_udf import extract_main_text
+
+        docs = extract_main_text(pages.select("url", "html")).select(
+            "url", F.col("main_text").alias("text")
+        )
+    elif text_source == "full":
+        docs = pages.select("url", "text")
+    else:
+        raise ValueError(f"text_source must be 'full'|'main', got"
+                         f" {text_source!r}")
     return (
-        pages.select("url", "text")
+        docs
         .groupBy("url")
         .agg(F.max("text").alias("text"))
         .select(

@@ -391,7 +391,9 @@ def main(argv=None) -> int:
             sample_rates=_sample_rates(args.curate_rates),
             near_dup_threshold=args.curate_near_dup,
             versioned=args.curate_versioned,
-            documents=pages_documents(pages),
+            documents=pages_documents(
+                pages, text_source=args.curate_text or "full"
+            ),
         )
         print(json.dumps(
             {"curated": args.curate, **summary, "done": True}

@@ -281,6 +281,41 @@ def test_pages_documents_no_crawl_path(spark, tmp_path):
     assert {"keep", "lang", "is_dup"} <= set(got.columns)
 
 
+def test_pages_documents_main_text(spark, tmp_path):
+    """--curate-from-pages --curate-text main: main content is
+    extracted from the pages table's raw HTML (chrome stripped),
+    not taken from the pre-extracted text column."""
+    import job
+    from img_spark.plans.corpus import pages_documents
+
+    nav = '<div><a href="/">Home</a><a href="/a">About Pages</a></div>'
+    body = (f"<html><body>{nav}<article><p>warc main words here"
+            "</p></article></body></html>").encode()
+    rows = [("https://w.test/a", None, body, "Home About Pages warc main "
+             "words here", "en")]
+    pages = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string,"
+        " lang string",
+    )
+    docs = pages_documents(pages, text_source="main").collect()
+    assert docs[0]["text"] == "warc main words here"
+    with pytest.raises(ValueError, match="'full'"):
+        pages_documents(pages, text_source="nope")
+
+    pages_path = str(tmp_path / "pages_m")
+    pages.write.parquet(pages_path)
+    out = str(tmp_path / "corpus_m")
+    rc = job.main([
+        "--pages", pages_path, "--checkpoint", str(tmp_path / "ckm"),
+        "--curate", out, "--curate-from-pages", "--curate-text", "main",
+        "--partitions", "4",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(out).collect()
+    assert [r["text"] for r in got] == ["warc main words here"]
+
+
 def test_build_corpus_sampling_and_decontamination(
     spark, crawled, tmp_path
 ):
