@@ -366,3 +366,65 @@ def test_wet_reader_yields_bounded_batches():
     cat = pd.concat(batches, ignore_index=True)
     assert list(cat["url"]) == [u for u, _, _ in records]
     assert list(cat["text"]) == [t for _, _, t in records]
+
+
+# --- main-content extraction properties ------------------------------
+
+_TAGSETS = st.sampled_from(
+    ["div", "article", "section", "span", "p", "a", "td", "em"]
+)
+_WORDS = st.text(alphabet="abcdefghij ", min_size=0, max_size=30)
+
+
+@st.composite
+def _rand_html(draw, depth=0):
+    """Random small HTML trees: nested tags with text, links, attrs."""
+    if depth >= 3 or draw(st.booleans()):
+        return draw(_WORDS)
+    tag = draw(_TAGSETS)
+    inner = "".join(
+        draw(_rand_html(depth=depth + 1))
+        for _ in range(draw(st.integers(0, 3)))
+    )
+    attr = ' href="/x"' if tag == "a" else ""
+    return f"<{tag}{attr}>{inner}</{tag}>"
+
+
+@given(_rand_html())
+@settings(max_examples=200, deadline=None)
+def test_main_text_is_subset_of_full_text(html):
+    """The main block's non-whitespace characters are always a
+    sub-multiset of the page's full visible characters — the scorer can
+    only SELECT content, never invent or duplicate it. (Characters, not
+    words: extract_text concatenates adjacent text nodes with no
+    separator, so word boundaries differ across the two invariants.)"""
+    from collections import Counter
+
+    from img_spark.functions.extract import extract_text
+    from img_spark.functions.maintext import main_content
+
+    page = f"<body>{html}</body>"
+    main, tag = main_content(page)
+    full = Counter("".join(extract_text(page).split()))
+    need = Counter("".join(main.split()))
+    assert all(full[ch] >= n for ch, n in need.items()), (main, page)
+    # a named container implies some text; no text implies no container
+    assert (tag == "") == (main == "")
+
+
+@given(_rand_html())
+@settings(max_examples=100, deadline=None)
+def test_main_text_parser_parity(html):
+    """Fast and stdlib tree builders agree on the main block."""
+    import os
+
+    from img_spark.functions.maintext import main_content
+
+    page = f"<body>{html}</body>"
+    fast = main_content(page)
+    os.environ["IMG_SPARK_HTML_PARSER"] = "stdlib"
+    try:
+        ref = main_content(page)
+    finally:
+        del os.environ["IMG_SPARK_HTML_PARSER"]
+    assert fast == ref, page
