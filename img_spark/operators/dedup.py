@@ -95,7 +95,10 @@ def dedup_lines(
     strings ("Home", "1", "") collide naturally and carry no
     boilerplate signal (CCNet's paragraph floor). Returns one row per
     input doc: (doc_id, text, n_lines, n_removed) with ``text``
-    reassembled from the surviving lines in original order.
+    reassembled from the surviving lines in original order; NULL-text
+    docs pass through unchanged (text NULL, n_lines/n_removed 0) —
+    F.split(NULL) explodes to zero rows, which would silently DROP
+    the doc and break the one-row-per-input contract callers join on.
 
     Scale shape: first-occurrence is a groupBy(line-hash).min(struct)
     — MAP-COMBINABLE, so a boilerplate line repeated 10^8 times
@@ -105,6 +108,13 @@ def dedup_lines(
     64-bit collisions at corpus scale are possible and would drop a
     false-duplicate line; acceptable for boilerplate removal (CCNet
     itself dedups on 64-bit SHA-1 prefixes)."""
+    nulls = df.filter(F.col(text_col).isNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.lit(0).cast("long").alias("n_lines"),
+        F.lit(0).cast("long").alias("n_removed"),
+    )
+    df = df.filter(F.col(text_col).isNotNull())
     lines = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
@@ -145,6 +155,7 @@ def dedup_lines(
             F.count("*").alias("n_lines"),
             F.count(F.when(~F.col("keep"), 1)).alias("n_removed"),
         )
+        .unionByName(nulls)
     )
 
 

@@ -93,20 +93,32 @@ def crawl_documents(
         )
     if text_source == "main":
         # the column exists in every post-upgrade delta; whether it was
-        # POPULATED is the crawl config's call, recorded in the
-        # manifest — refuse an all-empty curation instead of silently
-        # producing an empty-text corpus
+        # POPULATED is the crawl config's call, recorded in EACH
+        # generation's manifest — check every generation in the read
+        # range, not just the newest: a checkpoint that ran gens 1-5
+        # with main_text=False and was resumed with main_text=True
+        # would otherwise pass the guard and silently curate empty
+        # text for every page whose newest row is in gens 1-5
         import json as _json
 
-        newest = max(_committed_generations(checkpoint_dir))
-        m = _json.loads(fsio.read_bytes(
-            fsio.join(checkpoint_dir, f"manifest-g{newest}.json")
-        ))
-        if not m.get("main_text", False):
+        off = []
+        for gen in gens:
+            mp = fsio.join(checkpoint_dir, f"manifest-g{gen}.json")
+            try:
+                m = _json.loads(fsio.read_bytes(mp))
+            except (FileNotFoundError, OSError):
+                off.append(gen)  # unknown config → refuse, don't guess
+                continue
+            if not m.get("main_text", False):
+                off.append(gen)
+        if off:
             raise ValueError(
-                "text_source='main' but the crawl ran with "
-                "CrawlConfig(main_text=False) — its main_text column is "
-                "empty; re-crawl with main_text=True"
+                "text_source='main' but generation(s) "
+                f"{off[:8]}{' ...' if len(off) > 8 else ''} of this "
+                "checkpoint ran with CrawlConfig(main_text=False) — "
+                "their main_text column is empty and pages newest in "
+                "those generations would curate blank text; re-crawl "
+                "them with main_text=True"
             )
     # every parse status except the miss marker carries page text
     # (ok | no_title | empty | bad_host); empty/low-quality pages are

@@ -424,6 +424,7 @@ class Crawler:
         # previous interval here for the AIMD update at delta build
         self._step_val_newest = None
         self._step_prev_intervals = None
+        self._step_cond_batch = None
         # highest MANIFEST-COMMITTED validators delta index (-1: none;
         # None: resumed from a pre-validators manifest — trust all
         # dirs). Gates delta visibility; see the validators section.
@@ -837,7 +838,10 @@ class Crawler:
         if self._step_val_newest is not None:
             vals = self._step_val_newest.join(
                 F.broadcast(disp.select("url")), "url", "left_semi"
-            ).select("url", "etag", "last_modified", "interval_s")
+            ).select(
+                "url", "etag", "last_modified", "interval_s",
+                F.lit(True).alias("stored"),
+            )
             return disp.join(F.broadcast(vals), "url", "left")
         store = self._validators_df()
         if store is None:
@@ -854,7 +858,8 @@ class Crawler:
             F.broadcast(disp.select("url")), "url", "left_semi"
         )
         vals = self._validators_newest(hit).select(
-            "url", "etag", "last_modified", "interval_s"
+            "url", "etag", "last_modified", "interval_s",
+            F.lit(True).alias("stored"),
         )
         return disp.join(F.broadcast(vals), "url", "left")
 
@@ -1092,6 +1097,9 @@ class Crawler:
             # persist that join would re-run the store semi-scan
             batch = self._dispatch_validators(batch).persist()
             self._strict_caches.append(batch)
+            # kept for the failed-revisit restamp in step(): a stored
+            # URL whose refetch fails must still advance its clock
+            self._step_cond_batch = batch
             if "interval_s" in batch.columns:
                 self._step_prev_intervals = batch.select(
                     "url", "interval_s"
@@ -1184,6 +1192,7 @@ class Crawler:
         self._step_unchanged, self._step_validators = [], []
         self._step_val_newest = None
         self._step_prev_intervals = None
+        self._step_cond_batch = None
         self._t_eager = 0.0  # eager Spark work inside the "plan" window
         # only the status=pending subdir of the previous generation is
         # opened — the terminal-status history is never touched
@@ -1360,6 +1369,45 @@ class Crawler:
             u_urls = F.broadcast(u_all.distinct())
             unmodified = failed.join(u_urls, "url", "left_semi")
             failed = failed.join(u_urls, "url", "left_anti")
+        if (
+            self._conditional
+            and self._step_cond_batch is not None
+            and "stored" in self._step_cond_batch.columns
+        ):
+            # failed-revisit restamp: a STORED URL whose refetch failed
+            # (transport error, or cross-host redirect in strict mode)
+            # writes no 200/304 validator row, so without a restamp its
+            # old stamp makes it due at EVERY sweep — refetching a dead
+            # URL at the sweep cadence instead of the revisit cadence
+            # and appending a terminal row per generation unboundedly.
+            # Back the clock off instead (same multiplicative increase
+            # as a 304 — server trouble is a reason to slow down),
+            # keeping etag/last_modified so a recovered server can
+            # still answer 304. First-visit failures have no store row
+            # (stored is NULL) and stay one-shot terminal as before.
+            miss = failed.select("url")
+            if redirected is not None:
+                miss = miss.unionByName(redirected.select("url"))
+            base = F.lit(self.cfg.revisit_after_s)
+            mxf = F.lit(self.cfg.revisit_max_s or self.cfg.revisit_after_s)
+            mnf = F.lit(self.cfg.revisit_min_s or self.cfg.revisit_after_s)
+            prev_f = F.least(
+                F.greatest(F.coalesce(F.col("interval_s"), base), mnf), mxf
+            )
+            self._step_validators.append(
+                self._step_cond_batch.filter(F.col("stored"))
+                .join(F.broadcast(miss), "url", "left_semi")
+                .join(
+                    F.broadcast(dispatch.select("url", "depth", "path")),
+                    "url", "inner",
+                )
+                .select(
+                    "url", "host", "depth", "path", "etag",
+                    "last_modified",
+                    F.lit(time.time()).alias("fetched_at"),
+                    F.least(prev_f * 2, mxf).alias("interval_s"),
+                )
+            )
 
         # ---- extracted sink delta (explode imgs)
         # per-page counters ride along (constant per page, repeated per
@@ -1601,6 +1649,7 @@ class Crawler:
         self._step_unchanged, self._step_validators = [], []
         self._step_val_newest = None
         self._step_prev_intervals = None
+        self._step_cond_batch = None
         marked.unpersist()
         # per-phase wall times ride in the manifest (S8 lineage + the
         # feedback loop for tuning per-generation overhead)
@@ -1875,13 +1924,21 @@ class Crawler:
             # first-visit pages come back 304 and are never extracted.
             # Compaction outputs (_COMPACTED) are exempt: they may
             # legitimately postdate the last manifest.
-            self._validators_committed = m.get("validators_max")
-            if self._validators_committed is not None:
-                for idx, p in self._validators_dirs(all_dirs=True):
-                    if idx > self._validators_committed and not fsio.exists(
-                        fsio.join(p, "_COMPACTED")
-                    ):
-                        fsio.rmtree(p)
+            # a manifest WITHOUT validators_max (pre-validators code, or
+            # a run that had revisit_after_s=0) means nothing was ever
+            # committed — a delta dir found anyway is the orphan of a
+            # crashed first-conditional-generation attempt and must go
+            # too, or the retry attaches the crashed attempt's ETags to
+            # first-visit URLs (304 → content never extracted). Floor
+            # at -1 so later manifests record the field and the
+            # visibility gate engages from here on.
+            vm = m.get("validators_max")
+            self._validators_committed = -1 if vm is None else vm
+            for idx, p in self._validators_dirs(all_dirs=True):
+                if idx > self._validators_committed and not fsio.exists(
+                    fsio.join(p, "_COMPACTED")
+                ):
+                    fsio.rmtree(p)
         return g
 
     def frontier_df(self) -> DataFrame:

@@ -714,3 +714,27 @@ def test_dedup_lines_ccnet_style(spark):
     # plan must not contain a cartesian product
     plan = dedup_lines(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "partial_min" in plan
+
+
+def test_dedup_lines_preserves_null_text_docs(spark):
+    """One row per INPUT doc even when text is NULL: F.split(NULL)
+    explodes to zero rows, which would silently drop the doc — a
+    caller replacing its text column via join on the result would
+    lose those documents from the corpus with no error."""
+    from img_spark.operators.dedup import dedup_lines
+
+    docs = [
+        ("d1", "a substantive line long enough to be eligible here"),
+        ("d2", None),
+        ("d3", "a substantive line long enough to be eligible here"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(
+            spark.createDataFrame(docs, "doc_id string, text string")
+        ).collect()
+    }
+    assert set(out) == {"d1", "d2", "d3"}  # nothing dropped
+    assert out["d2"]["text"] is None
+    assert out["d2"]["n_lines"] == 0 and out["d2"]["n_removed"] == 0
+    assert out["d1"]["n_removed"] == 0 and out["d3"]["n_removed"] == 1

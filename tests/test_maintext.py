@@ -204,3 +204,66 @@ def test_main_text_corpus_state_guard(spark, tmp_path_factory):
     # documents= path cannot take a text_source
     with pytest.raises(ValueError, match="documents"):
         build_corpus(spark, None, out, documents=got, text_source="main")
+
+
+def test_main_text_guard_checks_every_generation(spark, tmp_path_factory):
+    """Round-7 review: the text_source='main' manifest gate must check
+    EVERY generation in the read range, not just the newest — a
+    checkpoint whose early generations ran with main_text=False would
+    otherwise pass the guard and silently curate blank text for every
+    page whose newest row lives in those generations."""
+    import json
+
+    from img_spark import fsio
+    from img_spark.operators.politeness import robots_df
+    from img_spark.plans.corpus import crawl_documents
+    from img_spark.plans.crawl import CrawlConfig, Crawler
+    from img_spark.sources.site_config import rows_from_config
+    from img_spark.sources.synthweb import PAGES_DDL
+
+    def page(body, album=""):
+        return (f"<html><head><title>T - Site</title></head><body>{NAV}"
+                f"{album}<article><p>{body}</p></article>{FOOT}"
+                "</body></html>").encode()
+
+    album = ('<div class="alb"><a href="https://mg.test/p1" title="P1">'
+             "one</a></div>")
+    rows = [
+        ("https://mg.test/", None, page("index words here", album),
+         None, None),
+        ("https://mg.test/p1", None, page("leaf words here"), None, None),
+    ]
+    pages = spark.createDataFrame(rows, PAGES_DDL)
+    cfg_rows = rows_from_config(
+        [{"Site": "mg.test", "Img": "div.photo img", "Album": "div.alb a"}]
+    )
+
+    ckpt = tmp_path_factory.mktemp("ckpt_mixed_main")
+    c = Crawler(
+        spark, pages, cfg_rows, robots_df(spark, []),
+        CrawlConfig(checkpoint_dir=str(ckpt), partitions=4,
+                    main_text=True),
+    )
+    c.run(seeds=["https://mg.test/"])
+    # two extraction generations: g1 (index) and g2 (album leaf)
+    assert fsio.isdir(f"{ckpt}/extracted/g1")
+    assert fsio.isdir(f"{ckpt}/extracted/g2")
+
+    # all-True checkpoint curates fine
+    assert crawl_documents(spark, str(ckpt),
+                           text_source="main").count() == 2
+
+    # flip generation 1's manifest to main_text=False (simulating a
+    # crawl resumed with the flag after running without it): newest
+    # manifest still says True, but the guard must refuse and NAME the
+    # offending generation
+    mp = f"{ckpt}/manifest-g1.json"
+    m = json.loads(fsio.read_bytes(mp))
+    m["main_text"] = False
+    fsio.write_bytes_atomic(mp, json.dumps(m).encode())
+    with pytest.raises(ValueError, match=r"generation\(s\) \[1\]"):
+        crawl_documents(spark, str(ckpt), text_source="main")
+    # the incremental slice that EXCLUDES the bad generation still works
+    inc = crawl_documents(spark, str(ckpt), min_generation=1,
+                          text_source="main")
+    assert inc.count() == 1

@@ -511,3 +511,95 @@ def test_validators_visibility_gated_on_manifest(spark, tmp_path):
     assert not fsio.isdir(f"{ckpt}/validators/d{i1}")
     assert fsio.isdir(comp)
     assert [i for i, _ in c2._validators_dirs()] == [i0, 7]
+
+
+def test_resume_pre_validators_manifest_deletes_orphan_deltas(
+    spark, tmp_path
+):
+    """Round-7 review: a manifest WITHOUT ``validators_max`` (written
+    by pre-validators code, or by a run with revisit_after_s=0) means
+    no delta was ever committed — a delta dir found on resume is the
+    orphan of a crashed first-conditional-generation attempt and must
+    be deleted, or the retry attaches the crashed attempt's ETags to
+    first-visit URLs (304 → content never extracted)."""
+    from img_spark import fsio
+
+    ckpt = str(tmp_path / "ck")
+    c = _crawler(spark, ckpt, "http://127.0.0.1:9")
+    c.init([])
+
+    # strip validators_max from the committed manifest, simulating a
+    # checkpoint created before the feature existed
+    mp = f"{ckpt}/manifest-g0.json"
+    m = json.loads(fsio.read_bytes(mp))
+    m.pop("validators_max", None)
+    fsio.write_bytes_atomic(mp, json.dumps(m).encode())
+
+    # a crashed conditional step's leftover delta
+    rows = spark.createDataFrame(
+        [("https://h.test/1", "h.test", 0, "00000000", '"e1"', None,
+          1.0, 60.0)],
+        "url string, host string, depth int, path string, etag string,"
+        " last_modified string, fetched_at double, interval_s double",
+    )
+    i0 = c._write_validators_delta(rows)
+    assert fsio.isdir(f"{ckpt}/validators/d{i0}")
+
+    c2 = _crawler(spark, ckpt, "http://127.0.0.1:9")
+    c2.resume()
+    # the orphan is gone, the visibility floor engages at -1 (so the
+    # NEXT manifest records validators_max and gating works from here)
+    assert not fsio.isdir(f"{ckpt}/validators/d{i0}")
+    assert c2._validators_committed == -1
+    assert c2._validators_df() is None
+    c2._commit_manifest(0, {"frontier_status": {}})
+    m2 = json.loads(fsio.read_bytes(mp))
+    assert m2["validators_max"] == -1
+
+
+def test_failed_revisit_restamps_and_backs_off(spark, cond_server, tmp_path):
+    """Round-7 review: a stored URL whose revisit FAILS (transport/4xx
+    → no result row) must still advance its validator clock — without
+    the restamp its old stamp stays due forever and the dead URL is
+    refetched at the SWEEP cadence (every generation) instead of the
+    revisit cadence, appending one terminal row per generation
+    unboundedly. The failure also backs the interval off (same
+    multiplicative increase as a 304) and keeps the stored
+    etag/last_modified so a recovered server can still answer 304."""
+    connect, site, log = cond_server
+    ckpt = str(tmp_path / "ck")
+    c = _crawler(spark, ckpt, connect)
+    c.run(seeds=["https://host-r.test/"])
+
+    # the page dies: served 404 from now on (definitive failure — no
+    # result row, no retry)
+    del site[("host-r.test", "/p/1")]
+    log.clear()
+    time.sleep(0.6)
+    c2 = _crawler(
+        spark, ckpt, connect, revisit_every=1,
+        revisit_min_s=0.1, revisit_max_s=600.0,
+    )
+    c2.resume()
+    t_before = time.time()
+    c2.step()
+    g = c2.generation
+
+    # the dead URL was swept, dispatched, and failed
+    assert any(
+        r["path"] == "/p/1" and r["status"] == 404 for r in log
+    )
+    st = _statuses(spark, ckpt, g)
+    assert st["https://host-r.test/p/1"] == ("fetch_failed", "revisit")
+
+    # clock truth: the FAILED revisit restamped (fetched_at advanced)
+    # with the interval backed off (0.5 s base doubled → 1.0) and the
+    # stored validators preserved
+    vals = {
+        r["url"]: r
+        for r in c2._validators_newest(c2._validators_df()).collect()
+    }
+    v = vals["https://host-r.test/p/1"]
+    assert v["fetched_at"] >= t_before
+    assert v["interval_s"] == 1.0
+    assert v["etag"] == '"p1-v1"'
