@@ -1,0 +1,163 @@
+"""Link-graph analysis for frontier prioritization.
+
+A production crawl scheduler ranks its frontier by more than depth:
+the link graph the crawl itself discovers is the standard importance
+signal (PageRank / OPIC-family scoring — Abiteboul et al., "Adaptive
+On-Line Page Importance Computation", WWW'03; Page et al. 1999). The
+reference CLI crawls depth-first with no scoring (main.rs drives
+`website()` recursion); this module is the engine extension that makes
+`CrawlConfig.priority_score` a *learned* order: edges come out of the
+crawl checkpoint (`link_edges`), ranks come out of `pagerank` /
+`host_rank`, and the scores feed back into dispatch via
+``CrawlConfig.host_scores`` (broadcast-joined, same shape as
+``host_budgets``).
+
+Scale shape (the part that matters at 10^10 edges):
+
+- ``pagerank`` is the GraphX ``staticPageRank`` formulation: rank is
+  UNNORMALIZED (init 1.0, reset (1-d), dangling mass dropped) so no
+  global normalization pass is needed, and each iteration is exactly
+  (a) one edge-sized shuffle join of ranks onto edges' src and (b)
+  one map-side-combinable sum onto dst. Contributions divide by
+  out-degree, precomputed ONCE and carried on the edge row — the
+  per-iteration join touches only (src, dst, inv_deg) x (src, rank).
+- Iterations are a fixed small count (the web graph needs ~10 for
+  ordering stability); lineage is truncated with localCheckpoint
+  every few iterations so Catalyst analysis stays O(1) per iteration
+  instead of O(iteration-depth) — the same hazard the frontier loop's
+  plan hoisting solves.
+- ``host_rank`` first collapses the URL graph to the HOST graph
+  (groupBy edge endpoints' hosts — map-combinable, typically 3-4
+  orders of magnitude smaller), then ranks hosts. Host count is
+  small enough that the rank table broadcast-joins onto dispatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Unnormalized PageRank over a directed edge list → (id, rank).
+
+    GraphX-staticPageRank semantics: every node starts at rank 1.0;
+    each iteration sets ``rank(v) = (1-d) + d * Σ_{u→v} rank(u) /
+    outdeg(u)``. Dangling nodes (no out-edges) contribute nothing —
+    ranks no longer sum to N, which is irrelevant for ORDERING a
+    frontier (and saves the global dangling-mass aggregate a
+    normalized formulation needs every iteration). Duplicate edges
+    are collapsed; self-loops participate normally.
+
+    Deterministic given deterministic input: the only float work is
+    a sum whose addends are fixed — with dyadic damping/degrees (the
+    oracle harness uses d=0.5 and power-of-two out-degrees) the sums
+    are EXACT and order-independent, so results are bit-identical
+    across partitionings and engines."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg((1.0 / F.count("*")).alias("inv_deg"))
+    # inv_deg rides the edge row: the per-iteration join carries three
+    # columns, and the division is pre-folded into one multiply
+    ed = e.join(deg, "src").persist()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    reset = F.lit(1.0 - damping)
+    for i in range(iterations):
+        contribs = (
+            ed.join(
+                ranks.select(F.col("id").alias("src"), "rank"), "src"
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") * F.col("inv_deg")).alias("c"))
+        )
+        ranks = nodes.join(contribs, "id", "left").select(
+            "id",
+            (reset + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0)))
+            .alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            # truncate lineage: an iterative DataFrame loop otherwise
+            # re-analyzes a plan that doubles per iteration
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def host_graph(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Collapse a URL-level edge list to the weighted HOST graph:
+    (src_host, dst_host, weight = distinct URL-edge count), intra-host
+    edges dropped (they say nothing about cross-site endorsement).
+    Map-combinable groupBy — the URL graph never shuffles whole."""
+    from img_spark.operators.urlexprs import host_of
+
+    return (
+        edges.select(
+            host_of(F.col(src_col)).alias("src_host"),
+            host_of(F.col(dst_col)).alias("dst_host"),
+        )
+        .filter(
+            F.col("src_host").isNotNull()
+            & F.col("dst_host").isNotNull()
+            & (F.col("src_host") != F.col("dst_host"))
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("weight"))
+    )
+
+
+def host_rank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank over the host graph → (host, score). The host table
+    is small (10^7 hosts vs 10^10 URLs) — the result broadcast-joins
+    onto dispatch as ``CrawlConfig.host_scores``."""
+    hg = host_graph(edges, src_col=src_col, dst_col=dst_col)
+    return pagerank(
+        hg, iterations=iterations, damping=damping,
+        src_col="src_host", dst_col="dst_host",
+    ).select(F.col("id").alias("host"), F.col("rank").alias("score"))
+
+
+def link_edges(spark, checkpoint_dir: str) -> DataFrame:
+    """(src, dst) URL edges discovered by a crawl: every frontier row
+    enqueued with a parent (albums, next-links, redirect re-admissions
+    — any kind) is one edge parent_url → url. Reads the frontier
+    deltas through ``read_frontier`` (manifest-bounded, terminal +
+    pending alike: an edge is evidence of linkage whatever the fetch
+    later did). Seeds have no parent and contribute no edge."""
+    from img_spark.plans.crawl import read_frontier
+
+    latest = None
+    from img_spark import fsio
+
+    for fn in fsio.listdir(checkpoint_dir):
+        if fn.startswith("manifest-g") and fn.endswith(".json"):
+            g = int(fn[len("manifest-g"):-len(".json")])
+            latest = g if latest is None else max(latest, g)
+    if latest is None:
+        raise FileNotFoundError(f"no committed manifest under {checkpoint_dir}")
+    return (
+        read_frontier(spark, checkpoint_dir, latest)
+        .filter(F.col("parent_url").isNotNull())
+        .select(F.col("parent_url").alias("src"), F.col("url").alias("dst"))
+        .distinct()
+    )

@@ -553,3 +553,44 @@ def dispatch_top_k_salted(
         score=score, host_budgets=host_budgets,
     )
     return marked.unionByName(rest)
+
+
+def dispatch_global_cap(
+    marked: DataFrame,
+    global_budget: int,
+    order: str = "dfs",
+    score: str | None = None,
+) -> DataFrame:
+    """Cap the whole generation's dispatch at ``global_budget`` rows
+    across ALL hosts, keeping the highest-priority rows — the fetch
+    fleet's batch capacity. Composes on top of ``dispatch_top_k`` /
+    ``dispatch_top_k_salted`` output: per-host budgets (politeness)
+    still bound each host; this picks which hosts' allotments make
+    the batch. With priority='score' over a ``host_score`` column
+    (operators/linkgraph.host_rank via Crawler(host_scores=...)) the
+    batch fills highest-ranked hosts first — the rank-driven frontier
+    scheduler; rows cut here keep dispatch=false and carry over
+    pending with their priority intact.
+
+    Scale shape: the global top-N compiles to TakeOrderedAndProject —
+    each partition keeps its local top-N map-side and only
+    N·partitions rows ever move, no full sort, no single-partition
+    window. The surviving url set is ≤ global_budget rows
+    (batch-sized by definition) and broadcast-joins back onto the
+    marked frontier."""
+    keys = _order_keys(order, score)
+    take = (
+        marked.filter(F.col("dispatch"))
+        .orderBy(*keys)
+        .limit(global_budget)
+        .select("url")
+        .withColumn("__take", F.lit(True))
+    )
+    return (
+        marked.join(F.broadcast(take), "url", "left")
+        .withColumn(
+            "dispatch",
+            F.col("dispatch") & F.coalesce(F.col("__take"), F.lit(False)),
+        )
+        .drop("__take")
+    )

@@ -250,6 +250,14 @@ class CrawlConfig:
     # SQL expression over frontier rows for priority='score' (highest
     # dispatched first), e.g. "-depth" or "-depth - 0.01*length(path)"
     priority_score: str | None = None
+    # >0 ⇒ GLOBAL per-generation dispatch cap across all hosts (the
+    # fetch fleet's batch capacity), filled in priority order — with
+    # priority='score' and a host_scores table this is the
+    # rank-driven scheduler: the batch goes to the highest-priority
+    # frontier rows first and low-rank hosts wait (carry-over keeps
+    # them pending). Per-host budgets still bound each host within
+    # the batch. 0 = uncapped (every host dispatches its budget).
+    global_budget: int = 0
     dispatch_salts: int = 0       # >0 ⇒ skew-safe two-phase dispatch
     compact_every: int = 0        # >0 ⇒ compact(prune=True) every N gens
     # >0 ⇒ the pages table carries tables.PAGES_BUCKET_COL
@@ -363,9 +371,20 @@ class Crawler:
         robots: DataFrame,
         cfg: CrawlConfig,
         host_budgets: DataFrame | None = None,
+        host_scores: DataFrame | None = None,
     ):
         # optional (host, budget) overrides — broadcast into dispatch
         self.host_budgets = host_budgets
+        # optional (host, score) priority table — e.g. link-graph
+        # PageRank from a previous crawl window
+        # (operators/linkgraph.host_rank). Broadcast-joined onto
+        # pending each step as a ``host_score`` column (missing hosts
+        # score 0.0) so ``CrawlConfig.priority_score`` expressions can
+        # rank by it: priority_score='host_score' crawls
+        # highest-ranked hosts first; 'host_score - 0.5*depth' mixes
+        # in depth decay. Host count is orders of magnitude below URL
+        # count, so the broadcast holds at frontier scale.
+        self.host_scores = host_scores
         self.spark = spark
         self.pages = pages
         self.config_rows = config_rows
@@ -1202,6 +1221,21 @@ class Crawler:
         revisit_blocked = None
         if self._conditional and g % max(self.cfg.revisit_every, 1) == 0:
             pending, revisit_blocked = self._inject_revisits(pending, g)
+        if self.host_scores is not None:
+            # link-graph (or operator-supplied) priority: attach each
+            # pending row's host score so priority_score expressions
+            # can rank by it. Duplicate score rows collapse to the max
+            # (the strongest endorsement wins); unknown hosts score
+            # 0.0. One broadcast join — pending never shuffles for it.
+            scores = self.host_scores.groupBy("host").agg(
+                F.max("score").alias("host_score")
+            )
+            pending = pending.join(
+                F.broadcast(scores), "host", "left"
+            ).withColumn(
+                "host_score",
+                F.coalesce(F.col("host_score"), F.lit(0.0)),
+            )
         host_budgets = self._backoff_budgets()
         if self.cfg.dispatch_salts:
             from img_spark.operators.politeness import dispatch_top_k_salted
@@ -1218,6 +1252,16 @@ class Crawler:
                 order=self.cfg.priority,
                 score=self.cfg.priority_score,
                 host_budgets=host_budgets,
+            )
+        if self.cfg.global_budget:
+            from img_spark.operators.politeness import dispatch_global_cap
+
+            # fleet capacity: the generation fetches at most
+            # global_budget URLs, highest priority first (see
+            # CrawlConfig.global_budget); cut rows stay pending
+            marked = dispatch_global_cap(
+                marked, self.cfg.global_budget,
+                order=self.cfg.priority, score=self.cfg.priority_score,
             )
         # the politeness-window output feeds five plans (fetch
         # broadcast, results join, miss anti-join, held rows in the

@@ -790,15 +790,74 @@ FROM s
 
 
 def q_fingerprint(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
+    """Fingerprint PLUS the link-graph rank branch (folded — registry
+    cap): PageRank over a deterministic synthetic link graph on the
+    doc ids (i → (2i+1) mod N and (3i+7) mod N; out-degrees 1 or 2).
+    With damping 0.5 and power-of-two degrees every intermediate is a
+    dyadic rational, so the iterative Spark sums and the oracle's
+    unrolled-CTE sums are EXACT and order-independent — link_rank
+    compares hash-identical without quantization."""
+    from img_spark.operators.linkgraph import pagerank
+
+    d = _docs(spark, sf_dir)
+    n = d.count()  # one bounded scalar (node-id modulus)
+    e = d.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 2 + 1) % n).alias("dst"),
+    ).unionByName(
+        d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 3 + 7) % n).alias("dst"),
+        )
+    )
+    ranks = pagerank(e, iterations=8, damping=0.5).withColumnRenamed(
+        "id", "doc_id"
+    )
+    return d.select(
         "doc_id", fingerprint(F.col("text")).alias("fp")
+    ).join(ranks, "doc_id").withColumnRenamed("rank", "link_rank")
+
+
+def _sql_fingerprint():
+    """Unrolled 8-iteration PageRank CTE chain + the md5 fingerprint
+    (matches q_fingerprint exactly — dyadic floats, see its doc)."""
+    parts = [
+        """e AS (
+  SELECT doc_id AS src,
+         (doc_id*2+1) % (SELECT count(*) FROM documents) AS dst
+  FROM documents
+  UNION
+  SELECT doc_id,
+         (doc_id*3+7) % (SELECT count(*) FROM documents)
+  FROM documents),
+ed AS (
+  SELECT e.src, e.dst, 1.0::DOUBLE / d.cnt AS inv_deg
+  FROM e JOIN (SELECT src, count(*) AS cnt FROM e GROUP BY src) d
+    USING (src)),
+nodes AS (SELECT DISTINCT src AS id FROM e
+          UNION SELECT DISTINCT dst FROM e),
+r0 AS (SELECT id, 1.0::DOUBLE AS rank FROM nodes)"""
+    ]
+    for i in range(1, 9):
+        parts.append(f"""r{i} AS (
+  SELECT n.id, 0.5::DOUBLE + 0.5::DOUBLE * coalesce(c.c, 0.0::DOUBLE)
+           AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT ed.dst AS id, sum(r.rank * ed.inv_deg) AS c
+    FROM ed JOIN r{i-1} r ON r.id = ed.src GROUP BY ed.dst) c
+    USING (id))""")
+    ctes = ",\n".join(parts)
+    return (
+        "WITH " + ctes + r"""
+SELECT doc_id,
+       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+       r8.rank AS link_rank
+FROM documents JOIN r8 ON r8.id = documents.doc_id
+"""
     )
 
 
-SQL_FINGERPRINT = r"""
-SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
-FROM documents
-"""
+SQL_FINGERPRINT = _sql_fingerprint()
 
 
 # shared boilerplate line for the line-dedup branch of the dedup_exact

@@ -128,6 +128,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "--max-generations) instead of exiting; 0 = "
                         "exit when drained (default)")
     p.add_argument("--host-budget", type=int, default=1)
+    p.add_argument("--global-budget", type=int, default=0,
+                   help=">0: cap the whole generation's dispatch at N "
+                        "URLs across all hosts, highest priority first "
+                        "(fetch-fleet batch capacity)")
     p.add_argument("--partitions", type=int, default=32,
                    help="seen-set salt shards / state write width")
     p.add_argument("--pages-buckets", type=int, default=0,
@@ -142,6 +146,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "e.g. --priority-score=-depth")
     p.add_argument("--host-budgets", default=None,
                    help="parquet of (host, budget) per-host overrides")
+    p.add_argument("--host-scores", default=None,
+                   help="parquet of (host, score) priority table, "
+                        "joined onto pending as host_score for "
+                        "--priority-score expressions")
+    p.add_argument("--rank-hosts", action="store_true",
+                   help="with --resume: compute (host, score) by "
+                        "PageRank over the link graph the checkpoint "
+                        "has discovered so far and use it as the "
+                        "host-score table (self-prioritizing recrawl; "
+                        "combine with --priority score "
+                        "--priority-score host_score)")
     p.add_argument("--album-policy", default="all")
     p.add_argument("--seen-mode", choices=("cuckoo", "exact"), default="cuckoo")
     p.add_argument("--cuckoo-capacity", type=int, default=1 << 16)
@@ -430,6 +445,7 @@ def main(argv=None) -> int:
         checkpoint_dir=args.checkpoint,
         partitions=args.partitions,
         host_budget=args.host_budget,
+        global_budget=args.global_budget,
         album_policy=args.album_policy,
         main_text=args.main_text,
         seen_mode=args.seen_mode,
@@ -459,8 +475,28 @@ def main(argv=None) -> int:
         if args.host_budgets
         else None
     )
+    host_scores = (
+        spark.read.parquet(args.host_scores).select("host", "score")
+        if args.host_scores
+        else None
+    )
+    if args.rank_hosts:
+        if not args.resume:
+            raise SystemExit("--rank-hosts needs --resume (the scores "
+                             "come from the checkpoint's own link graph)")
+        if args.host_scores:
+            raise SystemExit("--rank-hosts and --host-scores are "
+                             "mutually exclusive")
+        from img_spark.operators.linkgraph import host_rank, link_edges
+
+        host_scores = host_rank(
+            link_edges(spark, cfg.checkpoint_dir)
+        ).persist()
+        n_hosts = host_scores.count()  # materialize ONCE, before the loop
+        print(json.dumps({"ranked_hosts": n_hosts}), flush=True)
     crawler = Crawler(
-        spark, pages, config_rows, robots, cfg, host_budgets=host_budgets
+        spark, pages, config_rows, robots, cfg, host_budgets=host_budgets,
+        host_scores=host_scores,
     )
 
     if args.resume:
