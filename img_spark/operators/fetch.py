@@ -59,6 +59,29 @@ def _netloc_norm(netloc: str, scheme: str) -> str:
     return n
 
 
+def _parse_retry_after(value: str | None) -> float | None:
+    """RFC 9110 §10.2.3 Retry-After: delta-seconds or an HTTP-date.
+    Returns seconds (≥0) or None when absent/unparseable."""
+    if not value:
+        return None
+    v = value.strip()
+    if v.isdigit():
+        return float(v)
+    try:
+        from email.utils import parsedate_to_datetime
+        import datetime as _dt
+
+        dt = parsedate_to_datetime(v)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=_dt.timezone.utc)
+        return max(
+            0.0,
+            (dt - _dt.datetime.now(_dt.timezone.utc)).total_seconds(),
+        )
+    except (TypeError, ValueError):
+        return None
+
+
 def _request_once(
     conns: dict,
     s,
@@ -70,14 +93,17 @@ def _request_once(
     last_modified: str | None = None,
 ):
     """One GET over the pooled connection for a split URL. Returns
-    (status, body, location, etag, last_modified): status None means a
-    transport error (connect/reset/timeout — the connection is
-    retired), status -1 means oversized/undrained (connection retired,
-    NOT retryable). ``etag``/``last_modified`` (validators from a
-    previous fetch) ride out as ``If-None-Match``/``If-Modified-Since``
-    — a 304 comes back with no body at all, the revisit path's whole
-    point. The returned etag/last_modified are the RESPONSE's
-    validators (kept for the next conditional request)."""
+    (status, body, location, etag, last_modified, retry_after):
+    status None means a transport error (connect/reset/timeout — the
+    connection is retired), status -1 means oversized/undrained
+    (connection retired, NOT retryable). ``etag``/``last_modified``
+    (validators from a previous fetch) ride out as
+    ``If-None-Match``/``If-Modified-Since`` — a 304 comes back with no
+    body at all, the revisit path's whole point. The returned
+    etag/last_modified are the RESPONSE's validators (kept for the
+    next conditional request); ``retry_after`` is the parsed
+    Retry-After header in seconds (None when absent/unparseable) —
+    the server's own pacing demand on 429/503."""
     import http.client
 
     if connect_to is not None:
@@ -122,7 +148,7 @@ def _request_once(
                 conn.close()
         finally:
             conns.pop(key, None)
-        return None, None, None, None, None
+        return None, None, None, None, None, None
     if len(body) > max_bytes or not r.isclosed():
         # oversized / not fully drained: unread bytes would poison
         # the keep-alive stream — the NEXT same-host request would
@@ -131,7 +157,7 @@ def _request_once(
             conn.close()
         finally:
             conns.pop(key, None)
-        return -1, None, None, None, None
+        return -1, None, None, None, None, None
     if 500 <= r.status < 600:
         # a 5xx may leave the server-side connection wedged; retire it
         # so the retry (and the next same-host URL) starts clean
@@ -142,6 +168,7 @@ def _request_once(
     return (
         r.status, body, r.getheader("Location"),
         r.getheader("ETag"), r.getheader("Last-Modified"),
+        _parse_retry_after(r.getheader("Retry-After")),
     )
 
 
@@ -159,14 +186,21 @@ def _fetch_one_status(
     same_host_only: bool = False,
     etag: str | None = None,
     last_modified: str | None = None,
+    retry_after_cap_s: float = 30.0,
 ):
     """GET one URL over a pooled connection, following ≤ max_redirects
     redirects. TRANSIENT failures — transport errors (connect/reset/
-    timeout) and 5xx — are retried up to ``retries`` times per hop on
-    a fresh connection after sleeping ``max(backoff_s, crawl_delay)``:
-    a retry is a REQUEST, so it must respect the host's robots pacing,
-    not shortcut it with a fixed half-second. Definitive answers
-    (2xx/3xx/4xx, oversized body) are never retried. Returns
+    timeout), 5xx, and 429 Too Many Requests — are retried up to
+    ``retries`` times per hop on a fresh connection after sleeping
+    ``max(backoff_s, crawl_delay)``: a retry is a REQUEST, so it must
+    respect the host's robots pacing, not shortcut it with a fixed
+    half-second. When a 429 or 503 carries ``Retry-After`` (RFC 9110
+    §10.2.3 — the server naming its own pacing), the sleep honors it
+    up to ``retry_after_cap_s`` (a hostile or misconfigured header
+    must not stall a fetch task for an hour; past the cap the host is
+    better served by the per-host failure breaker backing it off at
+    the scheduler level). Definitive answers (2xx/3xx/other-4xx,
+    oversized body) are never retried. Returns
     ``(status, body, redirect, etag, last_modified)``: body bytes for
     a 2xx; status is the final HTTP status, or None for a transport
     failure that survived the retries (also a redirect loop), or -1
@@ -204,14 +238,26 @@ def _fetch_one_status(
             return None, None, None, None, None
         status = None
         cond = (etag, last_modified) if hop == 0 else (None, None)
+        retry_after = None
         for attempt in range(retries + 1):
             if attempt:
-                _time.sleep(max(backoff_s, crawl_delay))
-            status, body, location, r_etag, r_lm = _request_once(
-                conns, s, user_agent, timeout_s, max_bytes, connect_to,
-                etag=cond[0], last_modified=cond[1],
+                sleep = max(backoff_s, crawl_delay)
+                if retry_after is not None:
+                    sleep = max(
+                        sleep, min(retry_after, retry_after_cap_s)
+                    )
+                _time.sleep(sleep)
+            status, body, location, r_etag, r_lm, retry_after = (
+                _request_once(
+                    conns, s, user_agent, timeout_s, max_bytes,
+                    connect_to, etag=cond[0], last_modified=cond[1],
+                )
             )
-            if status is not None and not 500 <= status < 600:
+            if (
+                status is not None
+                and status != 429
+                and not 500 <= status < 600
+            ):
                 break
         if status is None or status == -1:
             return status, None, None, None, None

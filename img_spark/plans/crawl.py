@@ -122,6 +122,19 @@ VALIDATORS_DDL = (
 # dispatch attach and every revisit would refetch unconditionally)
 VALIDATORS_BUCKETS = 64
 
+# media-seen store (CrawlConfig.media_dir): membership set of every
+# media URL a generation has ATTEMPTED (fetched or definitively
+# failed — failures must not retry on every later page that embeds
+# them), bucketed like the validators store so per-generation
+# dedup scans prune to the batch's url-hash buckets. Same
+# manifest-gated visibility contract: a delta is live only once a
+# manifest records ``media_seen_max`` ≥ its index, so a crash between
+# the archive write and the manifest commit re-fetches (and
+# re-archives — the g{g} dir is overwritten) instead of silently
+# skipping media whose archive never committed.
+MEDIA_SEEN_DDL = "url string, vb int"
+MEDIA_SEEN_BUCKETS = 64
+
 
 def read_pending(spark: SparkSession, checkpoint_dir: str, generation: int) -> DataFrame:
     """The live pending set at a generation: just the ``status=pending``
@@ -266,6 +279,17 @@ class CrawlConfig:
     # buckets — without this every generation re-reads the full pages
     # table (the dominant cost at 100 TB)
     pages_buckets: int = 0
+    # archive the DISCOVERED media bytes (the reference's download()
+    # stage, main.rs:166-279 `download` / `save_to_file`): each
+    # generation fetches its extracted delta's download_url set —
+    # robots-checked against the known rules, crawl_delay paced,
+    # deduplicated against a manifest-gated media-seen store so an
+    # image referenced by every page (logos, sprites) downloads ONCE
+    # per crawl — and archives the bytes as WARC under
+    # media_dir/g{g}/ (the re-processable layout; the extracted
+    # delta's dir/filename columns remain the file-layout metadata).
+    # http fetch mode only: a pages-table crawl has no media wire.
+    media_dir: str | None = None
     # 'table' (default): fetch = broadcast join against the pages table.
     # 'http': fetch = pooled-HTTP mapInPandas over the dispatch batch
     # (operators/fetch.py — the live-crawl variant, SURVEY §2.1 S2);
@@ -422,6 +446,14 @@ class Crawler:
                 "revisit_after_s requires fetch_mode='http' — a "
                 "pages-table crawl has no conditional-GET seam"
             )
+        if cfg.media_dir and cfg.fetch_mode != "http":
+            raise ValueError(
+                "media_dir requires fetch_mode='http' — a pages-table "
+                "crawl has no wire to download media bytes from"
+            )
+        # highest MANIFEST-COMMITTED media-seen delta index (same
+        # visibility contract as the validators store)
+        self._media_committed: int = -1
         # redirect_policy='strict' per-step state: parked cross-host
         # redirect targets (re-enqueued as candidates) and the fetch
         # caches backing them (unpersisted at end of step)
@@ -931,6 +963,159 @@ class Crawler:
         for _, p in dirs:
             fsio.rmtree(p)
         self._validators_committed = idx
+
+    # ------------------------------------------------------ media download
+    _MEDIA_COMPACT_DIRS = 64
+
+    def _media_dirs(self, all_dirs: bool = False) -> list:
+        base = self._p("media_seen")
+        out = []
+        for fn in fsio.listdir(base):
+            if not (
+                fn.startswith("d") and fn[1:].isdigit()
+                and fsio.exists(fsio.join(base, fn, "_SUCCESS"))
+            ):
+                continue
+            idx, path = int(fn[1:]), fsio.join(base, fn)
+            if (
+                not all_dirs
+                and idx > self._media_committed
+                and not fsio.exists(fsio.join(path, "_COMPACTED"))
+            ):
+                continue  # written but never manifest-committed
+            out.append((idx, path))
+        return sorted(out)
+
+    def _media_seen_df(self) -> DataFrame | None:
+        dirs = self._media_dirs()
+        if not dirs:
+            return None
+        return self.spark.read.schema(MEDIA_SEEN_DDL).parquet(
+            *[p for _, p in dirs]
+        )
+
+    def _write_media_seen(self, urls: DataFrame) -> int:
+        rows = urls.select("url").withColumn(
+            "vb",
+            F.pmod(F.xxhash64(F.col("url")),
+                   F.lit(MEDIA_SEEN_BUCKETS)).cast("int"),
+        ).repartition(MEDIA_SEEN_BUCKETS, "vb")
+        dirs = self._media_dirs(all_dirs=True)
+        idx = dirs[-1][0] + 1 if dirs else 0
+        out = self._p("media_seen", f"d{idx}")
+        rows.write.mode("overwrite").parquet(out)
+        fsio.write_bytes_atomic(fsio.join(out, "_SUCCESS"), b"")
+        return idx
+
+    def _compact_media_seen(self) -> None:
+        """Fold the per-generation membership deltas into one dir
+        (distinct urls; same crash contract as the other stores)."""
+        if not self.cfg.media_dir:
+            return
+        dirs = self._media_dirs()
+        if len(dirs) <= 1:
+            return
+        merged = self._media_seen_df().dropDuplicates(["url"]).repartition(
+            MEDIA_SEEN_BUCKETS, "vb"
+        )
+        idx = self._media_dirs(all_dirs=True)[-1][0] + 1
+        out = self._p("media_seen", f"d{idx}")
+        merged.write.mode("overwrite").parquet(out)
+        fsio.write_bytes_atomic(fsio.join(out, "_COMPACTED"), b"")
+        fsio.write_bytes_atomic(fsio.join(out, "_SUCCESS"), b"")
+        for _, p in dirs:
+            fsio.rmtree(p)
+        self._media_committed = idx
+
+    def _fetch_media(self, extracted: DataFrame, g: int) -> dict:
+        """The reference's download() stage (main.rs:166-279) as a
+        per-generation batch: fetch every NEW download_url the
+        generation extracted and archive the bytes as WARC under
+        ``media_dir/g{g}/``.
+
+        Politeness: media URLs are robots-checked against the KNOWN
+        rules (static table + whatever the live store has) and paced
+        by their crawl_delay; hosts never seen by robots (image CDNs)
+        default allow-all with no extra robots fetch — the reference
+        downloads media with no robots check at all (curl -Z,
+        main.rs:257), so known-rules admission is strictly politer
+        than parity. Dedup: the batch anti-joins the media-seen store
+        (bucket-pruned scan — the store never shuffles whole);
+        ATTEMPTED URLs (success or definitive failure) enter the
+        store, so a logo on every page downloads once and a dead
+        image URL doesn't retry per embedding page. One fetch pass:
+        the pooled-HTTP batch is persisted disk-backed and
+        materialized before archiving, so task retries replay the
+        cache, never the wire."""
+        from pyspark import StorageLevel
+
+        from img_spark.operators.fetch import fetch_pages_http
+        from img_spark.operators.sink import write_warc_archives
+
+        cand = (
+            extracted.filter(F.col("download_url").isNotNull())
+            .select(F.col("download_url").alias("url"))
+            .distinct()
+            .withColumn("host", host_of(F.col("url")))
+            .filter(F.col("host").isNotNull())
+        )
+        checked = apply_robots_rules(
+            cand, self._robots_rules, compiled=self._plan["robots"]
+        ).persist()
+        n_cand = checked.count()
+        allowed = checked.filter(F.col("allowed"))
+        seen = self._media_seen_df()
+        new = allowed.select("url", "host", "crawl_delay")
+        if seen is not None:
+            vbs = [
+                r["b"] for r in allowed.select(
+                    F.pmod(F.xxhash64(F.col("url")),
+                           F.lit(MEDIA_SEEN_BUCKETS)).cast("int")
+                    .alias("b")
+                ).distinct().collect()
+            ]
+            # batch-sized anti-join against the bucket-pruned store
+            # slice; no broadcast forced — AQE sizes it
+            new = new.join(
+                seen.filter(F.col("vb").isin(vbs)).select("url"),
+                "url", "left_anti",
+            )
+        got = fetch_pages_http(
+            new,
+            user_agent=self.cfg.http_user_agent,
+            timeout_s=self.cfg.http_timeout_s,
+            connect_to=self.cfg.http_connect_to,
+            partitions=self.cfg.partitions,
+            retries=self.cfg.http_retries,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        n_fetched = got.count()  # materialize: ONE pass over the wire
+        out = self._p_media(g)
+        if fsio.isdir(out):
+            # a crashed attempt's partial archive: overwrite whole
+            fsio.rmtree(out)
+        if n_fetched:
+            write_warc_archives(
+                got.withColumn("warc_ts", F.current_timestamp()),
+                out,
+                content_type="application/octet-stream",
+            )
+        n_new = new.count()
+        if n_new:
+            self._media_committed = self._write_media_seen(new)
+        got.unpersist()
+        checked.unpersist()
+        stats = {
+            "media_candidates": n_cand,
+            "media_attempted": n_new,
+            "media_fetched": n_fetched,
+        }
+        disallowed = n_cand - allowed.count()
+        if disallowed:
+            stats["media_disallowed"] = disallowed
+        return stats
+
+    def _p_media(self, g: int) -> str:
+        return fsio.join(self.cfg.media_dir, f"g{g}")
 
     def _inject_revisits(self, pending: DataFrame, g: int):
         """Revisit sweep (revisit_after_s>0, every revisit_every
@@ -1669,6 +1854,17 @@ class Crawler:
         t_writes = time.time() - t0
         self._refresh_seen_blobs(g)
 
+        # media download stage (CrawlConfig.media_dir): consumes the
+        # still-cached extraction; counts ride the manifest. Runs
+        # after the frontier/extracted sinks (their write bandwidth
+        # first) and BEFORE the manifest commit so media_seen_max
+        # rides the same atomic commit.
+        media_stats = None
+        if self.cfg.media_dir:
+            t_m = time.time()
+            media_stats = self._fetch_media(extracted, g)
+            media_stats["media_wall_s"] = round(time.time() - t_m, 3)
+
         # per-host metrics are NOT a third write job anymore: the
         # extracted delta carries the per-page counters and the frontier
         # delta carries the fetch_failed rows — ``metrics_df`` aggregates
@@ -1710,6 +1906,8 @@ class Crawler:
         extra = {"step_times": self.last_step_times}
         if dropped2:
             extra["second_level_redirects_dropped"] = dropped2
+        if media_stats is not None:
+            extra.update(media_stats)
         stats = self._commit_generation(g, extra, counts=state_counts)
         self.generation = g
         # auto-compaction must run AFTER the manifest commit: a
@@ -1722,6 +1920,11 @@ class Crawler:
             and len(self._validators_dirs()) > self._VALIDATORS_COMPACT_DIRS
         ):
             self._compact_validators_store()
+        if (
+            self.cfg.media_dir
+            and len(self._media_dirs()) > self._MEDIA_COMPACT_DIRS
+        ):
+            self._compact_media_seen()
         return stats
 
     def _commit_generation(self, g: int, extra: dict, counts=None) -> dict:
@@ -1915,6 +2118,9 @@ class Crawler:
             # the validators-store visibility frontier rides the same
             # atomic commit as the rest of the generation's state
             m["validators_max"] = self._validators_committed
+        if self.cfg.media_dir:
+            # same contract for the media-seen store
+            m["media_seen_max"] = self._media_committed
         # atomic commit on any pyarrow.fs scheme (rename locally, one
         # PUT on object stores)
         fsio.write_bytes_atomic(
@@ -1983,6 +2189,17 @@ class Crawler:
                     fsio.join(p, "_COMPACTED")
                 ):
                     fsio.rmtree(p)
+        if self.cfg.media_dir:
+            # media-seen store: same orphan-deletion contract — an
+            # uncommitted membership delta would make the retry SKIP
+            # media whose archive never committed
+            mm = m.get("media_seen_max")
+            self._media_committed = -1 if mm is None else mm
+            for idx, p in self._media_dirs(all_dirs=True):
+                if idx > self._media_committed and not fsio.exists(
+                    fsio.join(p, "_COMPACTED")
+                ):
+                    fsio.rmtree(p)
         return g
 
     def frontier_df(self) -> DataFrame:
@@ -2006,6 +2223,7 @@ class Crawler:
         g = self.generation
         self._compact_robots_store()
         self._compact_validators_store()
+        self._compact_media_seen()
         floor = _compaction_floor(self.cfg.checkpoint_dir)
         if floor > g:
             # already compacted through this generation — a second call

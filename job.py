@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="scheme://host[:port] connection override for "
                         "--fetch-mode http (curl --resolve pattern; "
                         "tests/canaries)")
+    p.add_argument("--media-dir", default=None,
+                   help="--fetch-mode http: download each generation's "
+                        "extracted media URLs (robots-checked, paced, "
+                        "deduplicated across generations) and archive "
+                        "the bytes as WARC under DIR/g{g}/ — the "
+                        "reference's download() stage")
     p.add_argument("--archive-dir", default=None,
                    help="archive each generation's fetched bodies as "
                         "WARC under DIR/g{g}/ (both fetch modes; "
@@ -469,6 +475,7 @@ def main(argv=None) -> int:
         revisit_every=args.revisit_every,
         revisit_min_s=args.revisit_min,
         revisit_max_s=args.revisit_max,
+        media_dir=args.media_dir,
     )
     host_budgets = (
         spark.read.parquet(args.host_budgets).select("host", "budget")

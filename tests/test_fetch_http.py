@@ -525,3 +525,120 @@ def test_live_crawl_byte_identical_to_table_crawl(
         eh = spark.read.parquet(f"{ck_h}/extracted/g{g}")
         sel = lambda df: {tuple(r) for r in df.select(*cols).collect()}
         assert sel(eh) == sel(et), f"generation {g}"
+
+
+def test_parse_retry_after_forms():
+    """RFC 9110 Retry-After: delta-seconds, HTTP-date, garbage."""
+    import datetime as dt
+    from email.utils import format_datetime
+
+    from img_spark.operators.fetch import _parse_retry_after
+
+    assert _parse_retry_after(None) is None
+    assert _parse_retry_after("") is None
+    assert _parse_retry_after("120") == 120.0
+    assert _parse_retry_after(" 7 ") == 7.0
+    assert _parse_retry_after("soon") is None
+    future = dt.datetime.now(dt.timezone.utc) + dt.timedelta(seconds=90)
+    got = _parse_retry_after(format_datetime(future, usegmt=True))
+    assert 85.0 <= got <= 90.5
+    past = dt.datetime.now(dt.timezone.utc) - dt.timedelta(seconds=90)
+    assert _parse_retry_after(format_datetime(past, usegmt=True)) == 0.0
+
+
+@pytest.fixture()
+def rate_limit_server():
+    """Loopback server whose /limited endpoint 429s with Retry-After
+    until its budget clears; /always429 never recovers."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    hits = {"/limited": 0, "/capped": 0, "/always429": 0}
+    times = {k: [] for k in hits}
+    lock = threading.Lock()
+
+    class H(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def do_GET(self):
+            with lock:
+                hits[self.path] = hits.get(self.path, 0) + 1
+                times.setdefault(self.path, []).append(time.monotonic())
+                n = hits[self.path]
+            if self.path == "/limited" and n == 1:
+                self.send_response(429)
+                self.send_header("Retry-After", "1")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            if self.path == "/capped" and n == 1:
+                self.send_response(429)
+                self.send_header("Retry-After", "3600")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            if self.path == "/always429":
+                self.send_response(429)
+                self.send_header("Retry-After", "1")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            body = b"<html>recovered</html>"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}", hits, times
+    srv.shutdown()
+
+
+def test_429_retry_honors_retry_after(rate_limit_server):
+    """A 429 is transient: the retry waits the server's Retry-After
+    (not just the 0.01 s backoff) and then succeeds."""
+    from img_spark.operators.fetch import _fetch_one_status
+
+    connect, hits, times = rate_limit_server
+    status, body, *_ = _fetch_one_status(
+        {}, "http://rl.test/limited", "t/1.0", 5.0, 1 << 20, connect,
+        retries=1, backoff_s=0.01,
+    )
+    assert status == 200 and body == b"<html>recovered</html>"
+    assert hits["/limited"] == 2
+    gap = times["/limited"][1] - times["/limited"][0]
+    assert gap >= 0.9, gap  # honored Retry-After: 1
+
+
+def test_429_retry_after_is_capped(rate_limit_server):
+    """A hostile Retry-After (1 hour) must not stall the task: the
+    sleep is capped at retry_after_cap_s and the retry still runs."""
+    from img_spark.operators.fetch import _fetch_one_status
+
+    connect, hits, times = rate_limit_server
+    t0 = time.monotonic()
+    status, body, *_ = _fetch_one_status(
+        {}, "http://rl.test/capped", "t/1.0", 5.0, 1 << 20, connect,
+        retries=1, backoff_s=0.01, retry_after_cap_s=0.3,
+    )
+    assert status == 200 and body == b"<html>recovered</html>"
+    assert hits["/capped"] == 2
+    assert time.monotonic() - t0 < 5.0  # nowhere near 3600
+
+def test_429_exhausted_is_definitive(rate_limit_server):
+    """Retries exhausted on a persistent 429 → final status 429, no
+    body (the crawl loop's anti-join lands it fetch_failed; repeated
+    failures feed the per-host breaker)."""
+    from img_spark.operators.fetch import _fetch_one_status
+
+    connect, hits, _times = rate_limit_server
+    status, body, *_ = _fetch_one_status(
+        {}, "http://rl.test/always429", "t/1.0", 5.0, 1 << 20, connect,
+        retries=1, backoff_s=0.01, retry_after_cap_s=0.2,
+    )
+    assert status == 429 and body is None
+    assert hits["/always429"] == 2  # initial + one retry, then stop

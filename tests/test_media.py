@@ -1,0 +1,215 @@
+"""Media download stage (CrawlConfig.media_dir): the reference's
+download() step (main.rs:166-279) — each generation fetches its NEW
+extracted download_urls, robots-checked and deduplicated across
+generations through the manifest-gated media-seen store, and archives
+the bytes as WARC under media_dir/g{g}/."""
+
+import json
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from img_spark import fsio
+from img_spark.operators.politeness import robots_df
+from img_spark.plans.crawl import CrawlConfig, Crawler
+from img_spark.sources.site_config import rows_from_config
+from img_spark.sources.synthweb import PAGES_DDL
+
+CONFIG = rows_from_config([
+    {"Site": "m.test", "Img": "div.photo img", "Album": "div.alb a"},
+])
+
+IMG1 = bytes(range(256)) * 16          # binary, not valid UTF-8
+IMG2 = b"\x89PNG-fake-bytes" + b"\x02" * 512
+IMG3 = b"GIF89a-fake" + b"\x03" * 128
+
+# album-only index: reference parity recurses into albums only when
+# the page itself has no images (main.rs:369-471 via parse_page's
+# has_album ∧ imgs_len==0 gate)
+INDEX = (
+    b"<html><head><title>M Index</title></head><body>"
+    b'<div class="alb">'
+    b'<a href="https://m.test/p/1" title="P1">one</a>'
+    b'<a href="https://m.test/p/2" title="P2">two</a>'
+    b"</div></body></html>"
+)
+
+
+def _photo(*imgs: str) -> bytes:
+    tags = "".join(f'<img src="/{i}">' for i in imgs)
+    return (
+        "<html><head><title>M photo</title></head><body>"
+        f'<div class="photo">{tags}</div>'
+        "</body></html>"
+    ).encode()
+
+
+@pytest.fixture()
+def media_server():
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    site = {
+        "/robots.txt": (b"User-agent: *\nDisallow: /secret\nAllow: /\n",
+                        "text/plain"),
+        "/": (INDEX, "text/html"),
+        # BOTH photo pages embed the shared image (the dedup case);
+        # p/2 also references a robots-blocked image and a 404 one
+        "/p/1": (_photo("shared.jpg", "own1.png"), "text/html"),
+        "/p/2": (_photo("shared.jpg", "secret/hidden.jpg",
+                        "missing.gif", "own2.gif"), "text/html"),
+        "/shared.jpg": (IMG1, "image/jpeg"),
+        "/own1.png": (IMG2, "image/png"),
+        "/own2.gif": (IMG3, "image/gif"),
+        "/secret/hidden.jpg": (IMG1, "image/jpeg"),
+        # /missing.gif: 404
+    }
+    hits: dict = {}
+    lock = threading.Lock()
+
+    class H(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def do_GET(self):
+            with lock:
+                hits[self.path] = hits.get(self.path, 0) + 1
+            entry = site.get(self.path)
+            if entry is None:
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            body, ctype = entry
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}", hits
+    srv.shutdown()
+
+
+def _crawler(spark, ckpt, media, connect, **kw):
+    cfg = dict(
+        checkpoint_dir=ckpt, partitions=4, host_budget=8,
+        fetch_mode="http", http_connect_to=connect, live_robots=True,
+        media_dir=media,
+    )
+    cfg.update(kw)
+    return Crawler(
+        spark,
+        spark.createDataFrame([], PAGES_DDL),
+        CONFIG,
+        robots_df(spark, []),
+        CrawlConfig(**cfg),
+    )
+
+
+def _archived(spark, media_dir):
+    """url → bytes across every media generation dir."""
+    from img_spark.sources.warc import read_warc_pages
+
+    out = {}
+    for fn in sorted(fsio.listdir(media_dir)):
+        d = fsio.join(media_dir, fn)
+        if not fsio.isdir(d):
+            continue
+        for r in read_warc_pages(
+            spark, fsio.join(d, "*.warc.gz")
+        ).collect():
+            out[r["url"]] = bytes(r["html"])
+    return out
+
+
+def test_media_download_end_to_end(spark, media_server, tmp_path):
+    """Byte-identical archives, one wire fetch per unique media URL
+    even when many pages embed it, robots-blocked media never fetched,
+    404s attempted once, counts in the manifest."""
+    connect, hits = media_server
+    ckpt = str(tmp_path / "ck")
+    media = str(tmp_path / "media")
+    c = _crawler(spark, ckpt, media, connect)
+    c.run(seeds=["https://m.test/"])
+
+    # bytes: every allowed, existing image archived exactly as served
+    got = _archived(spark, media)
+    assert got == {
+        "https://m.test/shared.jpg": IMG1,
+        "https://m.test/own1.png": IMG2,
+        "https://m.test/own2.gif": IMG3,
+    }
+    # wire: the shared image (embedded by BOTH photo pages) was
+    # fetched ONCE; the blocked one never
+    assert hits["/shared.jpg"] == 1
+    assert hits.get("/secret/hidden.jpg", 0) == 0
+    assert hits["/missing.gif"] == 1  # attempted once, 404
+
+    # manifest: counts + the media-seen visibility frontier
+    ms = {}
+    for fn in fsio.listdir(ckpt):
+        if fn.startswith("manifest-g"):
+            m = json.loads(fsio.read_bytes(fsio.join(ckpt, fn)))
+            for k in ("media_candidates", "media_attempted",
+                      "media_fetched", "media_disallowed"):
+                ms[k] = ms.get(k, 0) + m.get(k, 0)
+            assert "media_seen_max" in m
+    assert ms["media_fetched"] == 3
+    assert ms["media_disallowed"] == 1
+    assert ms["media_attempted"] == 4  # 3 fetched + 1 404
+
+    # dead-image contract: a LATER generation re-discovering the 404
+    # URL must not retry it (it is in the seen store)
+    seen = {r["url"] for r in c._media_seen_df().collect()}
+    assert "https://m.test/missing.gif" in seen
+    assert "https://m.test/secret/hidden.jpg" not in seen  # blocked ≠ seen
+
+
+def test_media_seen_survives_resume_and_dedups(
+    spark, media_server, tmp_path
+):
+    """A resumed crawl (revisit sweep re-extracting the same pages)
+    fetches no media again; an orphan media-seen delta from a crashed
+    step is deleted on resume."""
+    connect, hits = media_server
+    ckpt = str(tmp_path / "ck")
+    media = str(tmp_path / "media")
+    c = _crawler(spark, ckpt, media, connect,
+                 revisit_after_s=0.5, revisit_every=1_000_000)
+    c.run(seeds=["https://m.test/"])
+    base_hits = dict(hits)
+
+    # orphan delta (crashed step): written, never manifest-committed
+    i_orphan = c._write_media_seen(
+        spark.createDataFrame([("https://m.test/ghost.jpg",)],
+                              "url string")
+    )
+    time.sleep(0.6)
+    c2 = _crawler(spark, ckpt, media, connect,
+                  revisit_after_s=0.5, revisit_every=1)
+    c2.resume()
+    assert not fsio.isdir(f"{ckpt}/media_seen/d{i_orphan}")
+    c2.step()  # revisit sweep re-extracts all pages → same media URLs
+    for p in ("/shared.jpg", "/own1.png", "/own2.gif"):
+        assert hits[p] == base_hits[p], p  # zero new media fetches
+    # the 404 one does NOT retry either
+    assert hits["/missing.gif"] == base_hits["/missing.gif"]
+
+
+def test_media_dir_requires_http_mode(spark, tmp_path):
+    with pytest.raises(ValueError, match="media_dir"):
+        Crawler(
+            spark,
+            spark.createDataFrame([], PAGES_DDL),
+            CONFIG,
+            robots_df(spark, []),
+            CrawlConfig(checkpoint_dir=str(tmp_path / "ck"),
+                        media_dir=str(tmp_path / "m")),
+        )
