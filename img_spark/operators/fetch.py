@@ -65,7 +65,10 @@ def _parse_retry_after(value: str | None) -> float | None:
     if not value:
         return None
     v = value.strip()
-    if v.isdigit():
+    # ASCII digits only: str.isdigit() alone accepts Unicode digit
+    # forms ('²', '①') that float() rejects — and this parser exists
+    # to defend against hostile headers, so it must never raise
+    if v.isascii() and v.isdigit():
         return float(v)
     try:
         from email.utils import parsedate_to_datetime
@@ -296,6 +299,7 @@ def fetch_pages_http(
     backoff_s: float = 0.5,
     cross_host_redirects: str = "follow",
     conditional: bool = False,
+    with_status: bool = False,
 ) -> DataFrame:
     """(url, host[, crawl_delay]) dispatch batch → (url, html, host) via
     pooled HTTP GETs. Each HOST fetches serially with the robots
@@ -324,7 +328,14 @@ def fetch_pages_http(
     (etag, last_modified, unchanged) columns — a 304 emits
     (url, html=NULL, unchanged=true) with ZERO body bytes transferred
     (the caller keeps its archived copy and skips re-extraction); a
-    200 carries the response's fresh validators for the next visit."""
+    200 carries the response's fresh validators for the next visit.
+
+    ``with_status=True`` (the media-download path): EVERY input URL
+    emits a row, and the output gains a ``status int`` column — the
+    final HTTP status, -1 for oversized, NULL for a transport failure
+    that survived the retries. Callers use it to classify failures:
+    definitive (4xx except 429, oversized) vs transient (NULL, 5xx,
+    429 — worth retrying in a later generation)."""
     import concurrent.futures
     import time as _time
 
@@ -375,11 +386,14 @@ def fetch_pages_http(
             # URL's spacing can never undercut the robots delay
             last = _time.monotonic()
             if body is not None:
-                out.append((url, body, None, r_etag, r_lm, False))
+                out.append((url, body, None, r_etag, r_lm, False, status))
             elif conditional and status == 304:
-                out.append((url, None, None, r_etag, r_lm, True))
+                out.append((url, None, None, r_etag, r_lm, True, status))
             elif strict and redirect is not None:
-                out.append((url, None, redirect, None, None, False))
+                out.append((url, None, redirect, None, None, False, status))
+            elif with_status:
+                # failure row: the caller wants the outcome, not a gap
+                out.append((url, None, None, None, None, False, status))
         for c in conns.values():
             try:
                 c.close()
@@ -419,7 +433,7 @@ def fetch_pages_http(
             d = {
                 "url": [r[0] for r in rows_out],
                 "html": [r[1] for r in rows_out],
-                "host": [r[6] for r in rows_out],
+                "host": [r[7] for r in rows_out],
             }
             if strict:
                 d["redirect"] = [r[2] for r in rows_out]
@@ -427,7 +441,13 @@ def fetch_pages_http(
                 d["etag"] = [r[3] for r in rows_out]
                 d["last_modified"] = [r[4] for r in rows_out]
                 d["unchanged"] = [r[5] for r in rows_out]
-            return pd.DataFrame(d)
+            df = pd.DataFrame(d)
+            if with_status:
+                # object dtype keeps None intact for the int column
+                df["status"] = pd.Series(
+                    [r[6] for r in rows_out], dtype="object"
+                )
+            return df
 
         with concurrent.futures.ThreadPoolExecutor(workers) as pool:
             futs = [
@@ -445,7 +465,7 @@ def fetch_pages_http(
     schema = FETCH_SCHEMA + (", redirect string" if strict else "") + (
         ", etag string, last_modified string, unchanged boolean"
         if conditional else ""
-    )
+    ) + (", status int" if with_status else "")
     return batch.mapInPandas(run, schema=schema)
 
 

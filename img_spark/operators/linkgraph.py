@@ -44,6 +44,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_every: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """Unnormalized PageRank over a directed edge list → (id, rank).
 
@@ -93,6 +94,16 @@ def pagerank(
             # truncate lineage: an iterative DataFrame loop otherwise
             # re-analyzes a plan that doubles per iteration
             ranks = ranks.localCheckpoint(eager=True)
+    if materialize:
+        # materialize the final ranks and RELEASE the loop's caches —
+        # without this every pagerank() call leaks two persisted
+        # DataFrames for the session's lifetime (the caller has no
+        # handle to unpersist them). materialize=False keeps the lazy
+        # plan (callers that inspect it, or will persist the result
+        # themselves) but then owns recomputation cost on action.
+        ranks = ranks.localCheckpoint(eager=True)
+    ed.unpersist()
+    nodes.unpersist()
     return ranks
 
 

@@ -136,6 +136,43 @@ MEDIA_SEEN_DDL = "url string, vb int"
 MEDIA_SEEN_BUCKETS = 64
 
 
+def _delta_store_dirs(base: str, committed: int, all_dirs: bool = False):
+    """Committed delta dirs of a manifest-gated store (validators,
+    media-seen): d{N} dirs with a _SUCCESS marker, hiding indexes
+    above the committed floor unless they carry the _COMPACTED
+    exemption. ONE implementation for every store — the
+    visibility/crash contract is subtle enough that two copies would
+    drift."""
+    out = []
+    for fn in fsio.listdir(base):
+        if not (
+            fn.startswith("d") and fn[1:].isdigit()
+            and fsio.exists(fsio.join(base, fn, "_SUCCESS"))
+        ):
+            continue
+        idx, path = int(fn[1:]), fsio.join(base, fn)
+        if (
+            not all_dirs
+            and idx > committed
+            and not fsio.exists(fsio.join(path, "_COMPACTED"))
+        ):
+            continue  # written but never manifest-committed
+        out.append((idx, path))
+    return sorted(out)
+
+
+def _prune_store_orphans(dirs: list, committed: int) -> None:
+    """Delete a store's never-manifest-committed delta dirs (resume
+    contract: a retried generation must not see a crashed attempt's
+    state). Compaction outputs are exempt — they may legitimately
+    postdate the last manifest."""
+    for idx, p in dirs:
+        if idx > committed and not fsio.exists(
+            fsio.join(p, "_COMPACTED")
+        ):
+            fsio.rmtree(p)
+
+
 def read_pending(spark: SparkSession, checkpoint_dir: str, generation: int) -> DataFrame:
     """The live pending set at a generation: just the ``status=pending``
     subdir of that generation's state directory (path-level pruning —
@@ -476,9 +513,8 @@ class Crawler:
         self._step_val_newest = None
         self._step_prev_intervals = None
         self._step_cond_batch = None
-        # highest MANIFEST-COMMITTED validators delta index (-1: none;
-        # None: resumed from a pre-validators manifest — trust all
-        # dirs). Gates delta visibility; see the validators section.
+        # highest MANIFEST-COMMITTED validators delta index (-1: none).
+        # Gates delta visibility; see the validators section.
         self._validators_committed: int | None = -1
         self._t_eager = 0.0
         self._plan = self._compile_plan_fragments()
@@ -832,25 +868,12 @@ class Crawler:
     _VALIDATORS_COMPACT_DIRS = 64
 
     def _validators_dirs(self, all_dirs: bool = False) -> list:
-        base = self._p("validators")
-        out = []
         committed = self._validators_committed
-        for fn in fsio.listdir(base):
-            if not (
-                fn.startswith("d") and fn[1:].isdigit()
-                and fsio.exists(fsio.join(base, fn, "_SUCCESS"))
-            ):
-                continue
-            idx, path = int(fn[1:]), fsio.join(base, fn)
-            if (
-                not all_dirs
-                and committed is not None
-                and idx > committed
-                and not fsio.exists(fsio.join(path, "_COMPACTED"))
-            ):
-                continue  # written but never manifest-committed
-            out.append((idx, path))
-        return sorted(out)
+        return _delta_store_dirs(
+            self._p("validators"),
+            (1 << 62) if committed is None else committed,
+            all_dirs,
+        )
 
     def _validators_df(self) -> DataFrame | None:
         """Raw validators-store rows across all committed deltas (None
@@ -968,23 +991,9 @@ class Crawler:
     _MEDIA_COMPACT_DIRS = 64
 
     def _media_dirs(self, all_dirs: bool = False) -> list:
-        base = self._p("media_seen")
-        out = []
-        for fn in fsio.listdir(base):
-            if not (
-                fn.startswith("d") and fn[1:].isdigit()
-                and fsio.exists(fsio.join(base, fn, "_SUCCESS"))
-            ):
-                continue
-            idx, path = int(fn[1:]), fsio.join(base, fn)
-            if (
-                not all_dirs
-                and idx > self._media_committed
-                and not fsio.exists(fsio.join(path, "_COMPACTED"))
-            ):
-                continue  # written but never manifest-committed
-            out.append((idx, path))
-        return sorted(out)
+        return _delta_store_dirs(
+            self._p("media_seen"), self._media_committed, all_dirs
+        )
 
     def _media_seen_df(self) -> DataFrame | None:
         dirs = self._media_dirs()
@@ -1040,13 +1049,16 @@ class Crawler:
         downloads media with no robots check at all (curl -Z,
         main.rs:257), so known-rules admission is strictly politer
         than parity. Dedup: the batch anti-joins the media-seen store
-        (bucket-pruned scan — the store never shuffles whole);
-        ATTEMPTED URLs (success or definitive failure) enter the
-        store, so a logo on every page downloads once and a dead
-        image URL doesn't retry per embedding page. One fetch pass:
-        the pooled-HTTP batch is persisted disk-backed and
-        materialized before archiving, so task retries replay the
-        cache, never the wire."""
+        (bucket-pruned scan — the store never shuffles whole); only
+        DEFINITIVE outcomes enter the store — 2xx bodies, 4xx (except
+        429), oversized — so a logo on every page downloads once and
+        a dead image URL doesn't retry per embedding page, while a
+        CDN outage (transport error, 5xx, 429) leaves its URLs
+        retryable by a later generation instead of permanently
+        missing from the archive. One fetch pass: the pooled-HTTP
+        batch is persisted disk-backed and materialized before
+        archiving, so task retries replay the cache, never the
+        wire."""
         from pyspark import StorageLevel
 
         from img_spark.operators.fetch import fetch_pages_http
@@ -1080,6 +1092,10 @@ class Crawler:
                 seen.filter(F.col("vb").isin(vbs)).select("url"),
                 "url", "left_anti",
             )
+        # with_status: every attempted URL emits a row, so attempt
+        # counts, archive rows, and the definitive-outcome set all
+        # come from ONE materialized fetch — no recomputation of the
+        # anti-join, no second wire pass
         got = fetch_pages_http(
             new,
             user_agent=self.cfg.http_user_agent,
@@ -1087,28 +1103,43 @@ class Crawler:
             connect_to=self.cfg.http_connect_to,
             partitions=self.cfg.partitions,
             retries=self.cfg.http_retries,
+            with_status=True,
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        n_fetched = got.count()  # materialize: ONE pass over the wire
+        n_attempted = got.count()  # materialize: ONE pass over the wire
+        fetched = got.filter(F.col("html").isNotNull())
+        n_fetched = fetched.count()
         out = self._p_media(g)
         if fsio.isdir(out):
             # a crashed attempt's partial archive: overwrite whole
             fsio.rmtree(out)
         if n_fetched:
             write_warc_archives(
-                got.withColumn("warc_ts", F.current_timestamp()),
+                fetched.withColumn("warc_ts", F.current_timestamp()),
                 out,
                 content_type="application/octet-stream",
             )
-        n_new = new.count()
-        if n_new:
-            self._media_committed = self._write_media_seen(new)
+        definitive = got.filter(
+            F.col("html").isNotNull()
+            | (F.col("status") == -1)
+            | (
+                F.col("status").between(400, 499)
+                & (F.col("status") != 429)
+            )
+        ).select("url")
+        n_definitive = definitive.count()
+        if n_definitive:
+            self._media_committed = self._write_media_seen(definitive)
         got.unpersist()
         checked.unpersist()
         stats = {
             "media_candidates": n_cand,
-            "media_attempted": n_new,
+            "media_attempted": n_attempted,
             "media_fetched": n_fetched,
         }
+        deferred = n_attempted - n_definitive
+        if deferred:
+            # transient failures left retryable for later generations
+            stats["media_deferred"] = deferred
         disallowed = n_cand - allowed.count()
         if disallowed:
             stats["media_disallowed"] = disallowed
@@ -2182,25 +2213,51 @@ class Crawler:
             # first-visit URLs (304 → content never extracted). Floor
             # at -1 so later manifests record the field and the
             # visibility gate engages from here on.
-            vm = m.get("validators_max")
-            self._validators_committed = -1 if vm is None else vm
-            for idx, p in self._validators_dirs(all_dirs=True):
-                if idx > self._validators_committed and not fsio.exists(
-                    fsio.join(p, "_COMPACTED")
-                ):
-                    fsio.rmtree(p)
+            self._validators_committed = self._resume_store_floor(
+                m, "validators_max", g
+            )
+            _prune_store_orphans(
+                self._validators_dirs(all_dirs=True),
+                self._validators_committed,
+            )
         if self.cfg.media_dir:
             # media-seen store: same orphan-deletion contract — an
             # uncommitted membership delta would make the retry SKIP
             # media whose archive never committed
-            mm = m.get("media_seen_max")
-            self._media_committed = -1 if mm is None else mm
-            for idx, p in self._media_dirs(all_dirs=True):
-                if idx > self._media_committed and not fsio.exists(
-                    fsio.join(p, "_COMPACTED")
-                ):
-                    fsio.rmtree(p)
+            self._media_committed = self._resume_store_floor(
+                m, "media_seen_max", g
+            )
+            _prune_store_orphans(
+                self._media_dirs(all_dirs=True), self._media_committed
+            )
         return g
+
+    def _resume_store_floor(self, m: dict, key: str, g: int) -> int:
+        """Committed floor of a manifest-gated store at resume time.
+        The resumed manifest's value when it has one; otherwise WALK
+        OLDER manifests newest-first — a crawl resumed for a while
+        WITHOUT the feature (revisit_after_s=0 / no media_dir) writes
+        manifests without the key, and wiping the older committed
+        history on the next feature-enabled resume would re-download
+        or unconditionally re-fetch everything (round-7 review). Only
+        when NO manifest ever recorded the key is the store floor -1
+        (any delta found is a crashed first attempt's orphan)."""
+        if key in m:
+            return m[key]
+        gens = []
+        for fn in fsio.listdir(self.cfg.checkpoint_dir):
+            if fn.startswith("manifest-g") and fn.endswith(".json"):
+                og = int(fn[len("manifest-g"):-len(".json")])
+                if og < g:
+                    gens.append(og)
+        for og in sorted(gens, reverse=True):
+            try:
+                om = json.loads(fsio.read_bytes(self._manifest_path(og)))
+            except (FileNotFoundError, OSError, ValueError):
+                continue
+            if key in om:
+                return om[key]
+        return -1
 
     def frontier_df(self) -> DataFrame:
         """Full frontier view at the current generation (see

@@ -539,6 +539,11 @@ def test_parse_retry_after_forms():
     assert _parse_retry_after("120") == 120.0
     assert _parse_retry_after(" 7 ") == 7.0
     assert _parse_retry_after("soon") is None
+    # Unicode digit forms are isdigit()-true but float()-invalid — the
+    # parser must return None, never raise (round-7 review: a hostile
+    # header killed the task in the code meant to defend against it)
+    assert _parse_retry_after("²") is None
+    assert _parse_retry_after("①") is None
     future = dt.datetime.now(dt.timezone.utc) + dt.timedelta(seconds=90)
     got = _parse_retry_after(format_datetime(future, usegmt=True))
     assert 85.0 <= got <= 90.5

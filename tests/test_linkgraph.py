@@ -91,7 +91,7 @@ def test_pagerank_plan_shape(spark):
     melt one reducer before the combine)."""
     df = spark.createDataFrame(EDGES, "src bigint, dst bigint")
     plan = (
-        pagerank(df, 2, 0.5, checkpoint_every=100)
+        pagerank(df, 2, 0.5, checkpoint_every=100, materialize=False)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan

@@ -24,6 +24,7 @@ CONFIG = rows_from_config([
 IMG1 = bytes(range(256)) * 16          # binary, not valid UTF-8
 IMG2 = b"\x89PNG-fake-bytes" + b"\x02" * 512
 IMG3 = b"GIF89a-fake" + b"\x03" * 128
+IMG4 = b"\xffTRANSIENT" + b"\x04" * 64
 
 # album-only index: reference parity recurses into albums only when
 # the page itself has no images (main.rs:369-471 via parse_page's
@@ -56,16 +57,19 @@ def media_server():
         "/": (INDEX, "text/html"),
         # BOTH photo pages embed the shared image (the dedup case);
         # p/2 also references a robots-blocked image and a 404 one
-        "/p/1": (_photo("shared.jpg", "own1.png"), "text/html"),
+        "/p/1": (_photo("shared.jpg", "own1.png", "transient.png"),
+                 "text/html"),
         "/p/2": (_photo("shared.jpg", "secret/hidden.jpg",
                         "missing.gif", "own2.gif"), "text/html"),
         "/shared.jpg": (IMG1, "image/jpeg"),
         "/own1.png": (IMG2, "image/png"),
         "/own2.gif": (IMG3, "image/gif"),
+        "/transient.png": (IMG4, "image/png"),
         "/secret/hidden.jpg": (IMG1, "image/jpeg"),
         # /missing.gif: 404
     }
     hits: dict = {}
+    fail5xx: set = set()  # paths currently served as 500s
     lock = threading.Lock()
 
     class H(BaseHTTPRequestHandler):
@@ -74,6 +78,11 @@ def media_server():
         def do_GET(self):
             with lock:
                 hits[self.path] = hits.get(self.path, 0) + 1
+            if self.path in fail5xx:
+                self.send_response(500)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
             entry = site.get(self.path)
             if entry is None:
                 self.send_response(404)
@@ -93,7 +102,7 @@ def media_server():
     srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
-    yield f"http://127.0.0.1:{srv.server_port}", hits
+    yield f"http://127.0.0.1:{srv.server_port}", hits, fail5xx
     srv.shutdown()
 
 
@@ -133,7 +142,7 @@ def test_media_download_end_to_end(spark, media_server, tmp_path):
     """Byte-identical archives, one wire fetch per unique media URL
     even when many pages embed it, robots-blocked media never fetched,
     404s attempted once, counts in the manifest."""
-    connect, hits = media_server
+    connect, hits, _fail = media_server
     ckpt = str(tmp_path / "ck")
     media = str(tmp_path / "media")
     c = _crawler(spark, ckpt, media, connect)
@@ -145,6 +154,7 @@ def test_media_download_end_to_end(spark, media_server, tmp_path):
         "https://m.test/shared.jpg": IMG1,
         "https://m.test/own1.png": IMG2,
         "https://m.test/own2.gif": IMG3,
+        "https://m.test/transient.png": IMG4,
     }
     # wire: the shared image (embedded by BOTH photo pages) was
     # fetched ONCE; the blocked one never
@@ -161,9 +171,9 @@ def test_media_download_end_to_end(spark, media_server, tmp_path):
                       "media_fetched", "media_disallowed"):
                 ms[k] = ms.get(k, 0) + m.get(k, 0)
             assert "media_seen_max" in m
-    assert ms["media_fetched"] == 3
+    assert ms["media_fetched"] == 4
     assert ms["media_disallowed"] == 1
-    assert ms["media_attempted"] == 4  # 3 fetched + 1 404
+    assert ms["media_attempted"] == 5  # 4 fetched + 1 404
 
     # dead-image contract: a LATER generation re-discovering the 404
     # URL must not retry it (it is in the seen store)
@@ -178,13 +188,26 @@ def test_media_seen_survives_resume_and_dedups(
     """A resumed crawl (revisit sweep re-extracting the same pages)
     fetches no media again; an orphan media-seen delta from a crashed
     step is deleted on resume."""
-    connect, hits = media_server
+    connect, hits, fail5xx = media_server
     ckpt = str(tmp_path / "ck")
     media = str(tmp_path / "media")
+    fail5xx.add("/transient.png")  # CDN outage during the first crawl
     c = _crawler(spark, ckpt, media, connect,
                  revisit_after_s=0.5, revisit_every=1_000_000)
     c.run(seeds=["https://m.test/"])
     base_hits = dict(hits)
+
+    # the outage victim is NOT blacklisted (transient ≠ definitive):
+    # not in the seen store, counted as deferred in the manifest
+    seen0 = {r["url"] for r in c._media_seen_df().collect()}
+    assert "https://m.test/transient.png" not in seen0
+    deferred = sum(
+        json.loads(fsio.read_bytes(fsio.join(ckpt, fn))).get(
+            "media_deferred", 0)
+        for fn in fsio.listdir(ckpt) if fn.startswith("manifest-g")
+    )
+    assert deferred == 1
+    fail5xx.clear()  # CDN recovers
 
     # orphan delta (crashed step): written, never manifest-committed
     i_orphan = c._write_media_seen(
@@ -201,6 +224,11 @@ def test_media_seen_survives_resume_and_dedups(
         assert hits[p] == base_hits[p], p  # zero new media fetches
     # the 404 one does NOT retry either
     assert hits["/missing.gif"] == base_hits["/missing.gif"]
+    # but the recovered CDN image DOES retry — and lands this time
+    assert hits["/transient.png"] > base_hits["/transient.png"]
+    assert (
+        _archived(spark, media)["https://m.test/transient.png"] == IMG4
+    )
 
 
 def test_media_dir_requires_http_mode(spark, tmp_path):
@@ -213,3 +241,41 @@ def test_media_dir_requires_http_mode(spark, tmp_path):
             CrawlConfig(checkpoint_dir=str(tmp_path / "ck"),
                         media_dir=str(tmp_path / "m")),
         )
+
+
+def test_media_floor_survives_featureless_resume(
+    spark, media_server, tmp_path
+):
+    """Round-7 review: resuming WITH media_dir after an intervening
+    run WITHOUT it (whose manifests omit media_seen_max) must not
+    wipe the committed media-seen history — the floor walks back to
+    the newest manifest that recorded the key."""
+    connect, _hits, _f = media_server
+    ckpt = str(tmp_path / "ck")
+    media = str(tmp_path / "media")
+    c = _crawler(spark, ckpt, media, connect)
+    c.run(seeds=["https://m.test/"])
+    floor = c._media_committed
+    assert floor >= 0
+    dirs_before = [p for _, p in c._media_dirs()]
+    assert dirs_before
+
+    # simulate a later generation committed by a media-less resume:
+    # its manifest has no media_seen_max
+    g = c.generation
+    m = json.loads(fsio.read_bytes(f"{ckpt}/manifest-g{g}.json"))
+    m.pop("media_seen_max")
+    m["generation"] = g + 1
+    fsio.write_bytes_atomic(
+        f"{ckpt}/manifest-g{g + 1}.json", json.dumps(m).encode()
+    )
+    # the frontier dir for g+1 must exist for resume bookkeeping
+    import shutil
+
+    shutil.copytree(f"{ckpt}/frontier/g{g}", f"{ckpt}/frontier/g{g + 1}")
+
+    c2 = _crawler(spark, ckpt, media, connect)
+    c2.resume()
+    assert c2._media_committed == floor        # walked back, not -1
+    for p in dirs_before:
+        assert fsio.isdir(p), p               # history intact
