@@ -45,6 +45,7 @@ def pagerank(
     dst_col: str = "dst",
     checkpoint_every: int = 4,
     materialize: bool = True,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Unnormalized PageRank over a directed edge list → (id, rank).
 
@@ -56,19 +57,42 @@ def pagerank(
     normalized formulation needs every iteration). Duplicate edges
     are collapsed; self-loops participate normally.
 
+    ``weight_col``: WEIGHTED variant — each edge carries
+    ``w / Σ w(src)`` of its source's rank instead of an equal
+    ``1/outdeg`` share (duplicate (src, dst) rows sum their weights).
+    ``host_graph``'s distinct-URL-edge counts feed this: fifty links
+    from a.test to b.test endorse b.test more than one link does.
+
     Deterministic given deterministic input: the only float work is
     a sum whose addends are fixed — with dyadic damping/degrees (the
     oracle harness uses d=0.5 and power-of-two out-degrees) the sums
     are EXACT and order-independent, so results are bit-identical
     across partitionings and engines."""
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-    )
-    deg = e.groupBy("src").agg((1.0 / F.count("*")).alias("inv_deg"))
-    # inv_deg rides the edge row: the per-iteration join carries three
-    # columns, and the division is pre-folded into one multiply
-    ed = e.join(deg, "src").persist()
+    if weight_col is not None:
+        e = (
+            edges.select(
+                F.col(src_col).alias("src"),
+                F.col(dst_col).alias("dst"),
+                F.col(weight_col).cast("double").alias("w"),
+            )
+            .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+        )
+        tot = e.groupBy("src").agg(F.sum("w").alias("tot"))
+        ed = e.join(tot, "src").select(
+            "src", "dst", (F.col("w") / F.col("tot")).alias("inv_deg")
+        ).persist()
+    else:
+        e = (
+            edges.select(
+                F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+            )
+            .distinct()
+        )
+        deg = e.groupBy("src").agg((1.0 / F.count("*")).alias("inv_deg"))
+        # inv_deg rides the edge row: the per-iteration join carries
+        # three columns, and the division is pre-folded into one
+        # multiply
+        ed = e.join(deg, "src").persist()
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -138,13 +162,15 @@ def host_rank(
     src_col: str = "src",
     dst_col: str = "dst",
 ) -> DataFrame:
-    """PageRank over the host graph → (host, score). The host table
-    is small (10^7 hosts vs 10^10 URLs) — the result broadcast-joins
+    """WEIGHTED PageRank over the host graph → (host, score): a
+    source host's endorsement splits across its targets in proportion
+    to how many distinct URL edges point at each. The host table is
+    small (10^7 hosts vs 10^10 URLs) — the result broadcast-joins
     onto dispatch as ``CrawlConfig.host_scores``."""
     hg = host_graph(edges, src_col=src_col, dst_col=dst_col)
     return pagerank(
         hg, iterations=iterations, damping=damping,
-        src_col="src_host", dst_col="dst_host",
+        src_col="src_host", dst_col="dst_host", weight_col="weight",
     ).select(F.col("id").alias("host"), F.col("rank").alias("score"))
 
 

@@ -248,3 +248,61 @@ def test_rank_driven_crawl_prioritizes_scored_host(spark, tmp_path):
     }
     assert fetched2  # something dispatched (site-b children outrank or
     # site-a comes through once b's frontier drains per the scores)
+
+
+def test_pagerank_weighted(spark):
+    """weight_col: an edge carries w/Σw(src) of its source's rank —
+    exact vs a sequential weighted reference on dyadic fractions, and
+    duplicate (src, dst) rows sum their weights."""
+    from collections import defaultdict
+
+    # dyadic weight fractions: node 0 splits 3:1 (w 6,2 → 0.75/0.25)
+    edges = [(0, 1, 6.0), (0, 2, 2.0), (1, 2, 4.0), (2, 0, 8.0)]
+
+    def ref(edges, iters, d):
+        out = defaultdict(list)
+        for s, t, w in edges:
+            out[s].append((t, w))
+        nodes = sorted({n for s, t, _ in edges for n in (s, t)})
+        ranks = {n: 1.0 for n in nodes}
+        for _ in range(iters):
+            contrib = defaultdict(float)
+            for s, tws in out.items():
+                tot = sum(w for _, w in tws)
+                for t, w in tws:
+                    contrib[t] += ranks[s] * (w / tot)
+            ranks = {n: (1 - d) + d * contrib[n] for n in nodes}
+        return ranks
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint, w double")
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(df, 8, 0.5, weight_col="w").collect()
+    }
+    assert got == ref(edges, 8, 0.5)
+    # duplicate rows SUM: splitting 0→1's weight into 4.0+2.0 rows is
+    # identical to the single 6.0 row
+    dup = [(0, 1, 4.0), (0, 1, 2.0), (0, 2, 2.0), (1, 2, 4.0),
+           (2, 0, 8.0)]
+    df2 = spark.createDataFrame(dup, "src bigint, dst bigint, w double")
+    got2 = {
+        r["id"]: r["rank"]
+        for r in pagerank(df2, 8, 0.5, weight_col="w").collect()
+    }
+    assert got2 == got
+
+
+def test_host_rank_weights_endorsement_strength(spark):
+    """host_rank is weighted: many distinct URL edges from one host
+    concentrate its endorsement on the heavier target."""
+    edges = (
+        [(f"https://hub.test/p{i}", "https://heavy.test/") for i in range(7)]
+        + [("https://hub.test/p0", "https://light.test/")]
+        # give both targets an identical second endorser so only the
+        # hub's split differentiates them
+        + [("https://other.test/a", "https://heavy.test/"),
+           ("https://other.test/a", "https://light.test/")]
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    s = {r["host"]: r["score"] for r in host_rank(df, 8, 0.5).collect()}
+    assert s["heavy.test"] > s["light.test"]
