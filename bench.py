@@ -567,6 +567,9 @@ def main():
             "dedup_exact": "workload grew at r7 (line-level dedup "
                            "folded into the query); its normalized "
                            "series breaks here",
+            "doc_fingerprint": "workload grew at r7 (8-iteration "
+                               "PageRank link_rank folded into the "
+                               "query); its time series breaks here",
         },
         "queries": queries,
         "sf": SF_DIR,
