@@ -198,3 +198,38 @@ def link_edges(spark, checkpoint_dir: str) -> DataFrame:
         .select(F.col("parent_url").alias("src"), F.col("url").alias("dst"))
         .distinct()
     )
+
+
+def host_quality_scores(
+    docs: DataFrame, host_col: str = "host", text_col: str = "text"
+) -> DataFrame:
+    """Quality-prior host scores for the scheduler: (host, score,
+    n_docs) where score is the fraction of the host's documents
+    passing the Gopher-style quality gates
+    (operators/textquality.quality_signals ``keep``). Feeds
+    ``Crawler(host_scores=...)`` directly — a continuous crawl can
+    rank its next batch by where the USABLE text came from, closing
+    the loop between curation and scheduling (link_rank measures
+    endorsement; this measures yield — combine them in a
+    priority_score expression).
+
+    Scale shape: the host rides through as the signals frame's id
+    column, so the whole thing is one map-combinable aggregate over
+    the corpus — no join, no corpus-sized shuffle (the output is
+    host-cardinality)."""
+    from img_spark.operators.textquality import quality_signals
+
+    sig = quality_signals(
+        docs.select(
+            F.col(host_col).alias("doc_id"), F.col(text_col)
+        ),
+        text_col=text_col,
+    )
+    return (
+        sig.groupBy("doc_id")
+        .agg(
+            F.avg(F.col("keep").cast("double")).alias("score"),
+            F.count("*").alias("n_docs"),
+        )
+        .withColumnRenamed("doc_id", "host")
+    )

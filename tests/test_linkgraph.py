@@ -306,3 +306,32 @@ def test_host_rank_weights_endorsement_strength(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     s = {r["host"]: r["score"] for r in host_rank(df, 8, 0.5).collect()}
     assert s["heavy.test"] > s["light.test"]
+
+
+def test_host_quality_scores_rank_usable_hosts(spark):
+    """Hosts whose documents pass the quality gates score higher; the
+    aggregate is host-keyed with no corpus join (plan has no
+    SortMergeJoin/BroadcastHashJoin) and partial-aggregates map-side."""
+    from img_spark.operators.linkgraph import host_quality_scores
+
+    good = ("a solid paragraph of useful prose with enough words to "
+            "pass every gopher gate comfortably and naturally")
+    docs = [
+        (f"g{i}", "good.test", good) for i in range(4)
+    ] + [
+        ("b0", "junk.test", "x"),                    # too few tokens
+        ("b1", "junk.test", good),                   # one usable doc
+        ("m0", "mixed.test", good),
+        ("m1", "mixed.test", "zzzzzzzzzzzz"),        # 1 token
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, host string, text string")
+    out = host_quality_scores(df)
+    got = {r["host"]: (r["score"], r["n_docs"]) for r in out.collect()}
+    assert got["good.test"] == (1.0, 4)
+    assert got["junk.test"] == (0.5, 2)
+    assert got["mixed.test"] == (0.5, 2)
+    # scheduler contract: (host, score) plugs straight into
+    # Crawler(host_scores=...)
+    assert {"host", "score"} <= set(out.columns)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "partial_" in plan
