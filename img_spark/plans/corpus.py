@@ -145,6 +145,74 @@ def crawl_documents(
     )
 
 
+def media_documents(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    media_dir: str | None = None,
+    min_generation: int = -1,
+) -> DataFrame:
+    """The image-text-pair view of a crawl: one row per unique
+    downloadable media URL — (media_url, caption, page_url, host,
+    dir, filename, generation[, payload, archived]) — the shape a
+    multimodal training pipeline ingests. Caption precedence follows
+    the reference's own naming: the per-image title of a two-level
+    ``<url> | <title>`` pair when present (main.rs:580-609), else the
+    embedding page's title. A media URL embedded by many pages keeps
+    the NEWEST generation's metadata (deterministic struct max, same
+    policy as ``crawl_documents``).
+
+    ``media_dir`` (the crawl's ``CrawlConfig.media_dir`` output):
+    also attach the archived bytes — ``payload`` (binary, NULL when
+    the fetch never succeeded: robots-blocked, 404, deferred CDN
+    outage) and ``archived`` boolean. The join reads the media WARC
+    archives through ``read_warc_pages`` (newest capture per URL);
+    at corpus scale that is one archive-sized shuffle on media_url —
+    the join both sides are media-cardinality, never page-fanout."""
+    from img_spark.sources.warc import read_warc_pages
+
+    base = fsio.join(checkpoint_dir, "extracted")
+    gens = [
+        g for g in _committed_generations(checkpoint_dir)
+        if g > min_generation
+    ]
+    if not gens:
+        raise FileNotFoundError(f"no committed extracted deltas under {base}")
+    df = spark.read.parquet(*[fsio.join(base, f"g{g}") for g in gens])
+    caption = F.when(
+        F.col("img_url").contains(" | "),
+        F.substring_index(F.col("img_url"), " | ", -1),
+    ).otherwise(F.col("title"))
+    rows = (
+        df.filter(F.col("download_url").isNotNull())
+        .groupBy(F.col("download_url").alias("media_url"))
+        .agg(
+            F.max(F.struct(
+                "generation", caption.alias("caption"),
+                "page_url", "host", "dir", "filename",
+            )).alias("s")
+        )
+        .select(
+            "media_url",
+            F.col("s.caption").alias("caption"),
+            F.col("s.page_url").alias("page_url"),
+            F.col("s.host").alias("host"),
+            F.col("s.dir").alias("dir"),
+            F.col("s.filename").alias("filename"),
+            F.col("s.generation").alias("generation"),
+        )
+    )
+    if media_dir is None:
+        return rows
+    archived = read_warc_pages(
+        spark, fsio.join(media_dir, "g*", "*.warc.gz")
+    ).select(
+        F.col("url").alias("media_url"), F.col("html").alias("payload")
+    )
+    return rows.join(archived, "media_url", "left").withColumn(
+        "archived", F.col("payload").isNotNull()
+    )
+
+
 def pages_documents(
     pages: DataFrame, text_source: str = "full",
 ) -> DataFrame:
