@@ -185,6 +185,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "gates, language ID, exact dedup, stratified "
                         "sampling) and write it lang-partitioned to "
                         "OUT (plans/corpus.build_corpus)")
+    p.add_argument("--media-corpus", default=None, metavar="OUT",
+                   help="after the crawl: write the image-text-pair "
+                        "table (media_url, caption, page metadata, and "
+                        "the archived bytes when --media-dir was used) "
+                        "to OUT as parquet "
+                        "(plans/corpus.media_documents)")
     p.add_argument("--curate-rates", default=None,
                    help="lang=rate[,lang=rate...] stratified sampling "
                         "rates for --curate (default rate 1.0)")
@@ -579,6 +585,18 @@ def main(argv=None) -> int:
                 text_source=args.curate_text or "full",
             )
         print(json.dumps({"curated": args.curate, **summary}), flush=True)
+
+    if args.media_corpus:
+        from img_spark.plans.corpus import media_documents
+
+        pairs = media_documents(
+            spark, args.checkpoint, media_dir=args.media_dir
+        )
+        pairs.write.mode("overwrite").parquet(args.media_corpus)
+        n = spark.read.parquet(args.media_corpus).count()
+        print(json.dumps(
+            {"media_corpus": args.media_corpus, "media_rows": n}
+        ), flush=True)
 
     print(json.dumps({
         "done": True,

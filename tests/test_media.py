@@ -353,3 +353,37 @@ def test_media_documents_two_level_caption(spark, tmp_path):
     r = rows["https://t.test/full.jpg"]
     assert r["caption"] == "Fresh Caption"   # newest gen + pair title
     assert r["generation"] == 2
+
+
+def test_job_media_dir_and_media_corpus(spark, media_server, tmp_path):
+    """job.py end to end: --media-dir archives the crawl's media and
+    --media-corpus writes the image-text-pair parquet with the bytes
+    attached."""
+    import json as _json
+
+    import job
+
+    connect, _hits, _f = media_server
+    cfg_json = str(tmp_path / "web.json")
+    with open(cfg_json, "w") as f:
+        _json.dump(
+            [{"Site": "m.test", "Img": "div.photo img",
+              "Album": "div.alb a"}], f,
+        )
+    ckpt = str(tmp_path / "ckpt")
+    media = str(tmp_path / "media")
+    pairs_out = str(tmp_path / "pairs")
+    rc = job.main([
+        "--fetch-mode", "http", "--connect-to", connect,
+        "--checkpoint", ckpt, "--config", cfg_json, "--partitions", "4",
+        "--seeds", "https://m.test/", "--max-generations", "4",
+        "--media-dir", media, "--media-corpus", pairs_out,
+    ])
+    assert rc == 0
+    pairs = {
+        r["media_url"]: r for r in spark.read.parquet(pairs_out).collect()
+    }
+    assert bytes(pairs["https://m.test/shared.jpg"]["payload"]) == IMG1
+    assert pairs["https://m.test/own1.png"]["caption"] == "M photo"
+    assert pairs["https://m.test/missing.gif"]["payload"] is None
+    assert len(pairs) == 6
