@@ -76,6 +76,12 @@ def pagerank(
                 F.col(weight_col).cast("double").alias("w"),
             )
             .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+            # w<=0 / NULL edges carry no endorsement — drop them
+            # EXPLICITLY (a src whose weights sum to 0 would otherwise
+            # divide 0/0 into NULL shares and silently vanish from the
+            # graph; dropping makes it a dangling node, the same
+            # treatment a src with no edges gets)
+            .filter(F.col("w") > 0)
         )
         tot = e.groupBy("src").agg(F.sum("w").alias("tot"))
         ed = e.join(tot, "src").select(
@@ -141,9 +147,15 @@ def host_graph(
     from img_spark.operators.urlexprs import host_of
 
     return (
-        edges.select(
-            host_of(F.col(src_col)).alias("src_host"),
-            host_of(F.col(dst_col)).alias("dst_host"),
+        # DISTINCT url edges first — the promised weight semantics; a
+        # raw multi-generation frontier dump re-discovers the same
+        # link many times, and re-discovery multiplicity must not
+        # inflate endorsement
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .distinct()
+        .select(
+            host_of(F.col("u")).alias("src_host"),
+            host_of(F.col("v")).alias("dst_host"),
         )
         .filter(
             F.col("src_host").isNotNull()
@@ -228,7 +240,11 @@ def host_quality_scores(
     return (
         sig.groupBy("doc_id")
         .agg(
-            F.avg(F.col("keep").cast("double")).alias("score"),
+            # NULL keep (NULL-text doc) counts as NOT passing — avg()
+            # would skip it and rank a 9-NULLs-1-pass host at 1.0
+            F.avg(
+                F.coalesce(F.col("keep"), F.lit(False)).cast("double")
+            ).alias("score"),
             F.count("*").alias("n_docs"),
         )
         .withColumnRenamed("doc_id", "host")

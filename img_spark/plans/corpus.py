@@ -178,9 +178,15 @@ def media_documents(
     if not gens:
         raise FileNotFoundError(f"no committed extracted deltas under {base}")
     df = spark.read.parquet(*[fsio.join(base, f"g{g}") for g in gens])
+    # split on the FIRST ' | ' (reference splitn(2), main.rs:580-609 —
+    # the same rule filename_expr/derive_filename use): a per-image
+    # title may itself contain ' | ', and substring_index(-1) would
+    # truncate 'Sunset | Beach' to 'Beach'
     caption = F.when(
         F.col("img_url").contains(" | "),
-        F.substring_index(F.col("img_url"), " | ", -1),
+        F.col("img_url").substr(
+            F.instr(F.col("img_url"), " | ") + F.lit(3), F.lit(1 << 30)
+        ),
     ).otherwise(F.col("title"))
     rows = (
         df.filter(F.col("download_url").isNotNull())
@@ -203,6 +209,21 @@ def media_documents(
     )
     if media_dir is None:
         return rows
+    # a crawl can legitimately archive NOTHING (all media blocked /
+    # 404 / deferred by an outage): _fetch_media only writes g{g} on
+    # a non-empty fetch, and an unguarded glob read would fail the
+    # whole job instead of returning NULL payloads
+    has_archive = fsio.isdir(media_dir) and any(
+        fn.endswith(".warc.gz")
+        for d in fsio.listdir(media_dir)
+        if fsio.isdir(fsio.join(media_dir, d))
+        for fn in fsio.listdir(fsio.join(media_dir, d))
+    )
+    if not has_archive:
+        return rows.withColumns({
+            "payload": F.lit(None).cast("binary"),
+            "archived": F.lit(False),
+        })
     archived = read_warc_pages(
         spark, fsio.join(media_dir, "g*", "*.warc.gz")
     ).select(

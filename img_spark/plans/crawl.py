@@ -1076,6 +1076,9 @@ class Crawler:
         ).persist()
         n_cand = checked.count()
         allowed = checked.filter(F.col("allowed"))
+        # counted HERE, off the live cache — after unpersist this
+        # would re-run the candidate scan + robots evaluation
+        n_allowed = allowed.count()
         seen = self._media_seen_df()
         new = allowed.select("url", "host", "crawl_delay")
         if seen is not None:
@@ -1140,7 +1143,7 @@ class Crawler:
         if deferred:
             # transient failures left retryable for later generations
             stats["media_deferred"] = deferred
-        disallowed = n_cand - allowed.count()
+        disallowed = n_cand - n_allowed
         if disallowed:
             stats["media_disallowed"] = disallowed
         return stats
@@ -2198,23 +2201,18 @@ class Crawler:
             for k, v in m.get("frontier_status", {}).items()
             if k != "pending"
         }
+        # restore each manifest-gated store's visibility frontier and
+        # DELETE deltas a crashed (never-committed) step left behind —
+        # a retried generation must refetch unconditionally / must not
+        # skip media whose archive never committed. Compaction outputs
+        # (_COMPACTED) are exempt: they may legitimately postdate the
+        # last manifest. See _resume_store_floor for the missing-key
+        # walk-back.
+        older = sorted((x for x in gens if x < g), reverse=True)
+        manifest_cache: dict = {}
         if self._conditional:
-            # restore the validators visibility frontier and DELETE
-            # deltas a crashed (never-committed) step left behind — a
-            # retried generation must refetch unconditionally, or its
-            # first-visit pages come back 304 and are never extracted.
-            # Compaction outputs (_COMPACTED) are exempt: they may
-            # legitimately postdate the last manifest.
-            # a manifest WITHOUT validators_max (pre-validators code, or
-            # a run that had revisit_after_s=0) means nothing was ever
-            # committed — a delta dir found anyway is the orphan of a
-            # crashed first-conditional-generation attempt and must go
-            # too, or the retry attaches the crashed attempt's ETags to
-            # first-visit URLs (304 → content never extracted). Floor
-            # at -1 so later manifests record the field and the
-            # visibility gate engages from here on.
             self._validators_committed = self._resume_store_floor(
-                m, "validators_max", g
+                m, "validators_max", older, manifest_cache
             )
             _prune_store_orphans(
                 self._validators_dirs(all_dirs=True),
@@ -2225,14 +2223,16 @@ class Crawler:
             # uncommitted membership delta would make the retry SKIP
             # media whose archive never committed
             self._media_committed = self._resume_store_floor(
-                m, "media_seen_max", g
+                m, "media_seen_max", older, manifest_cache
             )
             _prune_store_orphans(
                 self._media_dirs(all_dirs=True), self._media_committed
             )
         return g
 
-    def _resume_store_floor(self, m: dict, key: str, g: int) -> int:
+    def _resume_store_floor(
+        self, m: dict, key: str, older: list, cache: dict
+    ) -> int:
         """Committed floor of a manifest-gated store at resume time.
         The resumed manifest's value when it has one; otherwise WALK
         OLDER manifests newest-first — a crawl resumed for a while
@@ -2241,22 +2241,22 @@ class Crawler:
         history on the next feature-enabled resume would re-download
         or unconditionally re-fetch everything (round-7 review). Only
         when NO manifest ever recorded the key is the store floor -1
-        (any delta found is a crashed first attempt's orphan)."""
+        (any delta found is a crashed first attempt's orphan).
+        ``older`` is resume()'s already-computed manifest-generation
+        list (newest first); ``cache`` memoizes manifest reads across
+        the per-store calls — no duplicate listdir or JSON I/O."""
         if key in m:
             return m[key]
-        gens = []
-        for fn in fsio.listdir(self.cfg.checkpoint_dir):
-            if fn.startswith("manifest-g") and fn.endswith(".json"):
-                og = int(fn[len("manifest-g"):-len(".json")])
-                if og < g:
-                    gens.append(og)
-        for og in sorted(gens, reverse=True):
-            try:
-                om = json.loads(fsio.read_bytes(self._manifest_path(og)))
-            except (FileNotFoundError, OSError, ValueError):
-                continue
-            if key in om:
-                return om[key]
+        for og in older:
+            if og not in cache:
+                try:
+                    cache[og] = json.loads(
+                        fsio.read_bytes(self._manifest_path(og))
+                    )
+                except (FileNotFoundError, OSError, ValueError):
+                    cache[og] = {}
+            if key in cache[og]:
+                return cache[og][key]
         return -1
 
     def frontier_df(self) -> DataFrame:

@@ -354,6 +354,25 @@ def test_media_documents_two_level_caption(spark, tmp_path):
     assert r["caption"] == "Fresh Caption"   # newest gen + pair title
     assert r["generation"] == 2
 
+    # split on the FIRST ' | ' (reference splitn(2)): a caption that
+    # itself contains ' | ' survives whole
+    spark.createDataFrame([
+        ("https://t.test/p", "t.test", "Page Title",
+         "https://t.test/s.jpg | Sunset | Beach",
+         "https://t.test/s.jpg", "d", "s.jpg", 3),
+    ], cols).write.parquet(str(ckpt / "extracted" / "g3"))
+    (ckpt / "manifest-g3.json").write_text('{"generation": 3}')
+    rows3 = {r["media_url"]: r["caption"]
+             for r in media_documents(spark, str(ckpt)).collect()}
+    assert rows3["https://t.test/s.jpg"] == "Sunset | Beach"
+
+    # media_dir with NOTHING archived: NULL payloads, no crash
+    empty_media = tmp_path / "media"
+    empty_media.mkdir()
+    out = media_documents(spark, str(ckpt), media_dir=str(empty_media))
+    got = out.collect()
+    assert all(r["payload"] is None and not r["archived"] for r in got)
+
 
 def test_job_media_dir_and_media_corpus(spark, media_server, tmp_path):
     """job.py end to end: --media-dir archives the crawl's media and
