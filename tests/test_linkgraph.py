@@ -335,3 +335,38 @@ def test_host_quality_scores_rank_usable_hosts(spark):
     assert {"host", "score"} <= set(out.columns)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "partial_" in plan
+
+
+def test_dispatch_global_cap_composes_with_salted_dispatch(spark):
+    """The fleet cap composes with the skew-safe two-phase dispatch:
+    identical dispatch set to the unsalted path (salting never changes
+    WHO wins), rest rows stay held."""
+    from img_spark.operators.politeness import (
+        dispatch_global_cap,
+        dispatch_top_k,
+        dispatch_top_k_salted,
+    )
+
+    rows = [
+        (f"https://h{h}.test/p{i}", f"h{h}.test", 1, f"{i:08x}", float(h))
+        for h in range(5)
+        for i in range(6)
+    ]
+    pending = spark.createDataFrame(
+        rows, "url string, host string, depth int, path string,"
+        " host_score double",
+    ).withColumn("crawl_delay", F.lit(0.0))
+    plain = dispatch_global_cap(
+        dispatch_top_k(pending, 2, order="score", score="host_score"),
+        4, order="score", score="host_score",
+    )
+    salted = dispatch_global_cap(
+        dispatch_top_k_salted(
+            pending, 2, order="score", score="host_score", salts=4
+        ),
+        4, order="score", score="host_score",
+    )
+    a = sorted(r["url"] for r in plain.filter("dispatch").collect())
+    b = sorted(r["url"] for r in salted.filter("dispatch").collect())
+    assert a == b and len(a) == 4
+    assert salted.count() == len(rows)
