@@ -741,7 +741,13 @@ def q_quality(spark, sf_dir):
     """Gopher-style gates: length/word/punct/stopword signals AND the
     duplicate-line repetition signals in one row per doc (the repetition
     branch is exercised by planting repeated lines in every 3rd doc —
-    same planting as the standalone repetition fixture used in r2/r3)."""
+    same planting as the standalone repetition fixture used in r2/r3).
+    PLUS the host-quality-prior branch (folded — registry cap):
+    ``host_quality_scores`` over the same docs with ``source`` as the
+    host key, joined back per doc — the per-host keep fraction is an
+    average of exact 0.0/1.0 doubles, so it hash-matches the oracle's
+    avg without quantization."""
+    from img_spark.operators.linkgraph import host_quality_scores
     from img_spark.operators.textquality import repetition_signals
 
     head = F.substring(F.col("text"), 1, 40)
@@ -749,8 +755,22 @@ def q_quality(spark, sf_dir):
         F.col("doc_id") % 3 == 0,
         F.concat_ws("\n", F.col("text"), head, head, head, head),
     ).otherwise(F.concat_ws("\n", F.col("text"), head))
-    d = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
-    return quality_signals(d).join(repetition_signals(d), "doc_id")
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", text.alias("text")
+    )
+    hqs = host_quality_scores(d, host_col="source").select(
+        "host",
+        F.col("score").alias("host_quality"),
+        F.col("n_docs").alias("host_docs"),
+    )
+    return (
+        quality_signals(d)
+        .join(repetition_signals(d), "doc_id")
+        .join(
+            d.select("doc_id", F.col("source").alias("host")), "doc_id"
+        )
+        .join(hqs, "host")
+    )
 
 
 def _sql_quality():
@@ -773,19 +793,32 @@ s AS (
         t -> list_contains([{words}], t))) AS stop_hits,
     len(string_split(text, chr(10))) AS n_lines,
     len(list_distinct(string_split(text, chr(10)))) AS n_distinct_lines
-  FROM t)
-SELECT doc_id, n_chars, n_tokens,
+  FROM t),
+k AS (
+  SELECT doc_id,
+    (n_tokens >= 10 AND n_tokens <= 100000
+     AND round(no_ws / n_tokens, 6) >= 2.0
+     AND round(no_ws / n_tokens, 6) <= 12.0) AS keep
+  FROM s),
+hq AS (
+  SELECT d.source AS host,
+    avg(CASE WHEN k.keep THEN 1.0 ELSE 0.0 END) AS host_quality,
+    count(*) AS host_docs
+  FROM k JOIN documents d USING (doc_id) GROUP BY d.source)
+SELECT s.doc_id, s.n_chars AS n_chars, n_tokens,
   round(no_ws / n_tokens, 6) AS mean_word_len,
   punct AS punct_chars,
-  round(punct / n_chars, 6) AS punct_ratio,
+  round(punct / s.n_chars, 6) AS punct_ratio,
   stop_hits AS stopword_hits,
-  (n_tokens >= 10 AND n_tokens <= 100000
-   AND round(no_ws / n_tokens, 6) >= 2.0
-   AND round(no_ws / n_tokens, 6) <= 12.0) AS keep,
+  k.keep AS keep,
   n_lines, n_distinct_lines,
   round((n_lines - n_distinct_lines) / n_lines, 6) AS dup_line_frac,
-  round((n_lines - n_distinct_lines) / n_lines, 6) <= 0.3 AS keep_repetition
+  round((n_lines - n_distinct_lines) / n_lines, 6) <= 0.3 AS keep_repetition,
+  d.source AS host, hq.host_quality, hq.host_docs
 FROM s
+JOIN k USING (doc_id)
+JOIN documents d ON d.doc_id = s.doc_id
+JOIN hq ON hq.host = d.source
 """
 
 
@@ -813,9 +846,31 @@ def q_fingerprint(spark, sf_dir):
     ranks = pagerank(e, iterations=8, damping=0.5).withColumnRenamed(
         "id", "doc_id"
     )
-    return d.select(
-        "doc_id", fingerprint(F.col("text")).alias("fp")
-    ).join(ranks, "doc_id").withColumnRenamed("rank", "link_rank")
+    # WEIGHTED branch under the same gate: edge weights 1 and 3 per
+    # source (Σ=4 → shares 0.25/0.75, still dyadic → still exact);
+    # the collision node's two edges merge to one with w=4 → share 1
+    ew = d.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 2 + 1) % n).alias("dst"),
+        F.lit(1.0).alias("w"),
+    ).unionByName(
+        d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 3 + 7) % n).alias("dst"),
+            F.lit(3.0).alias("w"),
+        )
+    )
+    ranks_w = pagerank(
+        ew, iterations=8, damping=0.5, weight_col="w"
+    ).select(
+        F.col("id").alias("doc_id"), F.col("rank").alias("link_rank_w")
+    )
+    return (
+        d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .join(ranks, "doc_id")
+        .withColumnRenamed("rank", "link_rank")
+        .join(ranks_w, "doc_id")
+    )
 
 
 def _sql_fingerprint():
@@ -846,13 +901,42 @@ r0 AS (SELECT id, 1.0::DOUBLE AS rank FROM nodes)"""
     SELECT ed.dst AS id, sum(r.rank * ed.inv_deg) AS c
     FROM ed JOIN r{i-1} r ON r.id = ed.src GROUP BY ed.dst) c
     USING (id))""")
+    # weighted twin: per-source edge weights 1 and 3 (shares 0.25 /
+    # 0.75 — dyadic), duplicate (src,dst) rows summed first
+    parts.append("""we AS (
+  SELECT src, dst, sum(w) AS w FROM (
+    SELECT doc_id AS src,
+           (doc_id*2+1) % (SELECT count(*) FROM documents) AS dst,
+           1.0::DOUBLE AS w
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           (doc_id*3+7) % (SELECT count(*) FROM documents),
+           3.0::DOUBLE
+    FROM documents) GROUP BY src, dst),
+wed AS (
+  SELECT we.src, we.dst, we.w / t.tot AS inv_deg
+  FROM we JOIN (SELECT src, sum(w) AS tot FROM we GROUP BY src) t
+    USING (src)),
+wr0 AS (SELECT id, 1.0::DOUBLE AS rank FROM nodes)""")
+    for i in range(1, 9):
+        parts.append(f"""wr{i} AS (
+  SELECT n.id, 0.5::DOUBLE + 0.5::DOUBLE * coalesce(c.c, 0.0::DOUBLE)
+           AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT wed.dst AS id, sum(r.rank * wed.inv_deg) AS c
+    FROM wed JOIN wr{i-1} r ON r.id = wed.src GROUP BY wed.dst) c
+    USING (id))""")
     ctes = ",\n".join(parts)
     return (
         "WITH " + ctes + r"""
 SELECT doc_id,
        md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
-       r8.rank AS link_rank
-FROM documents JOIN r8 ON r8.id = documents.doc_id
+       r8.rank AS link_rank,
+       wr8.rank AS link_rank_w
+FROM documents
+JOIN r8 ON r8.id = documents.doc_id
+JOIN wr8 ON wr8.id = documents.doc_id
 """
     )
 
