@@ -568,8 +568,12 @@ def main():
                            "folded into the query); its normalized "
                            "series breaks here",
             "doc_fingerprint": "workload grew at r7 (8-iteration "
-                               "PageRank link_rank folded into the "
-                               "query); its time series breaks here",
+                               "PageRank link_rank + weighted "
+                               "link_rank_w folded into the query); "
+                               "its time series breaks here",
+            "quality_signals": "workload grew slightly at r7 "
+                               "(host-quality branch folded into the "
+                               "query)",
         },
         "queries": queries,
         "sf": SF_DIR,
