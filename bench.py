@@ -761,7 +761,7 @@ call either way. The discriminating series starts at BENCH_r04.
 
 ## Methodology series breaks (round 7)
 
-Four recording changes land in BENCH_r07 — compare across rounds
+Six recording changes land in BENCH_r07 — compare across rounds
 accordingly (each is also recorded in the JSON's `methodology` field):
 
 1. **`value` is now the sum of per-query engine seconds.** Through r6
@@ -788,6 +788,16 @@ accordingly (each is also recorded in the JSON's `methodology` field):
    query's work. Its `dedup_normalized` series breaks here
    (r6 0.358 → r7 ~0.08-0.12 is the added work, not a regression);
    the other four dedup-family keys are unchanged and comparable.
+5. **`doc_fingerprint`'s workload grew at r7** — 8-iteration PageRank
+   (`link_rank` plus the weighted `link_rank_w` twin over the dyadic
+   synthetic graph, operators/linkgraph.py) was folded into the same
+   registry query. Sub-second through r6, seconds from r7 (the
+   iterative joins dominate the md5); a time-series break, not a
+   regression.
+6. **`quality_signals`' workload grew at r7** — the host-quality
+   branch (`host_quality_scores`, which runs the Gopher gate a second
+   time host-keyed) folded into the query; expect roughly 2× the r6
+   time.
 
 Round-6 bench-window adjudication (recorded so it isn't re-litigated):
 the across-the-board r6 raw-time regressions were HOST NOISE — an A/B

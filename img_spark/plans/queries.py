@@ -777,14 +777,14 @@ def _sql_quality():
     words = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     return f"""
 WITH t AS (
-  SELECT doc_id,
+  SELECT doc_id, source,
     CASE WHEN doc_id % 3 = 0
          THEN text || '\n' || substr(text,1,40) || '\n' || substr(text,1,40)
               || '\n' || substr(text,1,40) || '\n' || substr(text,1,40)
          ELSE text || '\n' || substr(text,1,40) END AS text
   FROM documents),
 s AS (
-  SELECT doc_id,
+  SELECT doc_id, source,
     length(text) AS n_chars,
     len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens,
     length(regexp_replace(text, '\\s+', '', 'g')) AS no_ws,
@@ -801,10 +801,10 @@ k AS (
      AND round(no_ws / n_tokens, 6) <= 12.0) AS keep
   FROM s),
 hq AS (
-  SELECT d.source AS host,
+  SELECT s.source AS host,
     avg(CASE WHEN k.keep THEN 1.0 ELSE 0.0 END) AS host_quality,
     count(*) AS host_docs
-  FROM k JOIN documents d USING (doc_id) GROUP BY d.source)
+  FROM k JOIN s USING (doc_id) GROUP BY s.source)
 SELECT s.doc_id, s.n_chars AS n_chars, n_tokens,
   round(no_ws / n_tokens, 6) AS mean_word_len,
   punct AS punct_chars,
@@ -814,11 +814,10 @@ SELECT s.doc_id, s.n_chars AS n_chars, n_tokens,
   n_lines, n_distinct_lines,
   round((n_lines - n_distinct_lines) / n_lines, 6) AS dup_line_frac,
   round((n_lines - n_distinct_lines) / n_lines, 6) <= 0.3 AS keep_repetition,
-  d.source AS host, hq.host_quality, hq.host_docs
+  s.source AS host, hq.host_quality, hq.host_docs
 FROM s
 JOIN k USING (doc_id)
-JOIN documents d ON d.doc_id = s.doc_id
-JOIN hq ON hq.host = d.source
+JOIN hq ON hq.host = s.source
 """
 
 
@@ -834,22 +833,11 @@ def q_fingerprint(spark, sf_dir):
 
     d = _docs(spark, sf_dir)
     n = d.count()  # one bounded scalar (node-id modulus)
-    e = d.select(
-        F.col("doc_id").alias("src"),
-        ((F.col("doc_id") * 2 + 1) % n).alias("dst"),
-    ).unionByName(
-        d.select(
-            F.col("doc_id").alias("src"),
-            ((F.col("doc_id") * 3 + 7) % n).alias("dst"),
-        )
-    )
-    ranks = pagerank(e, iterations=8, damping=0.5).withColumnRenamed(
-        "id", "doc_id"
-    )
-    # WEIGHTED branch under the same gate: edge weights 1 and 3 per
-    # source (Σ=4 → shares 0.25/0.75, still dyadic → still exact);
-    # the collision node's two edges merge to one with w=4 → share 1
-    ew = d.select(
+    # ONE graph definition serves both branches (weights 1 and 3 per
+    # source — Σ=4 → shares 0.25/0.75, still dyadic → still exact; the
+    # collision node's two edges merge to one with w=4 → share 1). The
+    # unweighted branch simply ignores w (pagerank distincts edges).
+    raw = d.select(
         F.col("doc_id").alias("src"),
         ((F.col("doc_id") * 2 + 1) % n).alias("dst"),
         F.lit(1.0).alias("w"),
@@ -860,8 +848,11 @@ def q_fingerprint(spark, sf_dir):
             F.lit(3.0).alias("w"),
         )
     )
+    ranks = pagerank(raw, iterations=8, damping=0.5).withColumnRenamed(
+        "id", "doc_id"
+    )
     ranks_w = pagerank(
-        ew, iterations=8, damping=0.5, weight_col="w"
+        raw, iterations=8, damping=0.5, weight_col="w"
     ).select(
         F.col("id").alias("doc_id"), F.col("rank").alias("link_rank_w")
     )
@@ -873,60 +864,54 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def _pr_chain(prefix: str, edge_cte: str, iters: int = 8) -> list:
+    """One source of truth for the unrolled PageRank iteration body —
+    the unweighted (r*/ed) and weighted (wr*/wed) chains differ ONLY
+    by these names; duplicating the body by hand is how the two twins
+    would silently desynchronize."""
+    return [f"""{prefix}{i} AS (
+  SELECT n.id, 0.5::DOUBLE + 0.5::DOUBLE * coalesce(c.c, 0.0::DOUBLE)
+           AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT {edge_cte}.dst AS id, sum(r.rank * {edge_cte}.inv_deg) AS c
+    FROM {edge_cte} JOIN {prefix}{i - 1} r
+      ON r.id = {edge_cte}.src GROUP BY {edge_cte}.dst) c
+    USING (id))""" for i in range(1, iters + 1)]
+
+
 def _sql_fingerprint():
-    """Unrolled 8-iteration PageRank CTE chain + the md5 fingerprint
-    (matches q_fingerprint exactly — dyadic floats, see its doc)."""
+    """Unrolled 8-iteration PageRank CTE chains (unweighted +
+    weighted) + the md5 fingerprint (matches q_fingerprint exactly —
+    dyadic floats, see its doc). ONE ``raw`` edge definition feeds
+    both chains, mirroring the Spark side's single ``raw`` frame."""
     parts = [
-        """e AS (
+        """raw AS (
   SELECT doc_id AS src,
-         (doc_id*2+1) % (SELECT count(*) FROM documents) AS dst
+         (doc_id*2+1) % (SELECT count(*) FROM documents) AS dst,
+         1.0::DOUBLE AS w
   FROM documents
-  UNION
+  UNION ALL
   SELECT doc_id,
-         (doc_id*3+7) % (SELECT count(*) FROM documents)
+         (doc_id*3+7) % (SELECT count(*) FROM documents),
+         3.0::DOUBLE
   FROM documents),
+e AS (SELECT DISTINCT src, dst FROM raw),
 ed AS (
   SELECT e.src, e.dst, 1.0::DOUBLE / d.cnt AS inv_deg
   FROM e JOIN (SELECT src, count(*) AS cnt FROM e GROUP BY src) d
     USING (src)),
-nodes AS (SELECT DISTINCT src AS id FROM e
-          UNION SELECT DISTINCT dst FROM e),
-r0 AS (SELECT id, 1.0::DOUBLE AS rank FROM nodes)"""
-    ]
-    for i in range(1, 9):
-        parts.append(f"""r{i} AS (
-  SELECT n.id, 0.5::DOUBLE + 0.5::DOUBLE * coalesce(c.c, 0.0::DOUBLE)
-           AS rank
-  FROM nodes n LEFT JOIN (
-    SELECT ed.dst AS id, sum(r.rank * ed.inv_deg) AS c
-    FROM ed JOIN r{i-1} r ON r.id = ed.src GROUP BY ed.dst) c
-    USING (id))""")
-    # weighted twin: per-source edge weights 1 and 3 (shares 0.25 /
-    # 0.75 — dyadic), duplicate (src,dst) rows summed first
-    parts.append("""we AS (
-  SELECT src, dst, sum(w) AS w FROM (
-    SELECT doc_id AS src,
-           (doc_id*2+1) % (SELECT count(*) FROM documents) AS dst,
-           1.0::DOUBLE AS w
-    FROM documents
-    UNION ALL
-    SELECT doc_id,
-           (doc_id*3+7) % (SELECT count(*) FROM documents),
-           3.0::DOUBLE
-    FROM documents) GROUP BY src, dst),
+we AS (SELECT src, dst, sum(w) AS w FROM raw GROUP BY src, dst),
 wed AS (
   SELECT we.src, we.dst, we.w / t.tot AS inv_deg
   FROM we JOIN (SELECT src, sum(w) AS tot FROM we GROUP BY src) t
     USING (src)),
-wr0 AS (SELECT id, 1.0::DOUBLE AS rank FROM nodes)""")
-    for i in range(1, 9):
-        parts.append(f"""wr{i} AS (
-  SELECT n.id, 0.5::DOUBLE + 0.5::DOUBLE * coalesce(c.c, 0.0::DOUBLE)
-           AS rank
-  FROM nodes n LEFT JOIN (
-    SELECT wed.dst AS id, sum(r.rank * wed.inv_deg) AS c
-    FROM wed JOIN wr{i-1} r ON r.id = wed.src GROUP BY wed.dst) c
-    USING (id))""")
+nodes AS (SELECT DISTINCT src AS id FROM e
+          UNION SELECT DISTINCT dst FROM e),
+r0 AS (SELECT id, 1.0::DOUBLE AS rank FROM nodes),
+wr0 AS (SELECT id, 1.0::DOUBLE AS rank FROM nodes)"""
+    ]
+    parts += _pr_chain("r", "ed")
+    parts += _pr_chain("wr", "wed")
     ctes = ",\n".join(parts)
     return (
         "WITH " + ctes + r"""
