@@ -577,7 +577,12 @@ def dispatch_global_cap(
     N·partitions rows ever move, no full sort, no single-partition
     window. The surviving url set is ≤ global_budget rows
     (batch-sized by definition) and broadcast-joins back onto the
-    marked frontier."""
+    marked frontier. Bound: TakeOrdered buffers up to N rows per
+    input partition and merges N·partitions rows on the driver, so
+    this is the right plan for fleet budgets up to ~10^6; a larger
+    batch cap stops being a "pick the urgent few" scheduler anyway —
+    at that point size per-host budgets so their sum IS the fleet
+    capacity and skip the global cap."""
     keys = _order_keys(order, score)
     take = (
         marked.filter(F.col("dispatch"))
