@@ -599,7 +599,13 @@ class Crawler:
             "done_pre": [
                 "url", F.col("url").alias("url_canon"), "host", "depth",
                 "path",
-                F.lit(None).cast("string").alias("parent_url"),
+                # parent_url is PRESERVED on fetched terminal rows:
+                # it is the crawl's discovered link graph
+                # (operators/linkgraph.link_edges reads it back out),
+                # and erasing it would leave edges only on
+                # duplicate/failed rows. kind stays null — a fetched
+                # row's enqueue kind is spent state.
+                "parent_url",
                 F.lit(None).cast("string").alias("kind"),
                 F.lit("fetched").alias("status"),
             ],
@@ -1596,7 +1602,9 @@ class Crawler:
                 ),
             )
         results = results.join(
-            F.broadcast(dispatch.select("url", "host", "depth", "path")),
+            F.broadcast(dispatch.select(
+                "url", "host", "depth", "path", "parent_url"
+            )),
             "url", "left",
         )
         results.cache()

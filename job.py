@@ -488,18 +488,21 @@ def main(argv=None) -> int:
         if args.host_budgets
         else None
     )
-    host_scores = (
-        spark.read.parquet(args.host_scores).select("host", "score")
-        if args.host_scores
-        else None
-    )
     if args.rank_hosts:
+        # validate BEFORE any I/O: a bad flag combination must fail
+        # with the message, not with a parquet read error
         if not args.resume:
             raise SystemExit("--rank-hosts needs --resume (the scores "
                              "come from the checkpoint's own link graph)")
         if args.host_scores:
             raise SystemExit("--rank-hosts and --host-scores are "
                              "mutually exclusive")
+    host_scores = (
+        spark.read.parquet(args.host_scores).select("host", "score")
+        if args.host_scores
+        else None
+    )
+    if args.rank_hosts:
         from img_spark.operators.linkgraph import host_rank, link_edges
 
         host_scores = host_rank(

@@ -370,3 +370,67 @@ def test_dispatch_global_cap_composes_with_salted_dispatch(spark):
     b = sorted(r["url"] for r in salted.filter("dispatch").collect())
     assert a == b and len(a) == 4
     assert salted.count() == len(rows)
+
+
+def test_job_rank_hosts_flag(spark, tmp_path, capsys):
+    """job.py --resume --rank-hosts: the checkpoint's own link graph
+    is ranked into host scores on resume (self-prioritizing recrawl);
+    guards refuse --rank-hosts without --resume or combined with an
+    explicit --host-scores table."""
+    import json as _json
+
+    import job
+    from img_spark.sources.synthweb import PAGES_DDL
+
+    # a CROSS-host web (host_graph drops intra-host edges, so the
+    # standard fixture — whose links are all within one site — ranks
+    # zero hosts): xa.test's album links endorse xb.test
+    index = (
+        b"<html><head><title>XA Index</title></head><body>"
+        b'<div class="alb">'
+        b'<a href="https://xb.test/p1" title="P1">one</a>'
+        b"</div></body></html>"
+    )
+    photo = (
+        b"<html><head><title>XB photo</title></head><body>"
+        b'<div class="photo"><img src="/i1.jpg"></div></body></html>'
+    )
+    rows = [
+        ("https://xa.test/", None, index, None, None),
+        ("https://xb.test/p1", None, photo, None, None),
+    ]
+    pages_path = str(tmp_path / "pages")
+    spark.createDataFrame(rows, PAGES_DDL).write.parquet(pages_path)
+    cfg_json = str(tmp_path / "web.json")
+    with open(cfg_json, "w") as f:
+        _json.dump([
+            {"Site": "xa.test", "Img": "div.photo img",
+             "Album": "div.alb a"},
+            {"Site": "xb.test", "Img": "div.photo img"},
+        ], f)
+    ckpt = str(tmp_path / "ckpt")
+    base = [
+        "--pages", pages_path, "--checkpoint", ckpt,
+        "--config", cfg_json, "--partitions", "4",
+    ]
+    assert job.main(base + ["--seeds", "https://xa.test/"]) == 0
+    capsys.readouterr()
+
+    rc = job.main(base + [
+        "--resume", "--rank-hosts",
+        "--priority", "score", "--priority-score", "host_score",
+        "--max-generations", "1",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    ranked = [
+        _json.loads(line) for line in out.splitlines()
+        if '"ranked_hosts"' in line
+    ]
+    assert ranked and ranked[0]["ranked_hosts"] == 2  # xa + xb
+
+    with pytest.raises(SystemExit, match="--resume"):
+        job.main(base + ["--seeds", "https://xa.test/", "--rank-hosts"])
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        job.main(base + ["--resume", "--rank-hosts",
+                         "--host-scores", str(tmp_path / "nope")])
