@@ -45,16 +45,28 @@ PERMS = _perm_params()
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram strings; short docs collapse to one gram."""
+    """Distinct word n-gram strings; short docs collapse to one gram.
+
+    Formulated as n-1 ``zip_with`` concats of shifted token arrays —
+    higher-order functions evaluate interpreted (no codegen), so the
+    former slice-per-gram transform paid an O(n_tokens) array copy per
+    gram inside an interpreted lambda: ~600 µs/doc measured, 10x the
+    cost of everything else in the dedup family combined. zip_with
+    keeps one cheap concat per gram. zip_with pads the shorter
+    (shifted) side with NULLs and concat NULL-kills, so the padded
+    tail grams come out NULL; the final slice drops exactly those."""
     toks = tokens(text)
-    grams = F.when(
-        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    m = F.size(toks)
+    g = toks
+    for i in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(toks, i + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         )
-    )
+    grams = F.when(
+        m < n, F.array(F.concat_ws(" ", toks))
+    ).otherwise(F.slice(g, 1, m - (n - 1)))
     return F.array_distinct(grams)
 
 
@@ -175,23 +187,42 @@ def jaccard_pairs(
     """
     g = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(gram_hashes(F.col(text_col), n)).alias("gram"),
+        gram_hashes(F.col(text_col), n).alias("ghs"),
+    ).select(
+        "doc_id",
+        # n_grams = the distinct-hash array size, carried through the
+        # explode so pair rows arrive with na/nb attached — the former
+        # shape re-scanned the input THREE more times (a sizes groupBy
+        # plus two join branches, each re-running the shingling) and
+        # joined sizes back on twice
+        F.size("ghs").cast("long").alias("ng"),
+        F.explode("ghs").alias("gram"),
     )
-    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    a = g.select(F.col("doc_id").alias("doc_a"), "gram")
-    b = g.select(F.col("doc_id").alias("doc_b"), "gram")
-    inter = (
-        a.join(b, "gram")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    # pairs per shared gram, generated INSIDE the gram group (sorted
+    # member list -> i<j combinations) instead of a gram-keyed
+    # self-join: one shuffle of the gram table, no broadcast of the
+    # exploded table, and the shingling runs exactly once. The pair
+    # volume is identical to the join's (quadratic per hot gram BY
+    # DESIGN — this op is the LSH verify stage, see the docstring).
+    groups = (
+        g.groupBy("gram")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "ng"))).alias("ms"))
+        .filter(F.size("ms") > 1)
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    pairs = groups.select(
+        F.posexplode("ms").alias("i", "a"), "ms"
+    ).select(
+        "a",
+        F.explode(F.slice("ms", F.col("i") + 2, F.size("ms"))).alias("b"),
+    )
+    inter = pairs.groupBy(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("a.ng").alias("na"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("b.ng").alias("nb"),
+    ).agg(F.count("*").alias("inter"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
@@ -340,14 +371,29 @@ def minhash_lsh_candidates(
     incremental state) must not pay it twice."""
     if banded is None:
         banded = minhash_bands(df, id_col, text_col, bands, k)
+    # pairs generated INSIDE each (band, bucket) group from the sorted
+    # member list — the former bucket-keyed self-join evaluated the
+    # whole shingle->minhash->band subtree TWICE (a broadcast join's
+    # streamed side is not an Exchange, so ReuseExchange never fires)
+    # and needed a separate window pass for the cap; the group form
+    # computes the bands once and the cap is a group-size filter on
+    # the same aggregate. Pair volume is unchanged (quadratic per
+    # bucket, bounded by max_bucket).
+    groups = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
     if max_bucket is not None:
-        banded = cap_buckets(banded, ("band", "bucket"), max_bucket)
-    x = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    y = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+        groups = groups.filter(F.size("ms") <= max_bucket)
     return (
-        x.join(y, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        groups.select(F.posexplode("ms").alias("i", "doc_a"), "ms")
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice("ms", F.col("i") + 2, F.size("ms"))
+            ).alias("doc_b"),
+        )
         .distinct()
     )
 
@@ -635,6 +681,14 @@ def simhash_near_dups(
     then exact hamming over both words. ``max_bucket`` bounds the
     quadratic per-chunk join (cap_buckets; drops reportable via
     bucket_drop_report)."""
+    # NOTE (r8): the bucket-keyed self-join IS the measured-fastest
+    # shape here, unlike minhash_lsh_candidates — simhash's band chunks
+    # are 16-bit truncations with genuinely hot buckets (a 1,639-member
+    # chunk at the bench corpus), so in-group pair generation pays an
+    # O(members) struct-array slice per member inside one task, while
+    # the broadcast probe spreads the same quadratic output across the
+    # streamed side's partitions; the recomputed simhash64_agg subtree
+    # is the cheap part (~0.6 s vs the join's ~2.5 s at sf0.1).
     banded = simhash_bands(df, id_col, text_col, bands)
     if max_bucket is not None:
         banded = cap_buckets(banded, ("band", "chunk"), max_bucket)

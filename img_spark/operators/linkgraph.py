@@ -137,6 +137,105 @@ def pagerank(
     return ranks
 
 
+def pagerank_dual(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Both ``pagerank`` variants — unweighted AND weighted — in ONE
+    iteration loop → (id, rank, rank_w). Value-identical to running
+    ``pagerank(e)`` and ``pagerank(e, weight_col=...)`` separately
+    (pinned in tests/test_linkgraph.py): both variants walk the same
+    (src, dst) topology, so each per-iteration edge join and
+    map-combinable sum can carry BOTH shares on one edge row — half
+    the iterative joins, half the lineage checkpoints, one node
+    frame. Built for callers that need both rankings of one graph
+    (the oracle-harness fingerprint row runs exactly that); the
+    arithmetic per variant is unchanged, so the dyadic-exactness
+    guarantee of ``pagerank`` carries over.
+
+    Edge semantics match the separate calls: the unweighted share
+    divides by the DISTINCT out-edge count including w<=0 edges; the
+    weighted share drops w<=0/NULL edges (their ``inv_w`` is NULL and
+    ``sum()`` skips NULL terms — the same no-endorsement treatment).
+    One deliberate difference: the output node set is the UNION graph's
+    (a node whose edges all have w<=0 still gets its (1-d) baseline
+    ``rank_w`` instead of vanishing), which is the consistent node set
+    the weighted variant's doc warns about."""
+    raw = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    we = raw.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    tot = we.groupBy("src").agg(
+        F.sum(F.when(F.col("w") > 0, F.col("w"))).alias("tot"),
+        F.count("*").alias("deg"),
+    )
+    ed = we.join(tot, "src").select(
+        "src",
+        "dst",
+        (1.0 / F.col("deg")).alias("inv_u"),
+        F.when(F.col("w") > 0, F.col("w") / F.col("tot")).alias("inv_w"),
+    ).persist()
+    nodes = (
+        ed.select(F.col("src").alias("id"))
+        .unionByName(ed.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    reset = F.lit(1.0 - damping)
+    # a node with NO in-edges gets zero contribution in EVERY
+    # iteration — its rank is the reset constant from the first update
+    # on. Precomputing those rows once and UNIONING them in replaces
+    # the per-iteration nodes-LEFT-JOIN (one broadcast build + join
+    # stage per iteration) with a free partition concat; every dst
+    # node receives a contribs row every iteration (all ranks > 0,
+    # every edge joins), so contribs ∪ baseline is exactly the node
+    # set. Values are untouched: coalesce() still maps an
+    # all-NULL-inv_w sum to the same 0.0 the left join produced.
+    baseline = nodes.join(
+        ed.select(F.col("dst").alias("id")).distinct(), "id", "left_anti"
+    ).select(
+        "id", reset.alias("rank"), reset.alias("rank_w")
+    ).persist()
+    ranks = nodes.select(
+        "id", F.lit(1.0).alias("rank"), F.lit(1.0).alias("rank_w")
+    )
+    for i in range(iterations):
+        contribs = (
+            ed.join(
+                ranks.select(
+                    F.col("id").alias("src"), "rank", "rank_w"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                F.sum(F.col("rank") * F.col("inv_u")).alias("cu"),
+                F.sum(F.col("rank_w") * F.col("inv_w")).alias("cw"),
+            )
+        )
+        ranks = contribs.select(
+            "id",
+            (reset + F.lit(damping) * F.coalesce(F.col("cu"), F.lit(0.0)))
+            .alias("rank"),
+            (reset + F.lit(damping) * F.coalesce(F.col("cw"), F.lit(0.0)))
+            .alias("rank_w"),
+        ).unionByName(baseline)
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.localCheckpoint(eager=True)
+    ed.unpersist()
+    nodes.unpersist()
+    baseline.unpersist()
+    return ranks
+
+
 def host_graph(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:

@@ -829,7 +829,7 @@ def q_fingerprint(spark, sf_dir):
     dyadic rational, so the iterative Spark sums and the oracle's
     unrolled-CTE sums are EXACT and order-independent — link_rank
     compares hash-identical without quantization."""
-    from img_spark.operators.linkgraph import pagerank
+    from img_spark.operators.linkgraph import pagerank_dual
 
     d = _docs(spark, sf_dir)
     n = d.count()  # one bounded scalar (node-id modulus)
@@ -848,19 +848,20 @@ def q_fingerprint(spark, sf_dir):
             F.lit(3.0).alias("w"),
         )
     )
-    ranks = pagerank(raw, iterations=8, damping=0.5).withColumnRenamed(
-        "id", "doc_id"
-    )
-    ranks_w = pagerank(
-        raw, iterations=8, damping=0.5, weight_col="w"
-    ).select(
-        F.col("id").alias("doc_id"), F.col("rank").alias("link_rank_w")
+    # r8: ONE fused iteration loop for both rank variants
+    # (pagerank_dual ≡ two pagerank() calls, pinned in
+    # tests/test_linkgraph.py; here every w>0 so the node sets are
+    # identical too) — halves the iterative joins and checkpoints the
+    # two separate 8-iteration chains paid, and the fingerprint
+    # attaches with ONE join instead of two.
+    ranks = pagerank_dual(raw, iterations=8, damping=0.5).select(
+        F.col("id").alias("doc_id"),
+        F.col("rank").alias("link_rank"),
+        F.col("rank_w").alias("link_rank_w"),
     )
     return (
         d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
         .join(ranks, "doc_id")
-        .withColumnRenamed("rank", "link_rank")
-        .join(ranks_w, "doc_id")
     )
 
 
@@ -1073,15 +1074,17 @@ WHERE j.jaccard >= 0.8
 
 
 def q_simhash(spark, sf_dir):
-    """64-bit SimHash as two 32-bit words: sh_lo via the expression
-    form (fold), sh_hi via the '#2'-salted token family — the driver
-    row pins both hash families and both the fold and the banding
-    inputs (the agg form's equivalence to the fold is pinned in
-    tests/test_dataops.py)."""
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        dedup.simhash32(F.col("text")).alias("sh_lo"),
-        dedup.simhash32(F.col("text"), salt="#2").alias("sh_hi"),
+    """64-bit SimHash as two 32-bit words (both hash families: sh_lo
+    hashes the token, sh_hi the '#2'-salted token). Computed via the
+    aggregate form (``simhash64_agg`` — one explode + 64 map-side
+    combinable sums; value-identical to the per-row fold, pinned in
+    tests/test_dataops.py, and ~2x faster: the fold's per-token
+    32-array zip_with runs interpreted). The left join reinstates
+    NULL-text docs with NULL signatures, exactly as the fold emitted
+    them — one row per input doc either way."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id").join(
+        dedup.simhash64_agg(d), "doc_id", "left"
     )
 
 

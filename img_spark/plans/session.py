@@ -33,6 +33,16 @@ def engine_defaults(builder, shuffle_partitions: int | None = None):
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
                 "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # the generated-class cache defaults to 100 entries; one crawl
+        # generation alone plans ~50 codegen units and the bench
+        # session cycles hundreds across its queries, so the LRU
+        # thrashes and Janino recompiles identical code every
+        # generation (measured: ~50 compiles x ~17 ms per generation
+        # at the crawl fixture, dropping to 12 with the cache sized
+        # up; steady-state generation wall 3.5-4.2 s -> 3.0-3.2 s).
+        # Scale-neutral: a bounded driver/executor-JVM class cache —
+        # a few MB — with identical semantics at any data size.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # html blobs dominate bytes; keep Arrow batches modest so a batch of
         # pages fits comfortably in the Python worker (SURVEY.md §7.8).

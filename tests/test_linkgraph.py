@@ -292,6 +292,53 @@ def test_pagerank_weighted(spark):
     assert got2 == got
 
 
+def test_pagerank_dual_matches_both_variants(spark):
+    """pagerank_dual (the r8 fused loop the fingerprint harness runs)
+    must be VALUE-IDENTICAL to the two separate pagerank() calls —
+    bit-exact on dyadic inputs, including duplicate-edge weight
+    summing. On a graph with a w<=0-only source, the dual's rank_w
+    keeps the node at its (1-d) baseline (the documented union node
+    set) while the weighted single variant omits it; all shared nodes
+    still agree exactly."""
+    from img_spark.operators.linkgraph import pagerank_dual
+
+    edges = [(0, 1, 6.0), (0, 2, 2.0), (1, 2, 4.0), (2, 0, 8.0),
+             (0, 1, 2.0), (4, 0, 16.0)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint, w double")
+    dual = {
+        r["id"]: (r["rank"], r["rank_w"])
+        for r in pagerank_dual(df, 8, 0.5, weight_col="w").collect()
+    }
+    ru = {r["id"]: r["rank"] for r in pagerank(df, 8, 0.5).collect()}
+    rw = {
+        r["id"]: r["rank"]
+        for r in pagerank(df, 8, 0.5, weight_col="w").collect()
+    }
+    assert set(dual) == set(ru)
+    assert {k: v[0] for k, v in dual.items()} == ru
+    assert {k: v[1] for k, v in dual.items()} == rw
+
+    # node 9's only out-edge has w=0: unweighted keeps the edge, the
+    # weighted single variant drops node 10... (only reachable via it)
+    mixed = edges + [(9, 10, 0.0)]
+    df2 = spark.createDataFrame(mixed, "src bigint, dst bigint, w double")
+    dual2 = {
+        r["id"]: (r["rank"], r["rank_w"])
+        for r in pagerank_dual(df2, 8, 0.5, weight_col="w").collect()
+    }
+    ru2 = {r["id"]: r["rank"] for r in pagerank(df2, 8, 0.5).collect()}
+    rw2 = {
+        r["id"]: r["rank"]
+        for r in pagerank(df2, 8, 0.5, weight_col="w").collect()
+    }
+    assert {k: v[0] for k, v in dual2.items()} == ru2  # union node set
+    for k, v in rw2.items():  # every weighted-variant node agrees
+        assert dual2[k][1] == v
+    # the extra nodes sit at the (1-d) baseline in rank_w
+    for k in set(dual2) - set(rw2):
+        assert dual2[k][1] == 0.5
+
+
 def test_host_rank_weights_endorsement_strength(spark):
     """host_rank is weighted: many distinct URL edges from one host
     concentrate its endorsement on the heavier target."""
