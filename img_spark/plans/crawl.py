@@ -1697,6 +1697,31 @@ class Crawler:
 
         extracted = with_download_columns(extracted, P["dl_cols"])
 
+        # submit the extracted-delta write NOW, before the candidate/
+        # state chains are even constructed (r8): the extract job's
+        # stages (broadcast build -> fetch join -> Arrow extract ->
+        # explode -> write) execute on the cluster WHILE the driver
+        # spends its ~0.5-1 s of py4j/Catalyst analysis building the
+        # frontier-state plan — overlapping the two instead of paying
+        # plan-then-execute serially. FIFO submission order (extract
+        # first) is unchanged, so the cache-fill behavior the old
+        # simultaneous submit relied on is identical; a construction
+        # error below still propagates after the finally-shutdown, and
+        # a completed-but-uncommitted extracted dir is exactly the
+        # crash-mid-write case the manifest visibility contract covers.
+        import concurrent.futures
+
+        def _write_extracted():
+            t = time.time()
+            extracted.write.mode("overwrite").parquet(
+                self._p("extracted", f"g{g}")
+            )
+            return time.time() - t
+
+        pool = concurrent.futures.ThreadPoolExecutor(3)
+        t_submit0 = time.time()
+        fut_e = pool.submit(_write_extracted)
+
         # ---- discovered candidates: albums (doc order) then next
         albums = results.select(*P["albums_cols"]).withColumns(
             P["albums_with"]
@@ -1786,26 +1811,19 @@ class Crawler:
         )
 
         # the extracted sink and the frontier-state sink are
-        # INDEPENDENT consumers of the cached extraction — submit both
-        # write jobs CONCURRENTLY: per-generation wall is max(extract,
-        # state) instead of their sum, and the state job's probe
-        # shuffle overlaps the extract job's commit I/O. The shared
-        # `results` cache fills as the first job's tasks complete;
-        # under the default FIFO scheduler the extract job (submitted
-        # first) holds the cores for its extraction stage, so the state
-        # job's results-dependent tasks mostly read the cache —
-        # duplicate extraction is bounded by the scheduling tail, not
-        # the batch (measured: concurrent beats materialize-then-write
-        # by ~20% per generation). Exceptions propagate via futures.
-        import concurrent.futures
-
-        def _write_extracted():
-            t = time.time()
-            extracted.write.mode("overwrite").parquet(
-                self._p("extracted", f"g{g}")
-            )
-            return time.time() - t
-
+        # INDEPENDENT consumers of the cached extraction — the extract
+        # write was submitted above (overlapping the state-plan
+        # construction); the state write is submitted here so the
+        # per-generation wall is max(extract, state) instead of their
+        # sum, and the state job's probe shuffle overlaps the extract
+        # job's commit I/O. The shared `results` cache fills as the
+        # first job's tasks complete; under the default FIFO scheduler
+        # the extract job (submitted first) holds the cores for its
+        # extraction stage, so the state job's results-dependent tasks
+        # mostly read the cache — duplicate extraction is bounded by
+        # the scheduling tail, not the batch (measured: concurrent
+        # beats materialize-then-write by ~20% per generation).
+        # Exceptions propagate via futures.
         def _write_frontier():
             t = time.time()
             counts = self._write_state(state, g)
@@ -1875,11 +1893,15 @@ class Crawler:
         # plan = pure driver-side construction (py4j + eager Catalyst
         # analysis); eager Spark work inside the window (_ensure_robots
         # fetches, bucket-id collects) is accounted separately so the
-        # attribution in BENCH/CRAWL_OVERHEAD.md measures what it names
+        # attribution in BENCH/CRAWL_OVERHEAD.md measures what it names.
+        # Since r8 the extract write runs UNDER the tail of this window
+        # (submitted right after `extracted` was built), so `plan` and
+        # `writes_wall` overlap by (t0 - t_submit0); `writes_wall` is
+        # measured from the FIRST submit to keep it the true wall of
+        # the write phase.
         t_plan = t0 - t_step0 - self._t_eager
         t_validators = 0.0
-        with concurrent.futures.ThreadPoolExecutor(3) as pool:
-            fut_e = pool.submit(_write_extracted)
+        try:
             fut_s = pool.submit(_write_frontier)
             fut_v = (
                 pool.submit(_write_validators)
@@ -1893,7 +1915,10 @@ class Crawler:
                 # invisible and resume() deletes it (see validators
                 # visibility contract)
                 t_validators, self._validators_committed = fut_v.result()
-        t_writes = time.time() - t0
+        finally:
+            pool.shutdown(wait=True)
+        t_writes_end = time.time()
+        t_writes = t_writes_end - t_submit0
         self._refresh_seen_blobs(g)
 
         # media download stage (CrawlConfig.media_dir): consumes the
@@ -1941,7 +1966,7 @@ class Crawler:
             "extract": round(t_extract, 3),
             "state": round(t_state, 3),
             "writes_wall": round(t_writes, 3),
-            "post": round(time.time() - t0 - t_writes, 3),
+            "post": round(time.time() - t_writes_end, 3),
         }
         if val_delta is not None:
             self.last_step_times["validators"] = round(t_validators, 3)
