@@ -453,6 +453,7 @@ class Crawler:
         self.cfg = cfg
         self.generation = -1
         self.seen_blobs: dict = {}  # salt -> blob path (latest version)
+        self._probe_schema = None  # cached by _seen_filter (invariant)
         # cumulative terminal-status counts (committed state only — a
         # retried generation recomputes from here, never double-counts)
         self.status_totals: dict = {}
@@ -2053,11 +2054,16 @@ class Crawler:
         (rejected/disallowed rows never enter the seen set — the
         reference never fetched them either). ``cand`` must carry
         ``status`` (nullable) and ``allowed`` columns."""
-        # salt col built per call: cfg.partitions may be adjusted after
-        # construction (tests do), and it is 3 py4j calls
-        cand = cand.withColumns(self._plan["seen_cols"]).withColumn(
-            "salt", F.pmod(F.col("h64"), F.lit(self.cfg.partitions))
-        )
+        # salt expression built per call: cfg.partitions may be
+        # adjusted after construction (tests do) — but it rides in the
+        # SAME withColumns dict as h64 (one DataFrame op, one analysis
+        # pass, instead of the former withColumns + withColumn pair)
+        cand = cand.withColumns({
+            **self._plan["seen_cols"],
+            "salt": F.pmod(
+                F.xxhash64(F.col("url_canon")), F.lit(self.cfg.partitions)
+            ),
+        })
         probe_cond = self._plan["probe_cond"]
         probe = cand.filter(probe_cond)
         skip = cand.filter(~probe_cond).withColumn("is_new", F.lit(False))
@@ -2069,10 +2075,17 @@ class Crawler:
         out_dir = self._p("seen", f"g{g}")
         capacity = self.cfg.cuckoo_capacity
         # note: StructType.add mutates in place — never call it on a
-        # DataFrame's live .schema object
-        schema = StructType(
-            list(probe.schema.fields) + [StructField("is_new", BooleanType())]
-        )
+        # DataFrame's live .schema object. The probe schema is
+        # generation-invariant for a constructed Crawler (candidate
+        # columns are fixed by config at __init__), and fetching
+        # .schema costs a py4j round-trip serializing the full analyzed
+        # schema — cache it per instance.
+        schema = self._probe_schema
+        if schema is None:
+            schema = self._probe_schema = StructType(
+                list(probe.schema.fields)
+                + [StructField("is_new", BooleanType())]
+            )
 
         def run_probe(key, pdf):
             salt = int(key[0])
